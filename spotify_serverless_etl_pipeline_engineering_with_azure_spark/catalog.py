@@ -1,0 +1,58 @@
+"""Table catalog over the driver-provided parquet test tables.
+
+See /root/repo/TESTDATA.md. At cluster scale these would be external
+tables (partitioned parquet / Delta on object storage); the loader keeps
+all IO columnar and lets Catalyst push filters/projections into the
+parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at ANY scale factor (bounded
+# cardinality): always broadcast these in joins. Larger dims are left to
+# AQE / autoBroadcastJoinThreshold.
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    outright — read it as a long (legacy conf) and convert to a
+    microsecond timestamp. Integer `div` (not double /) — ns epoch
+    values exceed 2^53. The test data carries no sub-microsecond
+    component, so this is lossless and matches DuckDB's CAST."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all test tables as temp views (for spark.sql queries)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,74 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+All pure Catalyst higher-order functions (zip_with / aggregate) — JVM
+codegen, no Python boundary crossing. Folds are explicitly
+left-to-right so the doubles match the oracle's list_reduce bit-for-bit
+(rounding to 6 dp is still applied as a guard where engine-internal
+summation order could differ).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+
+# Random ±1 hyperplanes for sign-LSH bucketing, fixed seed, shared
+# verbatim between the Spark plan and the DuckDB oracle.
+_rng = random.Random(20240813)
+N_PLANES = 8
+HYPERPLANES: list[list[float]] = [
+    [1.0 if _rng.random() < 0.5 else -1.0 for _ in range(EMB_DIM)] for _ in range(N_PLANES)
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of the elementwise product, in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _plane_lit(plane: list[float]) -> Column:
+    return F.array(*[F.lit(w) for w in plane])
+
+
+def lsh_bucket(emb: Column) -> Column:
+    """Sign-LSH bucket id: one bit per hyperplane (N_PLANES bits)."""
+    bucket = F.lit(0).cast("long")
+    for k, plane in enumerate(HYPERPLANES):
+        proj = dot(emb, _plane_lit(plane))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+# --- DuckDB oracle fragments (identical fold order) ----------------------
+
+def sql_plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{w:.1f}" for w in plane) + "]"
+
+
+def sql_lsh_bucket(emb_expr: str) -> str:
+    parts = []
+    for k, plane in enumerate(HYPERPLANES):
+        proj = (
+            f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
+            f"LIST_TRANSFORM(RANGE(1, {EMB_DIM + 1}), "
+            f"i -> CAST({emb_expr}[i] AS DOUBLE) * ({sql_plane_literal(plane)})[i])), "
+            f"(a, b) -> a + b)"
+        )
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << k} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"

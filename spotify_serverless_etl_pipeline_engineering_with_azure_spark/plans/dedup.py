@@ -1,0 +1,301 @@
+"""Deduplication operators (north-star extensions): exact hash dedup,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Generalizes the reference's key-dedup D1/D2
+(/root/reference/spotifytransform.py:95,98) from exact-key to
+content/near-duplicate semantics.
+
+Scale notes (100 TB):
+- exact dedup: hash-groupBy with map-side partial agg; one shuffle on
+  the content hash.
+- MinHash signatures: computed in ONE aggregation with 16 min()
+  columns (no hash-family cross-join, no extra shuffle); LSH banding
+  turns all-pairs O(n²) into a bucket-join on (band, sig).
+- SimHash: entirely row-local nested fold — zero shuffles for
+  signatures.
+- n-gram Jaccard: exact verification path, only ever run on LSH
+  candidates or bounded probe sets (all-pairs does not scale and is
+  deliberately restricted here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.hashing import (
+    HEX_CHARS,
+    MERSENNE31,
+    MINHASH_PARAMS,
+    MINHASH_ROWS_PER_BAND,
+    md5_int48,
+    sql_md5_int48,
+)
+from ..registry import register
+
+N_BANDS = len(MINHASH_PARAMS) // MINHASH_ROWS_PER_BAND
+SIMHASH_BITS = 48
+
+
+# ---------------------------------------------------------------------------
+# Shared shingling (3-token n-grams, distinct per doc — row-local distinct)
+# ---------------------------------------------------------------------------
+def _shingle_array() -> Column:
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    return (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", F.explode(_shingle_array()).alias("sh"))
+    )
+
+
+_SQL_SHINGLES = """
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents {where})
+  WHERE LEN(t) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT MD5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY MD5(text)
+""",
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5(text), keep min doc_id."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN(({a} * x + {b}) % {MERSENNE31}) AS mh_{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    band_selects = []
+    for k in range(N_BANDS):
+        cols = range(k * MINHASH_ROWS_PER_BAND, (k + 1) * MINHASH_ROWS_PER_BAND)
+        sig = " || ',' || ".join(f"CAST(mh_{j} AS VARCHAR)" for j in cols)
+        band_selects.append(f"SELECT doc_id, {k} AS band, {sig} AS sig FROM minhash")
+    bands = "\n  UNION ALL ".join(band_selects)
+    return f"""
+WITH shingles AS ({_SQL_SHINGLES.format(where="")}),
+hashed AS (
+  SELECT doc_id, {sql_md5_int48("sh")} % {MERSENNE31} AS x FROM shingles
+),
+minhash AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  {bands}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 16 minhashes → 8 bands
+    of 2 → bucket self-join on (band, sig).
+
+    The 16-hash signature is ONE aggregation (16 min() columns, partial
+    agg map-side); banding+join replaces the O(n²) all-pairs scan.
+    """
+    docs = table(spark, sf_dir, "documents")
+    hashed = _shingles(docs).select(
+        "doc_id", (md5_int48(F.col("sh")) % MERSENNE31).alias("x")
+    )
+    minhash = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MERSENNE31).alias(f"mh_{j}")
+            for j, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+    band_structs = []
+    for k in range(N_BANDS):
+        cols = range(k * MINHASH_ROWS_PER_BAND, (k + 1) * MINHASH_ROWS_PER_BAND)
+        sig = F.concat_ws(",", *[F.col(f"mh_{j}").cast("string") for j in cols])
+        band_structs.append(F.struct(F.lit(k).alias("band"), sig.alias("sig")))
+    bands = minhash.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures
+# ---------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    tokhash = sql_md5_int48("t")
+    return f"""
+SELECT doc_id,
+       LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+         LIST_TRANSFORM(RANGE(0, {SIMHASH_BITS}), j ->
+           CASE WHEN LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+                  LIST_TRANSFORM(harr, h -> ((h // (CAST(1 AS BIGINT) << j)) % 2) * 2 - 1)),
+                  (s, v) -> s + v) > 0
+                THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+         (a, b) -> a + b) AS simhash
+FROM (
+  SELECT doc_id, LIST_TRANSFORM(STRING_SPLIT(text, ' '), t -> {tokhash}) AS harr
+  FROM documents
+)
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash signature per document.
+
+    Entirely row-local (nested folds over the token array) — the
+    signature computation is shuffle-free at any scale; near-dup pairing
+    is then a Hamming-ball join on the compact signature.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    harr = F.transform(toks, lambda t: md5_int48(t))
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    bit_balance = lambda j: F.aggregate(  # noqa: E731
+        harr,
+        F.lit(0).cast("long"),
+        lambda s, h: s + ((h / F.element_at(pow2, j + 1)).cast("long") % 2) * 2 - 1,
+    )
+    simhash = F.aggregate(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(bit_balance(j) > 0, F.element_at(pow2, j + 1)).otherwise(F.lit(0).cast("long")),
+    )
+    return docs.select("doc_id", simhash.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification path, bounded probe set)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH shingles AS ({_SQL_SHINGLES.format(where="WHERE doc_id % 5 = 0")}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.02
+""",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity over a bounded probe subset.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts, so the double
+    division is bit-identical across engines. All-pairs Jaccard is the
+    LSH verification path, never a full-corpus scan.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.02)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.6
+""",
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a bounded probe subset.
+
+    At scale the pair generation goes through LSH buckets
+    (sim_ann_lsh_bucketed); this exact variant is the verification path.
+    """
+    from ..functions.vectors import cosine
+
+    sub = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    a = sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = sub.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.6)
+    )

@@ -1,0 +1,97 @@
+"""Registry entries that execute REAL Structured Streaming queries
+(availableNow over the bounded test tables → memory sink) and return
+the drained result. With a single micro-batch no rows are late, so the
+streaming results equal their batch shadows and stay oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..streaming.pipeline import events_stream, run_to_memory, windowed_counts
+
+
+def _sink_name(prefix: str) -> str:
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+@register(
+    "streaming_tumbling_window",
+    oracle="""
+SELECT TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "window"),
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 generalized: watermarked tumbling-window counts, executed as a
+    real streaming query (file source → availableNow → memory sink)."""
+    name = _sink_name("stream_win")
+    run_to_memory(windowed_counts(events_stream(spark, sf_dir)), name, output_mode="complete")
+    return spark.table(name)
+
+
+@register(
+    "streaming_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1's streaming generalization: dropDuplicatesWithinWatermark.
+
+    Only the key columns are emitted (which physical row survives is
+    engine-internal), so the result set equals DISTINCT keys.
+    """
+    name = _sink_name("stream_dedup")
+    deduped = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    run_to_memory(deduped, name, output_mode="append")
+    return spark.table(name)
+
+
+@register(
+    "streaming_sliding_window",
+    oracle="""
+WITH starts AS (
+  SELECT TIME_BUCKET(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS b, event_id, value, ts
+  FROM events
+),
+expanded AS (
+  SELECT b AS window_start, event_id, value FROM starts
+  UNION ALL
+  SELECT b - INTERVAL '30 minutes' AS window_start, event_id, value FROM starts
+)
+SELECT window_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM expanded
+GROUP BY window_start
+""",
+    tags=("streaming", "window"),
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30m slide): each event lands in two
+    overlapping windows."""
+    name = _sink_name("stream_slide")
+    ev = events_stream(spark, sf_dir)
+    from ..functions.exact import dsum
+
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)

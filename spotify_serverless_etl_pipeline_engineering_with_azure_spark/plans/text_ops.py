@@ -1,0 +1,199 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+extensions: token counting, quality scoring, language-ID heuristic,
+document fingerprinting).
+
+All are single-pass, shuffle-free row-local expressions (JVM codegen,
+no Python UDFs) — the 100 TB posture is "map-side only": each operator
+scales linearly with input and never moves data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+FP_PRIME = 1000000007
+
+STOPWORDS = ("the", "a", "of", "and")
+_SQL_STOP = "('the', 'a', 'of', 'and')"
+
+# marker-token tables for the language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+    "es": ("el", "los", "las", "y"),
+}
+
+
+def _tokens() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
+       LENGTH(text) AS n_chars_actual,
+       n_chars = LENGTH(text) AS chars_ok
+FROM documents
+""",
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + char-count validation."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        (F.col("n_chars") == F.length("text")).alias("chars_ok"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+SELECT doc_id, n_tokens, stop_ratio, chars_per_token,
+       CASE WHEN n_tokens < 40 THEN 'short'
+            WHEN stop_ratio > 0.12 THEN 'stopword_heavy'
+            ELSE 'ok' END AS quality_class
+FROM (
+  SELECT doc_id,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_SQL_STOP})) AS DOUBLE)
+           / LEN(STRING_SPLIT(text, ' ')) AS stop_ratio,
+         CAST(LENGTH(text) AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')) AS chars_per_token
+  FROM documents
+)
+""",
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length / stopword-ratio features.
+
+    The ratios divide exact integers, so the doubles are bit-identical
+    across engines — no rounding needed.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    scored = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (stop_hits.cast("double") / n_tokens).alias("stop_ratio"),
+        (F.length("text").cast("double") / n_tokens).alias("chars_per_token"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "stop_ratio",
+        "chars_per_token",
+        F.when(F.col("n_tokens") < 40, "short")
+        .when(F.col("stop_ratio") > 0.12, "stopword_heavy")
+        .otherwise("ok")
+        .alias("quality_class"),
+    )
+
+
+def _sql_hits(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ({inlist})))"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+SELECT lang, predicted_lang, COUNT(*) AS n_docs
+FROM (
+  SELECT lang,
+         CASE WHEN en_hits >= GREATEST(de_hits, fr_hits, es_hits) AND en_hits > 0 THEN 'en'
+              WHEN de_hits >= GREATEST(fr_hits, es_hits) AND de_hits > 0 THEN 'de'
+              WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+              WHEN es_hits > 0 THEN 'es'
+              ELSE 'und' END AS predicted_lang
+  FROM (
+    SELECT lang,
+           {_sql_hits(LANG_MARKERS["en"])} AS en_hits,
+           {_sql_hits(LANG_MARKERS["de"])} AS de_hits,
+           {_sql_hits(LANG_MARKERS["fr"])} AS fr_hits,
+           {_sql_hits(LANG_MARKERS["es"])} AS es_hits
+    FROM documents
+  )
+)
+GROUP BY lang, predicted_lang
+""",
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic → confusion counts vs truth.
+
+    A deterministic stopword-hit argmax. (The synthetic corpus shares
+    one vocabulary across langs, so accuracy is data-limited; the
+    operator contract — deterministic prediction per doc — is what the
+    oracle checks.)
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def hits(markers: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scored = docs.select(
+        "lang",
+        hits(LANG_MARKERS["en"]).alias("en_hits"),
+        hits(LANG_MARKERS["de"]).alias("de_hits"),
+        hits(LANG_MARKERS["fr"]).alias("fr_hits"),
+        hits(LANG_MARKERS["es"]).alias("es_hits"),
+    )
+    predicted = (
+        F.when(
+            (F.col("en_hits") >= F.greatest("de_hits", "fr_hits", "es_hits"))
+            & (F.col("en_hits") > 0),
+            "en",
+        )
+        .when(
+            (F.col("de_hits") >= F.greatest("fr_hits", "es_hits")) & (F.col("de_hits") > 0), "de"
+        )
+        .when((F.col("fr_hits") >= F.col("es_hits")) & (F.col("fr_hits") > 0), "fr")
+        .when(F.col("es_hits") > 0, "es")
+        .otherwise("und")
+    )
+    return (
+        scored.select("lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       LIST_REDUCE(
+         LIST_PREPEND(CAST(0 AS BIGINT),
+           LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                          x -> CAST(ASCII(x) + 7 * LENGTH(x) AS BIGINT))),
+         (acc, v) -> (acc * 31 + v) % {FP_PRIME}) AS fingerprint
+FROM documents
+""",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint.
+
+    Polynomial rolling hash over the token stream mod a 31-bit prime —
+    every intermediate stays < 2^36, exact in int64 on both engines.
+    """
+    docs = table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        _tokens(),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + F.ascii(x) + F.length(x) * 7) % FP_PRIME,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,138 @@
+"""Structured Streaming: the reference's blob-trigger semantics
+(SURVEY.md §2.1 S3/M1 + §3.2) and event-stream operators.
+
+Reference mapping:
+  S3 blob trigger   → file-source readStream over the raw-zone dir;
+                      one arriving file ≈ one micro-batch
+                      (spotifytransform.py:67-68)
+  M1 archival       → cleanSource=archive + sourceArchiveDir replaces
+                      the copy+delete at spotifytransform.py:137-155;
+                      the checkpoint replaces the at-least-once retry
+                      semantics (idempotent replay instead of
+                      swallowed errors)
+  K2 CSV sinks ×3   → foreachBatch (three CSV writers can't hang off
+                      one streaming query otherwise)
+  D1 streaming form → dropDuplicatesWithinWatermark
+
+Scale posture: watermarks bound all state; maxFilesPerTrigger paces
+ingest; foreachBatch writes are idempotent per (run, batch_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import spotify
+from ..operators.sinks import write_csv
+
+
+def spotify_file_stream(
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    archive_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S3: the raw-zone directory as an unbounded file stream."""
+    reader = (
+        spark.readStream.schema(spotify.PLAYLIST_SCHEMA)
+        .option("multiLine", True)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if archive_dir:
+        # M1: move-after-process, engine-managed and atomic per batch.
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    return reader.json(input_dir).withColumn("doc_order", F.lit("stream"))
+
+
+def run_spotify_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    output_base: str,
+    checkpoint_dir: str,
+    *,
+    archive_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The full reference transform as a stream: readStream → explode →
+    3 branches → foreachBatch CSV ×3 (spotifytransform.py:77-130)."""
+    raw = spotify_file_stream(spark, input_dir, archive_dir=archive_dir)
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tables = spotify.transform(batch_df.withColumn("pos", F.lit(0)).drop("pos"))
+        for name, df in tables.items():
+            write_csv(df, f"{output_base}/{name}_data/batch_id={batch_id}", mode="overwrite")
+
+    writer = (
+        raw.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _staged_dir(sf_dir: str, name: str) -> str:
+    """The streaming file source wants a DIRECTORY; the test tables are
+    single files. Stage a symlink dir under /tmp (no data copy)."""
+    import hashlib
+    import os
+
+    d = f"/tmp/sse_stream_src_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}/{name}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/{name}.parquet", link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events parquet as a (bounded) stream — schema from the static
+    table, file source underneath. ts is TIMESTAMP(NANOS) in the file
+    (illegal for Spark 4's reader), so it comes in as a long and is
+    converted with integer div (ns epoch exceeds 2^53 — no double /)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = _staged_dir(sf_dir, "events")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def windowed_counts(
+    events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window aggregate with late-data watermark."""
+    from ..functions.exact import dsum
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, *, output_mode: str = "complete", timeout_s: int = 300
+) -> None:
+    """Drive a (bounded) stream to a memory sink with availableNow and
+    block until drained."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {name} did not drain in {timeout_s}s")

@@ -32,6 +32,10 @@ ALWAYS_BROADCAST = {"region", "nation"}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Timestamp semantics are defined in UTC (TESTDATA timestamps are
+    # instants; the DuckDB oracle renders them naive/UTC). Pin the
+    # session so results don't depend on the caller's local timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -58,10 +58,22 @@ def run_spotify_pipeline(
     *,
     archive_dir: str | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = 1,
 ) -> StreamingQuery:
     """The full reference transform as a stream: readStream → explode →
-    3 branches → foreachBatch CSV ×3 (spotifytransform.py:77-130)."""
-    raw = spotify_file_stream(spark, input_dir, archive_dir=archive_dir)
+    3 branches → foreachBatch CSV ×3 (spotifytransform.py:77-130).
+
+    maxFilesPerTrigger defaults to 1 — one blob per micro-batch, the
+    reference's one-invocation-per-blob semantics. NOTE on archival
+    parity: Spark's source cleaner moves a batch's files when the NEXT
+    batch is planned, so the most recent file trails until more data
+    arrives. That trade (slightly-late archive, exactly-once via
+    checkpoint) replaces the reference's eager but non-atomic
+    copy+delete with swallowed errors (spotifytransform.py:137-158).
+    """
+    raw = spotify_file_stream(
+        spark, input_dir, archive_dir=archive_dir, max_files_per_trigger=max_files_per_trigger
+    )
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         tables = spotify.transform(batch_df.withColumn("pos", F.lit(0)).drop("pos"))

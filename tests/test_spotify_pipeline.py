@@ -1,0 +1,128 @@
+"""Golden tests for the reference-parity Spotify pipeline.
+
+Expected values are computed by an INDEPENDENT pure-Python
+reimplementation of the reference's pandas semantics
+(/root/reference/spotifytransform.py:26-99): explode file-order,
+artists[0] head, keep-first dedup, mixed-granularity date padding.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from spotify_serverless_etl_pipeline_engineering_with_azure_spark.operators import spotify
+from spotify_serverless_etl_pipeline_engineering_with_azure_spark.operators.fixtures import (
+    fixture_df,
+    generate_docs,
+    write_json_dir,
+)
+
+
+def _pad_date(s: str) -> dt.date:
+    if len(s) == 4:
+        s += "-01-01"
+    elif len(s) == 7:
+        s += "-01"
+    return dt.date.fromisoformat(s)
+
+
+def expected_tables(docs):
+    songs, artists, albums = [], {}, {}
+    for doc in docs:
+        for item in doc["items"]:
+            t = item["track"]
+            head = t["artists"][0]
+            songs.append(
+                (
+                    t["id"],
+                    t["name"],
+                    t["duration_ms"],
+                    t["external_urls"]["spotify"],
+                    t["popularity"],
+                    dt.datetime.strptime(item["added_at"], "%Y-%m-%dT%H:%M:%SZ"),
+                    t["album"]["id"],
+                    head["id"],
+                )
+            )
+            if head["id"] not in artists:  # keep-first
+                artists[head["id"]] = (
+                    head["id"],
+                    head["name"],
+                    head["external_urls"]["spotify"],
+                )
+            al = t["album"]
+            if al["id"] not in albums:  # keep-first
+                albums[al["id"]] = (
+                    al["id"],
+                    al["name"],
+                    _pad_date(al["release_date"]),
+                    al["total_tracks"],
+                    al["external_urls"]["spotify"],
+                )
+    return songs, list(artists.values()), list(albums.values())
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return generate_docs()
+
+
+@pytest.fixture(scope="module")
+def tables(spark, docs):
+    return spotify.transform(fixture_df(spark))
+
+
+def test_songs_match_reference_semantics(tables, docs):
+    exp_songs, _, _ = expected_tables(docs)
+    got = sorted(tuple(r) for r in tables["songs"].collect())
+    assert got == sorted(exp_songs)
+    assert tables["songs"].columns == [
+        "song_id", "name", "duration_ms", "url", "popularity",
+        "added_date", "album_id", "artist_id",
+    ]
+
+
+def test_artists_keep_first_dedup(tables, docs):
+    _, exp_artists, _ = expected_tables(docs)
+    got = sorted(tuple(r) for r in tables["artists"].collect())
+    assert got == sorted(exp_artists)  # values prove keep-FIRST, ids prove dedup
+    assert tables["artists"].columns == ["artist_id", "name", "url"]
+
+
+def test_albums_keep_first_and_date_padding(tables, docs):
+    _, _, exp_albums = expected_tables(docs)
+    got = sorted(tuple(r) for r in tables["albums"].collect())
+    assert got == sorted(exp_albums)
+    assert tables["albums"].columns == ["album_id", "name", "release_date", "total_tracks", "url"]
+
+
+def test_row_count_invariants(tables, docs):
+    n_items = sum(len(d["items"]) for d in docs)
+    assert tables["songs"].count() == n_items
+    assert tables["artists"].count() <= n_items
+    assert tables["albums"].count() <= n_items
+
+
+def test_array_head_is_lossy_and_explode_generalizes(spark, docs):
+    items = spotify.explode_items(fixture_df(spark))
+    n_all_artists = sum(len(i["track"]["artists"]) for d in docs for i in d["items"])
+    exploded = spotify.explode_artists(items)
+    assert exploded.count() == n_all_artists
+    # the head projection sees strictly fewer artist ids than explode
+    head_ids = {r.artist_id for r in spotify.make_artists(items).collect()}
+    all_ids = {r.artist_id for r in exploded.collect()}
+    assert head_ids <= all_ids and len(head_ids) < len(all_ids)
+
+
+def test_json_dir_roundtrip(spark, tmp_path, docs):
+    """S4/S2: the raw-zone JSON files parse to the same star schema."""
+    write_json_dir(str(tmp_path / "raw"))
+    raw = spotify.read_raw_json(spark, str(tmp_path / "raw"))
+    got = spotify.transform(raw)
+    exp_songs, exp_artists, exp_albums = expected_tables(docs)
+    assert sorted(tuple(r) for r in got["songs"].collect()) == sorted(exp_songs)
+    # file order == doc order (names sort by doc index) → same keep-first
+    assert sorted(tuple(r) for r in got["artists"].collect()) == sorted(exp_artists)
+    assert sorted(tuple(r) for r in got["albums"].collect()) == sorted(exp_albums)

@@ -1,0 +1,96 @@
+"""End-to-end Structured Streaming tests: the blob-trigger pipeline
+(S3 + K2 + M1) and watermark semantics."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from spotify_serverless_etl_pipeline_engineering_with_azure_spark.operators.fixtures import (
+    generate_docs,
+    write_json_dir,
+)
+from spotify_serverless_etl_pipeline_engineering_with_azure_spark.streaming.pipeline import (
+    events_stream,
+    run_spotify_pipeline,
+    run_to_memory,
+    windowed_counts,
+)
+
+
+def test_spotify_stream_foreachbatch_csv_and_archive(spark, tmp_path):
+    """readStream raw JSON → transform → 3 CSV sinks; source files
+    archived after processing (M1 replacement)."""
+    raw_dir = str(tmp_path / "raw")
+    archive = str(tmp_path / "processed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    paths = write_json_dir(raw_dir, n_docs=3)
+
+    q = run_spotify_pipeline(spark, raw_dir, out, ckpt, archive_dir=archive)
+    q.awaitTermination(240)
+    assert not q.isActive
+
+    docs = generate_docs(3)
+    n_items = sum(len(d["items"]) for d in docs)
+    song_files = glob.glob(f"{out}/songs_data/batch_id=*/*.csv")
+    assert song_files, "no CSV output written"
+    written = (
+        spark.read.option("header", True).csv(f"{out}/songs_data/batch_id=*").count()
+    )
+    assert written == n_items
+    for t in ("artists", "albums"):
+        assert glob.glob(f"{out}/{t}_data/batch_id=*/*.csv")
+
+    # archival: the cleaner moves batch N's files when batch N+1 plans,
+    # so with one file per micro-batch the last file trails (documented
+    # divergence from the reference's eager copy+delete).
+    import time
+
+    archived = []
+    for _ in range(15):
+        archived = glob.glob(f"{archive}/**/*.json", recursive=True)
+        if len(archived) >= len(paths) - 1:
+            break
+        time.sleep(1)
+    assert len(archived) == len(paths) - 1
+    remaining = glob.glob(f"{raw_dir}/*.json")
+    assert len(remaining) == 1
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    """Single micro-batch → no late rows → streaming agg == batch agg."""
+    name = "t_stream_batch_equiv"
+    run_to_memory(windowed_counts(events_stream(spark, sf_dir)), name)
+    streamed = {tuple(r) for r in spark.table(name).collect()}
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.catalog import table
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.functions.exact import dsum
+
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    assert streamed == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_checkpoint_no_reprocess(spark, tmp_path):
+    """Restarting over the same checkpoint must not re-emit batches
+    (the reference's at-least-once copy+delete, made exactly-once)."""
+    raw_dir = str(tmp_path / "raw2")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    write_json_dir(raw_dir, n_docs=2)
+
+    q1 = run_spotify_pipeline(spark, raw_dir, out, ckpt)
+    q1.awaitTermination(240)
+    first = spark.read.option("header", True).csv(f"{out}/songs_data/batch_id=*").count()
+
+    q2 = run_spotify_pipeline(spark, raw_dir, out, ckpt)  # restart, no new files
+    q2.awaitTermination(240)
+    second = spark.read.option("header", True).csv(f"{out}/songs_data/batch_id=*").count()
+    assert first == second

@@ -189,26 +189,33 @@ FROM (
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash signature per document.
 
-    Entirely row-local (nested folds over the token array) — the
-    signature computation is shuffle-free at any scale; near-dup pairing
-    is then a Hamming-ball join on the compact signature.
+    Implementation: explode tokens → hash once per token → 48 codegen'd
+    SUM(±1) aggregates (one per bit) → reassemble bits. A nested
+    higher-order-function fold computes the same thing shuffle-free but
+    runs interpreted (HOF lambdas skip whole-stage codegen) and measured
+    ~5× slower; the explode shuffles only 48 partially-aggregated longs
+    per doc, so the hash-agg form wins at any scale.
+
+    Division by F.lit(1<<j) is exact (power of two, values < 2^48) and
+    truncating cast == floor for non-negatives — identical integers to
+    the oracle's `//`.
     """
     docs = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    harr = F.transform(toks, lambda t: md5_int48(t))
-    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
-    bit_balance = lambda j: F.aggregate(  # noqa: E731
-        harr,
-        F.lit(0).cast("long"),
-        lambda s, h: s + ((h / F.element_at(pow2, j + 1)).cast("long") % 2) * 2 - 1,
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    hashed = tok.select("doc_id", md5_int48(F.col("t")).alias("h"))
+    balances = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(((F.col("h") / F.lit(1 << j)).cast("long") % 2) * 2 - 1).alias(f"s_{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    simhash = F.aggregate(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.when(bit_balance(j) > 0, F.element_at(pow2, j + 1)).otherwise(F.lit(0).cast("long")),
-    )
-    return docs.select("doc_id", simhash.alias("simhash"))
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return balances.select("doc_id", sig.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,112 @@
+"""Remaining surface: sink round-trip (K1/K2 as an oracle-checked
+query), SQL-API GROUPING SETS, and batch session_window."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import register_views, table
+from ..functions.exact import dsum
+from ..registry import register
+
+
+@register(
+    "csv_sink_roundtrip",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("sink", "csv"),
+)
+def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2 made verifiable: write orders to a header CSV sink, read it
+    back with an explicit schema, aggregate — must equal aggregating the
+    source directly (doubles survive: Spark writes shortest-roundtrip
+    representations).
+    """
+    from ..operators.sinks import write_csv
+
+    out = f"/tmp/sse_csv_roundtrip_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_csv(orders, out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "sql_grouping_sets",
+    oracle="""
+SELECT r_name, n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+""",
+    tags=("agg", "sql-api"),
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL API (temp views + spark.sql) —
+    same Catalyst plan as the DataFrame form, exercised as SQL."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name, n_name, COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+        """
+    )
+
+
+@register(
+    "events_session_window_builtin",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN EPOCH(CAST(ts AS TIMESTAMP)) - EPOCH(CAST(LAG(ts) OVER w AS TIMESTAMP)) > 1800
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+    tags=("window", "session"),
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (30-min gap) — must agree with the
+    gaps-and-islands formulation (events_sessionization) row-for-row.
+
+    Note the boundary semantic: session_window merges when the gap is
+    ≤ 30 min; the islands oracle splits strictly on > 1800 s — same
+    rule.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )

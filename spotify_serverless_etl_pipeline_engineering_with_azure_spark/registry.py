@@ -39,6 +39,8 @@ _QUERY_MODULES = (
     "plans.dedup",
     "plans.similarity",
     "plans.streaming_queries",
+    "plans.udfs",
+    "plans.misc_ops",
     "operators.spotify_queries",
     "multimodal.media",
 )

@@ -42,14 +42,27 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# Multi-table OR-construction: L tables of k bits each. Calibrated on
+# the synthetic corpus (vectors are near-orthogonal random — labels
+# carry no cosine structure): k=4 gives ~7% of the corpus per bucket;
+# two tables give recall@3≈0.3 vs brute-force top-5 at ~13% scan
+# fraction. More tables buy recall linearly in cost.
+LSH_TABLES = 2
+PLANES_PER_TABLE = 4
+
+
 def _plane_lit(plane: list[float]) -> Column:
     return F.array(*[F.lit(w) for w in plane])
 
 
-def lsh_bucket(emb: Column) -> Column:
-    """Sign-LSH bucket id: one bit per hyperplane (N_PLANES bits)."""
+def _table_planes(t: int) -> list[list[float]]:
+    return HYPERPLANES[t * PLANES_PER_TABLE : (t + 1) * PLANES_PER_TABLE]
+
+
+def lsh_bucket(emb: Column, table_idx: int = 0) -> Column:
+    """Sign-LSH bucket id for one hash table (PLANES_PER_TABLE bits)."""
     bucket = F.lit(0).cast("long")
-    for k, plane in enumerate(HYPERPLANES):
+    for k, plane in enumerate(_table_planes(table_idx)):
         proj = dot(emb, _plane_lit(plane))
         bucket = bucket + F.when(proj > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
@@ -61,9 +74,9 @@ def sql_plane_literal(plane: list[float]) -> str:
     return "[" + ", ".join(f"{w:.1f}" for w in plane) + "]"
 
 
-def sql_lsh_bucket(emb_expr: str) -> str:
+def sql_lsh_bucket(emb_expr: str, table_idx: int = 0) -> str:
     parts = []
-    for k, plane in enumerate(HYPERPLANES):
+    for k, plane in enumerate(_table_planes(table_idx)):
         proj = (
             f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
             f"LIST_TRANSFORM(RANGE(1, {EMB_DIM + 1}), "

@@ -1,0 +1,348 @@
+"""Extended operator surface: richer window frames, percentile
+aggregates, ALL-variant set ops, wider scalar/array/regexp coverage,
+partition-pruned parquet sink roundtrip, and the salting pattern for
+skewed joins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.exact import dsum
+from ..registry import register
+
+
+@register(
+    "window_frames",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       FIRST_VALUE(c_custkey) OVER w AS richest_key,
+       LAST_VALUE(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest_key,
+       COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                      RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS peers_within_100
+FROM customer
+WHERE c_custkey % 4 = 0
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+""",
+    tags=("window", "frames"),
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist / first-last value / RANGE frame.
+
+    percent_rank and cume_dist divide exact integer rank counts →
+    bit-identical doubles.
+    """
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 4 == 0)
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # double-valued RANGE offsets need the SQL form — the classic
+    # Window.rangeBetween API only accepts long offsets
+    peers = F.expr(
+        "COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal "
+        "RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING)"
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_custkey").over(w).alias("richest_key"),
+        F.last("c_custkey").over(w_full).alias("poorest_key"),
+        peers.alias("peers_within_100"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT c_mktsegment,
+       ROUND(MEDIAN(c_acctbal), 4) AS median_bal,
+       ROUND(QUANTILE_CONT(c_acctbal, 0.9), 4) AS p90_bal,
+       MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90).
+
+    Both engines interpolate linearly between the two order statistics;
+    inputs are 2-dp so the interpolated value is exact at 4 dp — ROUND
+    4 guards the a+(b-a)*f evaluation-order difference.
+    """
+    cust = table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.median("c_acctbal"), 4).alias("median_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@register(
+    "set_ops_all",
+    oracle="""
+SELECT 'intersect_all' AS op, n_nationkey FROM (
+  SELECT c_nationkey AS n_nationkey FROM customer WHERE c_acctbal > 9990.0
+  INTERSECT ALL
+  SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except_all' AS op, n_nationkey FROM (
+  SELECT c_nationkey AS n_nationkey FROM customer WHERE c_acctbal > 9990.0
+  EXCEPT ALL
+  SELECT s_nationkey FROM supplier)
+""",
+    tags=("setop",),
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag (multiplicity) semantics."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9990.0)
+        .select(F.col("c_nationkey").alias("n_nationkey"))
+    )
+    supp = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    tag = lambda op, df: df.select(F.lit(op).alias("op"), "n_nationkey")  # noqa: E731
+    return tag("intersect_all", cust.intersectAll(supp)).unionByName(
+        tag("except_all", cust.exceptAll(supp))
+    )
+
+
+@register(
+    "scalar_string_extended",
+    oracle="""
+SELECT s_suppkey,
+       LPAD(CAST(s_suppkey AS VARCHAR), 8, '0') AS key_padded,
+       RPAD(s_name, 24, '.') AS name_padded,
+       REVERSE(s_name) AS name_rev,
+       REPLACE(s_name, 'Supplier', 'Vendor') AS name_replaced,
+       TRIM(CONCAT('  ', s_name, '  ')) AS name_trimmed,
+       REPEAT('ab', 3) AS repeated,
+       CONTAINS(s_name, '#') AS has_hash,
+       STARTS_WITH(s_name, 'Supplier') AS is_supplier,
+       CAST(STRPOS(s_name, '#') AS INTEGER) AS hash_pos,
+       UPPER(s_name) AS name_upper
+FROM supplier
+""",
+    tags=("scalar", "string"),
+)
+def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lpad/rpad/reverse/replace/trim/repeat/contains/startswith/
+    instr/upper."""
+    s = table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("key_padded"),
+        F.rpad("s_name", 24, ".").alias("name_padded"),
+        F.reverse("s_name").alias("name_rev"),
+        F.replace("s_name", F.lit("Supplier"), F.lit("Vendor")).alias("name_replaced"),
+        F.trim(F.concat(F.lit("  "), F.col("s_name"), F.lit("  "))).alias("name_trimmed"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.contains("s_name", F.lit("#")).alias("has_hash"),
+        F.startswith("s_name", F.lit("Supplier")).alias("is_supplier"),
+        F.instr("s_name", "#").alias("hash_pos"),
+        F.upper("s_name").alias("name_upper"),
+    )
+
+
+@register(
+    "scalar_regexp",
+    oracle="""
+SELECT p_partkey, p_name,
+       REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       REGEXP_MATCHES(p_name, '^(red|blue|green)') AS starts_with_color,
+       REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS last_word,
+       CAST(LEN(REGEXP_EXTRACT_ALL(p_name, '[aeiou]')) AS INTEGER) AS n_vowels
+FROM part
+WHERE p_partkey % 9 = 0
+""",
+    tags=("scalar", "regexp"),
+)
+def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_replace / rlike / regexp_extract(_all).
+
+    Note DuckDB's REGEXP_REPLACE needs the 'g' flag to match Spark's
+    replace-all semantics.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") % 9 == 0)
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^(red|blue|green)").alias("starts_with_color"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), 0)).alias("n_vowels"),
+    )
+
+
+@register(
+    "scalar_math_transcendental",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(EXP(l_discount), 6) AS disc_exp,
+       ROUND(LN(l_extendedprice), 6) AS price_ln,
+       ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+       ROUND(SIN(l_discount), 6) AS disc_sin,
+       ROUND(ATAN(l_tax), 6) AS tax_atan,
+       ROUND(POW(1.0 + l_discount, 3.0), 6) AS growth
+FROM lineitem
+WHERE l_orderkey % 251 = 0
+""",
+    tags=("scalar", "math"),
+)
+def scalar_math_transcendental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exp/ln/log10/sin/atan/pow — libm results differ at the last ulp
+    across engines, so outputs are rounded to 6 dp (values O(1)-O(12),
+    ulp error ~1e-15 ≪ the 5e-7 rounding boundary)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 251 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.sin("l_discount"), 6).alias("disc_sin"),
+        F.round(F.atan("l_tax"), 6).alias("tax_atan"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 3.0), 6).alias("growth"),
+    )
+
+
+@register(
+    "scalar_casts",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor_int,
+       CAST(o_totalprice AS VARCHAR) AS price_str,
+       TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+       CAST(o_totalprice > 100000.0 AS INTEGER) AS is_big
+FROM orders WHERE o_orderkey % 17 = 0
+""",
+    tags=("scalar", "cast"),
+)
+def scalar_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix incl. try_cast (NULL, not error, under ANSI) and
+    explicit FLOOR for double→int (Spark truncates, DuckDB rounds —
+    never cast fractional doubles to ints bare)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").cast("long").alias("price_floor_int"),
+        F.col("o_totalprice").cast("string").alias("price_str"),
+        F.expr("TRY_CAST(o_orderstatus AS INT)").alias("bad_cast"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        (F.col("o_totalprice") > 100000.0).cast("int").alias("is_big"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+SELECT doc_id,
+       ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ',') AS vocab,
+       CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INTEGER) AS vocab_size,
+       LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS mentions_spark,
+       ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:3], '-') AS first3,
+       LIST_MAX(LIST_TRANSFORM(STRING_SPLIT(text, ' '), t -> LENGTH(t))) AS longest_token
+FROM documents WHERE doc_id % 11 = 0
+""",
+    tags=("scalar", "array"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_distinct/sort/contains/slice/max — array outputs are
+    stringified (array_join) so the value-hash is representation-
+    independent across engines."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("vocab"),
+        F.size(F.array_distinct(toks)).alias("vocab_size"),
+        F.array_contains(toks, "spark").alias("mentions_spark"),
+        F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
+        F.array_max(F.transform(toks, lambda t: F.length(t))).alias("longest_token"),
+    )
+
+
+@register(
+    "parquet_partitioned_roundtrip",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+    tags=("sink", "parquet", "partition-pruning"),
+)
+def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-pruned read-back.
+
+    Writes orders partitioned by o_orderstatus, reads back filtering one
+    partition — the scan lists only status=O directories (partition
+    pruning, the layout that matters at 100 TB).
+    """
+    out = f"/tmp/sse_part_roundtrip_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    orders = table(spark, sf_dir, "orders")
+    (
+        orders.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "join_salted",
+    oracle="""
+SELECT n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("join", "skew", "salting"),
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual salting pattern for skewed join keys: fact side gets
+    salt = custkey % 8, dim side explodes ×8, join on (key, salt),
+    then aggregate. Result must equal the plain join (the oracle).
+
+    At real scale this defeats single-hot-key skew when AQE's skew-join
+    splitting isn't applicable (e.g., aggregation-after-join keys).
+    """
+    n_salts = 8
+    cust = table(spark, sf_dir, "customer").withColumn(
+        "salt", (F.col("c_custkey") % n_salts).cast("int")
+    )
+    nation = (
+        table(spark, sf_dir, "nation")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    )
+    return (
+        cust.join(
+            nation,
+            (cust.salt == nation.salt) & (cust.c_nationkey == nation.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

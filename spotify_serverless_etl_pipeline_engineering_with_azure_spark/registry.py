@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "plans.streaming_queries",
     "plans.udfs",
     "plans.misc_ops",
+    "plans.extended_ops",
     "operators.spotify_queries",
     "multimodal.media",
 )

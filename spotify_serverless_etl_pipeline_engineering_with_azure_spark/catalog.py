@@ -41,6 +41,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def scatter(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's core count.
+
+    Small parquet inputs arrive as one split (files below
+    spark.sql.files.maxPartitionBytes), which serializes any CPU-heavy
+    map work (per-token md5, shingle expansion) onto one core. A cheap
+    round-robin shuffle of the compact source rows buys full-width
+    parallelism for the expensive downstream transform. At 100 TB inputs
+    already span many splits and this becomes a no-op-sized rebalance;
+    it never changes results (all consumers re-aggregate by key).
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
     outright — read it as a long (legacy conf) and convert to a

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import scatter, table
 from ..functions.hashing import (
     HEX_CHARS,
     MERSENNE31,
@@ -57,7 +57,8 @@ def _shingle_array() -> Column:
 
 def _shingles(docs: DataFrame) -> DataFrame:
     return (
-        docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        scatter(docs)
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
         .select("doc_id", F.explode(_shingle_array()).alias("sh"))
     )
 
@@ -68,6 +69,30 @@ _SQL_SHINGLES = """
   FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents {where})
   WHERE LEN(t) >= 3
 """
+
+
+def _bucket_pairs(grouped: DataFrame, *keys: str) -> DataFrame:
+    """Expand each bucket (grouped on *keys*) into ordered doc pairs.
+
+    grouped must carry an ascending-sorted ``ids`` array column. Emits
+    one row per (doc_a < doc_b) pair within a bucket. This replaces the
+    bucket self-join: the upstream signature pipeline is evaluated ONCE
+    (a self-join re-evaluates it per side — Spark does not materialize
+    shared subplans), and the only shuffle is the groupBy that built the
+    buckets. Pair expansion is row-local codegen'd array work; bucket
+    sizes are bounded by LSH banding design (a pathological hot bucket
+    would need salting — see join_salted for the pattern).
+    """
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -127,10 +152,12 @@ GROUP BY 1, 2
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → 16 minhashes → 8 bands
-    of 2 → bucket self-join on (band, sig).
+    of 2 → bucket grouping on (band, sig) → in-bucket pair expansion.
 
     The 16-hash signature is ONE aggregation (16 min() columns, partial
-    agg map-side); banding+join replaces the O(n²) all-pairs scan.
+    agg map-side); banding replaces the O(n²) all-pairs scan, and
+    collect_list bucketing evaluates the signature pipeline once (a
+    bucket self-join would evaluate it per join side).
     """
     docs = table(spark, sf_dir, "documents")
     hashed = _shingles(docs).select(
@@ -150,17 +177,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return _bucket_pairs(buckets).groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
     )
 
 
@@ -201,7 +224,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's `//`.
     """
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tok = scatter(docs).select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     hashed = tok.select("doc_id", md5_int48(F.col("t")).alias("h"))
     balances = hashed.groupBy("doc_id").agg(
         *[
@@ -243,28 +266,32 @@ WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.02
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity over a bounded probe subset.
 
-    jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts, so the double
-    division is bit-identical across engines. All-pairs Jaccard is the
-    LSH verification path, never a full-corpus scan.
+    Inverted-index formulation: group docs by shingle (one shuffle),
+    expand in-bucket pairs, count pair occurrences = |A∩B|. Sizes come
+    from a cheap per-doc count and broadcast-join onto the (small) pair
+    set. jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts, so the
+    double division is bit-identical across engines. All-pairs Jaccard
+    is the LSH verification path, never a full-corpus scan.
     """
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    buckets = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    inter = _bucket_pairs(buckets).groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    sa = F.broadcast(sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sa_sz")))
+    sb = F.broadcast(sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("sb_sz")))
     jac = F.col("n_common").cast("double") / (
-        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+        F.col("sa_sz") + F.col("sb_sz") - F.col("n_common")
     )
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        inter.join(sa, F.col("da") == F.col("doc_a"))
+        .join(sb, F.col("db") == F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.02)
     )

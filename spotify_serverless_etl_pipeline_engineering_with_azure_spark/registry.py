@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "plans.udfs",
     "plans.misc_ops",
     "plans.extended_ops",
+    "plans.tpch_suite",
     "operators.spotify_queries",
     "multimodal.media",
 )

@@ -1,0 +1,404 @@
+"""Advanced operators beyond the built-in surface: as-of join, IVF
+similarity search, custom stateful streaming (applyInPandasWithState),
+map-typed columns, explode variants, unpivot, and sketch aggregates.
+
+These are the operators a 100 TB training-data pipeline needs that
+Spark doesn't ship as single calls — each is expressed as a composition
+of built-in DataFrame ops where semantics allow (as-of join = union +
+ignore-nulls window; IVF = broadcast centroid assignment + in-cluster
+probe), dropping to the Arrow-batched stateful pandas API only for the
+genuinely stateful streaming case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import scatter, table
+from ..functions.exact import dsum
+from ..registry import register
+
+
+# ---------------------------------------------------------------------------
+# As-of join (time-series point-in-time lookup)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_events",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id, value, 1 AS is_p FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, value, 0 AS is_p FROM events WHERE event_type = 'click'
+),
+seq AS (
+  SELECT user_id, ts, event_id, value, is_p,
+         LAST_VALUE(CASE WHEN is_p = 0 THEN event_id END IGNORE NULLS)
+           OVER w AS click_event_id,
+         LAST_VALUE(CASE WHEN is_p = 0 THEN value END IGNORE NULLS)
+           OVER w AS click_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts,
+       click_event_id, click_value
+FROM seq WHERE is_p = 1
+""",
+    tags=("asof-join", "window", "timeseries"),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at
+    or before the purchase time.
+
+    Spark has no ASOF JOIN operator; the idiomatic distributed form is
+    union-both-sides + an ignore-nulls last() over (user, time). ONE
+    shuffle on user_id, no range join explosion — at 100 TB this beats
+    any windowed range-join rewrite because state per key is a single
+    carried value. Ties are broken (ts, side, event_id) so clicks at
+    the purchase timestamp count as "before" and results are exactly
+    reproducible.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value", F.lit(1).alias("is_p")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value", F.lit(0).alias("is_p")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("is_p") == 0, F.col("event_id"))
+    click_val = F.when(F.col("is_p") == 0, F.col("value"))
+    return (
+        purchases.unionByName(clicks)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "is_p",
+            F.last(click_id, ignorenulls=True).over(w).alias("click_event_id"),
+            F.last(click_val, ignorenulls=True).over(w).alias("click_value"),
+        )
+        .filter(F.col("is_p") == 1)
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_event_id",
+            "click_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest neighbors (the scale path beyond LSH)
+# ---------------------------------------------------------------------------
+_N_CENTROIDS = 8
+_PROBE_MOD = 29
+_TOPK = 3
+
+
+def _ivf_oracle() -> str:
+    cos = (
+        "ROUND(LIST_COSINE_SIMILARITY(CAST({a} AS DOUBLE[]), "
+        "CAST({b} AS DOUBLE[])), 6)"
+    )
+    asim = cos.format(a="e.embedding", b="c.cemb")
+    psim = cos.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+              WHERE vec_id < {_N_CENTROIDS}),
+assign AS (
+  SELECT e.vec_id, c.cid, {asim} AS sim,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {asim} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+member AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id AS probe_id, cid FROM member WHERE vec_id % {_PROBE_MOD} = 0),
+cand AS (
+  SELECT p.probe_id, m.vec_id AS neighbor_id
+  FROM probes p JOIN member m ON m.cid = p.cid AND m.vec_id <> p.probe_id
+),
+scored AS (
+  SELECT probe_id, neighbor_id, {psim} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY {psim} DESC, neighbor_id) AS rk
+  FROM cand
+  JOIN embeddings a ON a.vec_id = probe_id
+  JOIN embeddings b ON b.vec_id = neighbor_id
+)
+SELECT probe_id, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk
+FROM scored WHERE rk <= {_TOPK}
+"""
+
+
+@register("sim_ann_ivf", oracle=_ivf_oracle(), tags=("similarity", "ann", "ivf"))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of K centroids
+    (broadcast map-side pass, no shuffle), then probe only within the
+    probe vector's cluster — the corpus scanned per query drops from N
+    to N/K.
+
+    Centroids here are the first K corpus vectors (deterministic,
+    oracle-expressible); a production build would k-means them, which
+    changes recall, not the plan shape. Scale posture: assignment is
+    O(N·K) map-side against a K-row broadcast; candidate generation
+    shuffles once on cluster id; a hot cluster is the skew case and
+    takes the join_salted treatment.
+    """
+    from ..functions.vectors import cosine
+
+    emb = scatter(table(spark, sf_dir, "embeddings"))
+    cent = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("cemb")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    member = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    probes = member.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("cid").alias("pcid")
+    )
+    cand = probes.join(
+        member,
+        (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("probe_id")),
+    ).select("probe_id", F.col("vec_id").alias("neighbor_id"))
+    a = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    b = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    pair_sim = F.round(cosine(F.col("a_emb"), F.col("b_emb")), 6)
+    w_rank = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(a), F.col("a_id") == F.col("probe_id"))
+        .join(F.broadcast(b), F.col("b_id") == F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", pair_sim.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_stateful_user_totals",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("streaming", "stateful", "pandas"),
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user running totals maintained in
+    explicit GroupState via applyInPandasWithState (the escape hatch
+    when built-in windows/dedup can't express the state machine).
+
+    The bounded test stream drains in one micro-batch, so the emitted
+    running totals equal the batch GROUP BY — which makes this, unlike
+    most custom-stateful ops, oracle-checkable. Money math is done in
+    integer cents inside the pandas worker (float sums are
+    order-dependent; cents are exact).
+
+    Scale posture: state is one (count, cents) pair per user — bounded
+    by cardinality, not stream length; Arrow batches the transfer.
+    """
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.pipeline import events_stream
+
+    def totals(key, pdf_iter, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
+        )
+
+    updated = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            totals,
+            outputStructType="user_id bigint, n_events bigint, sum_value double",
+            stateStructType="n bigint, cents bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        updated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {name} did not drain")
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Map-typed columns
+# ---------------------------------------------------------------------------
+@register(
+    "map_functions",
+    oracle="""
+SELECT event_id,
+       CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_val,
+       CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) * 2 AS dbl_val,
+       2 AS n_keys,
+       'dbl,k' AS keys_csv,
+       CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) * 3 AS val_sum
+FROM events WHERE event_id % 101 = 0
+""",
+    tags=("map", "scalar"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: map_from_arrays, element_at, map_keys,
+    map_values, size, aggregate-over-values. The oracle computes the
+    same scalars straight from the source JSON — the hash compares
+    values, proving the map round-trip is lossless."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    k = F.get_json_object("props", "$.k").cast("long")
+    m = F.map_from_arrays(
+        F.array(F.lit("k"), F.lit("dbl")), F.array(k, k * 2)
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(m, "dbl").alias("dbl_val"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("val_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explode variants: posexplode + explode_outer
+# ---------------------------------------------------------------------------
+@register(
+    "explode_variants",
+    oracle="""
+WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+              WHERE doc_id % 37 = 0),
+pos AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) + 1),
+                i -> {'pos': CAST(i - 1 AS INTEGER), 'tok': t[i]})) AS u
+  FROM docs
+),
+long_toks AS (
+  SELECT doc_id,
+         CASE WHEN LEN(LIST_FILTER(t, x -> LENGTH(x) > 9)) = 0
+              THEN [CAST(NULL AS VARCHAR)]
+              ELSE LIST_FILTER(t, x -> LENGTH(x) > 9) END AS lt
+  FROM docs
+)
+SELECT 'pos' AS src, doc_id, u.pos AS pos, u.tok AS tok FROM pos
+UNION ALL
+SELECT 'outer' AS src, doc_id, CAST(NULL AS INTEGER) AS pos, UNNEST(lt) AS tok
+FROM long_toks
+""",
+    tags=("explode", "array"),
+)
+def explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (index + value) and explode_outer (empty array → one
+    NULL row, so the parent row survives — the semantics joins need
+    when the array side is optional)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 37 == 0)
+    toks = F.split("text", " ")
+    pos = docs.select(
+        F.lit("pos").alias("src"),
+        "doc_id",
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    long_toks = F.filter(toks, lambda x: F.length(x) > 9)
+    outer = docs.select(
+        F.lit("outer").alias("src"),
+        "doc_id",
+        F.lit(None).cast("int").alias("pos"),
+        F.explode_outer(long_toks).alias("tok"),
+    )
+    return pos.unionByName(outer)
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_lineitem",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+FROM lineitem WHERE l_orderkey % 997 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem WHERE l_orderkey % 997 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem WHERE l_orderkey % 997 = 0
+""",
+    tags=("unpivot", "reshape"),
+)
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via DataFrame.unpivot (melt): each measure
+    column becomes a (measure, val) row. The inverse of
+    pivot_returnflag."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 997 == 0)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates (approximate — rows-only check, by design)
+# ---------------------------------------------------------------------------
+@register("agg_approx_sketches", tags=("agg", "approx", "sketch"))
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx_count_distinct and approx_percentile per segment.
+
+    Deliberately registered WITHOUT an oracle: sketch outputs are
+    engine-specific (Spark's HLL++ vs DuckDB's approx algorithms
+    legitimately disagree), so the driver records the weaker rows-only
+    check. At 100 TB these replace exact COUNT(DISTINCT)'s full shuffle
+    of every key with fixed-size mergeable sketches.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

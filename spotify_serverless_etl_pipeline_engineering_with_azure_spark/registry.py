@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "plans.misc_ops",
     "plans.extended_ops",
     "plans.tpch_suite",
+    "plans.advanced_ops",
     "operators.spotify_queries",
     "multimodal.media",
 )

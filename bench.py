@@ -23,6 +23,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
     "top_customers_by_revenue",
     "join_broadcast_enrich",
     "window_rank_topn",
@@ -38,6 +42,8 @@ HEADLINE = [
     "text_quality_score",
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_bucketed",
+    "sim_ann_ivf",
+    "asof_join_events",
     "streaming_tumbling_window",
 ]
 
@@ -48,8 +54,13 @@ def main() -> None:
     spark = get_spark("sse_bench")
     qs = registry.queries()
 
-    # warm-up: JVM/codegen/IO paths, not measured
-    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm-up: one unmeasured pass per query amortizes one-time session
+    # costs (janino codegen compile, parquet footer/listing caches,
+    # Python worker spin-up) so the measured pass reflects steady-state
+    # per-row throughput — the quantity that extrapolates to cluster
+    # scale, where fixed seconds of compile time are noise.
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -110,3 +110,105 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a codec)."""
     media = with_binary_content(table(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize as Arrow-batched mapInPandas: 1 row in → 1 row out, binary
+    in → binary out. The pixel work is stubbed (payload truncated/padded
+    pro-rata to the target area — a real build calls Pillow here); the
+    batch shape, binary round-trip, and schema contract are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["content"], pdf["media_type"]
+            ):
+                meta = decode_media(payload, mt)
+                scale = (target_w * target_h) / (meta["width"] * meta["height"])
+                n_out = max(1, int(len(payload) * scale))
+                resized = (payload * (n_out // max(1, len(payload)) + 1))[:n_out]
+                out_rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_type": mt,
+                        "orig_w": meta["width"],
+                        "orig_h": meta["height"],
+                        "new_w": target_w,
+                        "new_h": target_h,
+                        "content": resized,
+                    }
+                )
+            yield pd.DataFrame(out_rows)
+
+    return media.mapInPandas(
+        run,
+        schema="doc_id long, media_type string, orig_w int, orig_h int, "
+        "new_w int, new_h int, content binary",
+    )
+
+
+@register("multimodal_resize", tags=("multimodal", "pandas-udf"))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed resize to 64×36 via mapInPandas; the output projects
+    metadata + the resized payload length (rows-only check — the resize
+    arithmetic stands in for a codec)."""
+    media = with_binary_content(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    )
+    resized = resize_media(media, 64, 36)
+    return resized.select(
+        "doc_id",
+        "media_type",
+        "orig_w",
+        "orig_h",
+        "new_w",
+        "new_h",
+        F.length("content").cast("long").alias("n_bytes_out"),
+    )
+
+
+def sample_frames(media: DataFrame, every_k: int) -> DataFrame:
+    """Frame sampling as mapInPandas: 1 video row in → ceil(n_frames/k)
+    frame rows out — the 1→N batch shape video pipelines need. Frame
+    payloads are stubbed byte slices; a real build decodes with pyav."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["content"], pdf["media_type"]
+            ):
+                n_frames = decode_media(payload, mt)["n_frames"]
+                for idx in range(0, n_frames, every_k):
+                    lo = (idx * 7) % max(1, len(payload))
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "frame_bytes": payload[lo : lo + 16],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+
+    return media.mapInPandas(run, schema="doc_id long, frame_idx int, frame_bytes binary")
+
+
+@register("multimodal_frame_sample", tags=("multimodal", "pandas-udf"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-32nd-frame sampling over the video rows (1→N mapInPandas);
+    emits frame index + stub frame bytes, projected to counts per doc
+    (rows-only check)."""
+    media = with_binary_content(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    )
+    frames = sample_frames(media, 32)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.max("frame_idx").alias("last_frame_idx"),
+            F.sum(F.length("frame_bytes")).alias("bytes_sampled"),
+        )
+        .orderBy("doc_id")
+    )

@@ -380,6 +380,49 @@ def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hypertable-style multi-resolution time rollup
+# ---------------------------------------------------------------------------
+@register(
+    "events_multires_rollup",
+    oracle="""
+SELECT CAST(GROUPING(d) + 2 * GROUPING(h) AS INTEGER) AS gid,
+       d AS day, h AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (SELECT DATE_TRUNC('DAY', CAST(ts AS TIMESTAMP)) AS d,
+             DATE_TRUNC('HOUR', CAST(ts AS TIMESTAMP)) AS h,
+             event_type, value
+      FROM events)
+GROUP BY GROUPING SETS ((d, h, event_type), (d, event_type), (event_type))
+""",
+    tags=("agg", "grouping-sets", "timeseries"),
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: hourly, daily, and
+    total rollups of the event stream computed in ONE grouped pass via
+    GROUPING SETS (the Expand operator replicates rows per set
+    map-side; still a single shuffle). GROUPING() flags disambiguate
+    the NULLs that signal rolled-up levels from genuine NULL keys."""
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("DAY", "ts").alias("d"),
+        F.date_trunc("HOUR", "ts").alias("h"),
+        "event_type",
+        "value",
+    )
+    ev.createOrReplaceTempView("_events_rollup_src")
+    return ev.sparkSession.sql(
+        """
+        SELECT CAST(GROUPING(d) + 2 * GROUPING(h) AS INT) AS gid,
+               d AS day, h AS hour, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM _events_rollup_src
+        GROUP BY GROUPING SETS ((d, h, event_type), (d, event_type), (event_type))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sketch aggregates (approximate — rows-only check, by design)
 # ---------------------------------------------------------------------------
 @register("agg_approx_sketches", tags=("agg", "approx", "sketch"))

@@ -62,6 +62,37 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_static_enrich_join",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("streaming", "join"),
+)
+def streaming_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dim (broadcast per micro-batch — the dim never becomes
+    streaming state), then aggregated by segment. This is the streaming
+    form of the reference's FK design: dims stay a lookup, facts flow.
+    """
+    from ..catalog import table as static_table
+    from ..functions.exact import dsum
+
+    name = _sink_name("stream_enrich")
+    cust = static_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("sum_value"))
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+@register(
     "streaming_sliding_window",
     oracle="""
 WITH starts AS (

@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the scale discipline, enforced.
+
+Correctness tests prove the numbers; these prove the PLAN is the one
+we'd want at 100 TB — filters reaching the parquet scan, column
+pruning, broadcast joins for bounded dims, and no accidental cartesian
+products anywhere in the registry.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from spotify_serverless_etl_pipeline_engineering_with_azure_spark import registry
+
+from .conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.queries()[name](spark, SF_SMOKE)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q6_filters_reach_parquet_scan(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, "no PushedFilters in scan"
+    assert "l_shipdate" in pushed.group(1), "shipdate range not pushed to parquet"
+    assert "l_discount" in pushed.group(1), "discount bounds not pushed to parquet"
+
+
+def test_q6_prunes_columns(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schema, "no ReadSchema in scan"
+    cols = {c.split(":")[0] for c in schema.group(1).split(",") if c}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}, (
+        f"scan reads {cols}, expected only the 4 referenced columns"
+    )
+
+
+def test_flagship_broadcasts_dims(spark):
+    plan = _plan(spark, "top_customers_by_revenue")
+    assert "BroadcastHashJoin" in plan, "dim joins should broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # partial + final HashAggregate pair: map-side combine before the shuffle
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n, q in registry.load_all().items()
+        if not ({"streaming", "sink", "parquet"} & set(q.tags))
+    ),
+)
+def test_no_cartesian_product_anywhere(spark, name):
+    """CartesianProduct = an unkeyed join that ships every row to every
+    row — never acceptable. (BroadcastNestedLoopJoin against a 1-row
+    scalar aggregate or a K-row centroid table is the intended plan for
+    scalar subqueries / IVF assignment and is allowed.)"""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"

@@ -43,3 +43,65 @@ def spotify_albums(spark: SparkSession, sf_dir: str) -> DataFrame:
 def spotify_artists_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generalized P2: every artist (the reference drops artists 2..n)."""
     return spotify.explode_artists(_items(spark))
+
+
+_DS_FIXTURE_DIR = "/tmp/sse_playlist_pages_v1"
+_DS_ORACLE = f"""
+SELECT REGEXP_EXTRACT(filename, '([^/]+)$', 1) AS page,
+       u.item.added_at AS added_at,
+       u.item.track.id AS track_id,
+       u.item.track.name AS track_name,
+       u.item.track.duration_ms AS duration_ms,
+       u.item.track.popularity AS popularity,
+       u.item.track.artists[1].id AS artist_id,
+       u.item.track.artists[1].name AS artist_name,
+       u.item.track.album.id AS album_id,
+       u.item.track.album.name AS album_name,
+       u.item.track.album.release_date AS release_date,
+       u.item.track.album.total_tracks AS total_tracks
+FROM (
+  SELECT UNNEST(items) AS item, filename
+  FROM read_json('{_DS_FIXTURE_DIR}/*.json', filename=true, auto_detect=false,
+    columns={{'items': 'STRUCT(added_at VARCHAR, track STRUCT(id VARCHAR,
+      name VARCHAR, duration_ms BIGINT, popularity BIGINT,
+      external_urls STRUCT(spotify VARCHAR),
+      artists STRUCT(id VARCHAR, name VARCHAR,
+                     external_urls STRUCT(spotify VARCHAR))[],
+      album STRUCT(id VARCHAR, name VARCHAR, release_date VARCHAR,
+                   total_tracks BIGINT,
+                   external_urls STRUCT(spotify VARCHAR))))[]'}})
+) u
+"""
+
+
+def _ensure_ds_fixture() -> str:
+    """Stage the seed-42 page files once per host (deterministic path so
+    the DuckDB oracle reads the very same bytes)."""
+    import glob as _glob
+
+    from .fixtures import write_json_dir
+
+    if len(_glob.glob(f"{_DS_FIXTURE_DIR}/*.json")) != 4:
+        write_json_dir(_DS_FIXTURE_DIR, n_docs=4)
+    return _DS_FIXTURE_DIR
+
+
+# Stage at import: the driver may evaluate the oracle before (or
+# without) invoking the Spark side, and the SQL references the files.
+_ensure_ds_fixture()
+
+
+@register("rest_datasource_playlist", oracle=_DS_ORACLE, tags=("source", "datasource", "rest"))
+def rest_datasource_playlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 via the PySpark 4 Python DataSource API: page files =
+    InputPartitions, parsed executor-side in parallel
+    (sources/playlist_datasource.py). Hash-checked against DuckDB
+    reading the identical raw-zone JSON."""
+    from ..sources.playlist_datasource import SpotifyPlaylistDataSource
+
+    try:
+        spark.dataSource.register(SpotifyPlaylistDataSource)
+    except Exception:
+        pass  # already registered in this session
+    path = _ensure_ds_fixture()
+    return spark.read.format("spotify_playlist").option("path", path).load()

@@ -1,0 +1,112 @@
+"""Warehouse-maintenance ETL operators: MERGE/upsert and SCD type-2
+history — the mutation patterns a star-schema pipeline (the
+reference's output model, /root/reference/Readme.MD:189-211) needs
+once it runs continuously instead of overwrite-per-run.
+
+Plain Spark-on-parquet has no MERGE INTO (that's a table-format
+feature); the engine-level pattern is the same one Delta/Iceberg
+compile to: key-join the change set against the target and resolve
+per-column. Expressed here declaratively so it stays one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.exact import dsum
+from ..registry import register
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 100.0 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 1000 = 0
+),
+merged AS (
+  SELECT COALESCE(c.o_orderkey, t.o_orderkey) AS o_orderkey,
+         COALESCE(c.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+         COALESCE(c.o_totalprice, t.o_totalprice) AS o_totalprice
+  FROM orders t FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM merged GROUP BY o_orderstatus
+""",
+    tags=("merge", "upsert", "etl"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE emulation: update-if-matched (price bump on every 10th
+    key; additive so the arithmetic is exact at 2 dp in both engines), insert-if-not (re-keyed copies as status 'N'), via one full
+    outer join on the merge key + per-column COALESCE — the exact plan
+    a Delta MERGE compiles to, minus the file rewrite. The post-merge
+    aggregate proves content equality with the oracle.
+
+    Scale: one shuffle on the merge key (or zero if both sides are
+    bucketed on it); AQE handles the skew a hot merge key introduces.
+    """
+    orders = table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100.0
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 1000 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    changes = updates.unionByName(inserts).select(
+        F.col("o_orderkey").alias("c_key"),
+        F.col("o_orderstatus").alias("c_status"),
+        F.col("o_totalprice").alias("c_price"),
+    )
+    merged = orders.join(
+        changes, F.col("o_orderkey") == F.col("c_key"), "full_outer"
+    ).select(
+        F.coalesce(F.col("c_key"), F.col("o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("c_status"), F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.coalesce(F.col("c_price"), F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "scd2_user_value_history",
+    oracle="""
+SELECT user_id, ts AS effective_from,
+       LEAD(ts) OVER w AS effective_to,
+       value,
+       (LEAD(ts) OVER w IS NULL) AS is_current
+FROM events
+WHERE event_type = 'signup'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("scd2", "window", "etl"),
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: each change event becomes a
+    versioned row with [effective_from, effective_to) validity and an
+    is_current flag — pure window functions, one shuffle on the
+    business key, no self-join. Ties broken by event_id so the history
+    is exactly reproducible under any partitioning."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    eff_to = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("effective_from"),
+        eff_to.alias("effective_to"),
+        "value",
+        eff_to.isNull().alias("is_current"),
+    )

@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "plans.extended_ops",
     "plans.tpch_suite",
     "plans.advanced_ops",
+    "plans.etl_ops",
     "operators.spotify_queries",
     "multimodal.media",
 )

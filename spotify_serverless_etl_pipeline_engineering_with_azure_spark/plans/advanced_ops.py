@@ -166,13 +166,22 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid")
     )
-    probes = member.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("cid").alias("pcid")
+    # Bucket the membership list per cluster and expand (probe, member)
+    # pairs row-locally — the assignment pipeline above is evaluated
+    # ONCE (a probes⋈member self-join would re-run it per join side).
+    buckets = member.groupBy("cid").agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+    pairs = F.flatten(
+        F.transform(
+            F.filter(F.col("ids"), lambda p: p % _PROBE_MOD == 0),
+            lambda p: F.transform(
+                F.filter(F.col("ids"), lambda y: y != p),
+                lambda y: F.struct(p.alias("probe_id"), y.alias("neighbor_id")),
+            ),
+        )
     )
-    cand = probes.join(
-        member,
-        (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("probe_id")),
-    ).select("probe_id", F.col("vec_id").alias("neighbor_id"))
+    cand = buckets.select(F.explode(pairs).alias("pr")).select(
+        "pr.probe_id", "pr.neighbor_id"
+    )
     a = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
     )

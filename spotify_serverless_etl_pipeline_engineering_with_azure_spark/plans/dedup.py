@@ -219,16 +219,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~5× slower; the explode shuffles only 48 partially-aggregated longs
     per doc, so the hash-agg form wins at any scale.
 
-    Division by F.lit(1<<j) is exact (power of two, values < 2^48) and
-    truncating cast == floor for non-negatives — identical integers to
-    the oracle's `//`.
+    shiftright(h, j) % 2 extracts bit j without floating point; h is a
+    non-negative 48-bit value, so it equals the oracle's
+    `(h // 2^j) % 2` exactly.
     """
     docs = table(spark, sf_dir, "documents")
     tok = scatter(docs).select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     hashed = tok.select("doc_id", md5_int48(F.col("t")).alias("h"))
     balances = hashed.groupBy("doc_id").agg(
         *[
-            F.sum(((F.col("h") / F.lit(1 << j)).cast("long") % 2) * 2 - 1).alias(f"s_{j}")
+            F.sum((F.shiftright(F.col("h"), j) % 2) * 2 - 1).alias(f"s_{j}")
             for j in range(SIMHASH_BITS)
         ]
     )

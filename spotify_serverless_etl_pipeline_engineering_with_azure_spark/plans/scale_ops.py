@@ -1,0 +1,114 @@
+"""Scale-pattern operators: binned range join and bucketed co-located
+join — the two join disciplines that keep 100 TB joins off the
+cartesian/full-shuffle cliff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.exact import dsum
+from ..registry import register
+
+_BIN_S = 300  # range-join bin width = the predicate radius (seconds)
+
+
+@register(
+    "range_join_close_events",
+    oracle=f"""
+SELECT a.user_id, COUNT(*) AS n_close_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND ABS(EPOCH(CAST(a.ts AS TIMESTAMP)) - EPOCH(CAST(b.ts AS TIMESTAMP))) <= {_BIN_S}
+GROUP BY a.user_id
+""",
+    tags=("join", "range-join", "timeseries"),
+)
+def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (|t_a − t_b| ≤ 300 s per user) via time binning.
+
+    A naive inequality join is a per-user cartesian product. Binning by
+    the predicate radius makes it an EQUI-join: bucket each event by
+    floor(epoch/300); the right side replicates into its bucket ± 1 so
+    every qualifying pair shares an equi-key exactly once; the exact
+    |Δt| predicate runs as a residual filter. Shuffle volume is 3× the
+    input instead of |user|², and Catalyst plans a plain hash join.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    left = ev.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("sec").alias("a_sec"),
+        F.floor(F.col("sec") / _BIN_S).alias("bin"),
+    )
+    right = ev.select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        F.col("sec").alias("b_sec"),
+        F.explode(
+            F.array(
+                F.floor(F.col("sec") / _BIN_S) - 1,
+                F.floor(F.col("sec") / _BIN_S),
+                F.floor(F.col("sec") / _BIN_S) + 1,
+            )
+        ).alias("bin"),
+    )
+    pairs = left.join(right, ["user_id", "bin"]).filter(
+        (F.col("a_id") < F.col("b_id"))
+        & (F.abs(F.col("a_sec") - F.col("b_sec")) <= _BIN_S)
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_close_pairs"))
+
+
+@register(
+    "bucketed_join_colocated",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    tags=("join", "bucketing", "sink"),
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables written bucketBy(8)
+    on the join key, then joined shuffle-free (each bucket pair joins
+    in place — the physical plan has NO exchange under the
+    SortMergeJoin). At 100 TB this is THE recurring-join discipline:
+    pay the shuffle once at layout time, never per query. The merge
+    hint keeps the demonstration honest (a broadcast would also skip
+    the shuffle, but only while one side stays small).
+    """
+    import hashlib
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/sse_bucketed_{suffix}"
+    names = {"orders": f"sse_orders_b_{suffix}", "lineitem": f"sse_lineitem_b_{suffix}"}
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        if not spark.catalog.tableExists(names[tbl]):
+            (
+                table(spark, sf_dir, tbl)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{base}/{tbl}")
+                .mode("overwrite")
+                .saveAsTable(names[tbl])
+            )
+    li = spark.table(names["lineitem"])
+    orders = spark.table(names["orders"])
+    return (
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            ),
+        )
+    )

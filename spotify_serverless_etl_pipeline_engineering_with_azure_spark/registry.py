@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "plans.tpch_suite",
     "plans.advanced_ops",
     "plans.etl_ops",
+    "plans.scale_ops",
     "operators.spotify_queries",
     "multimodal.media",
 )

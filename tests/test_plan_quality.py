@@ -53,6 +53,18 @@ def test_q1_partial_aggregation(spark):
     assert len(re.findall(r"HashAggregate", plan)) >= 2
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """Both sides bucketBy(8) on the join key → the SortMergeJoin reads
+    buckets in place; the ONLY exchange left is the final aggregation."""
+    df = registry.queries()["bucketed_join_colocated"](spark, SF_SMOKE)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, (
+        f"expected only the post-join agg exchange, got:\n{plan}"
+    )
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(

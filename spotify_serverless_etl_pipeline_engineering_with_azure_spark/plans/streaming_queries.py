@@ -93,6 +93,61 @@ def streaming_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stream_stream_join",
+    oracle="""
+SELECT p.user_id, COUNT(*) AS n_attributed
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+GROUP BY p.user_id
+""",
+    tags=("streaming", "join", "stream-stream"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to clicks by
+    the same user within the 10 minutes before the purchase. Both sides
+    carry watermarks and the join condition bounds event time, so the
+    join state is evictable — the only formulation that survives an
+    unbounded stream. The bounded test stream drains in one micro-batch,
+    making the append-mode output equal to the batch interval join; the
+    per-user attribution count is aggregated from the sink."""
+    name = _sink_name("stream_ssj")
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    run_to_memory(joined, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+    )
+
+
+@register(
     "streaming_sliding_window",
     oracle="""
 WITH starts AS (

@@ -197,3 +197,38 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + F.ascii(x) + F.length(x) * 7) % FP_PRIME,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# GPT-2-style pretokenizer subset: a token is an optionally
+# space-prefixed letter run, digit run, or punctuation run. Kept to
+# RE2-compatible constructs so Spark (Java regex) and DuckDB (RE2)
+# tokenize identically.
+BPE_ISH_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '{BPE_ISH_PATTERN}')) AS INTEGER)
+         AS n_bpe_tokens,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '{BPE_ISH_PATTERN}')))
+         AS INTEGER) AS n_unique_bpe
+FROM documents
+""",
+    tags=("text", "tokenize"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (space-prefixed letter/digit/punct
+    runs — the GPT-2 pretokenizer shape) next to the whitespace count.
+    Row-local regexp_extract_all, JVM-side; the pattern sticks to
+    constructs Java regex and RE2 treat identically."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(_tokens()).alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
+    )

@@ -44,6 +44,9 @@ HEADLINE = [
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf",
     "asof_join_events",
+    "range_join_close_events",
+    "merge_upsert_orders",
+    "events_multires_rollup",
     "streaming_tumbling_window",
 ]
 

@@ -110,3 +110,40 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+
+
+@register(
+    "json_sink_roundtrip",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events
+GROUP BY event_type
+""",
+    tags=("sink", "json"),
+)
+def json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2's raw-zone JSON sink made verifiable: write events as
+    JSON-lines (the distributed form of the reference's one-blob JSON,
+    spotifyextract.py:92-101), read back with explicit schema,
+    aggregate — must equal aggregating the source. Timestamps excluded
+    from the payload on purpose: JSON round-trips them as strings and
+    the aggregate proves the numeric/string columns survive exactly."""
+    out = f"/tmp/sse_json_roundtrip_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value"), 2).alias("total"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

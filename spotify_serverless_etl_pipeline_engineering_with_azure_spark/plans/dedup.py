@@ -333,3 +333,82 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.6)
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over the LSH candidate graph (dedup clustering)
+# ---------------------------------------------------------------------------
+def _cc_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, MIN(dst) AS component
+FROM reach GROUP BY src
+"""
+
+
+@register("dedup_connected_components", oracle=_cc_oracle(), tags=("dedup", "iterative", "graph"))
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    candidate-pair graph, so each group of transitively-linked
+    near-duplicates gets one canonical id (min doc_id) — the step a
+    training-data pipeline runs between candidate generation and
+    keep-one-per-cluster filtering.
+
+    Iterative min-label propagation: each round every vertex takes the
+    min label among itself and its neighbors; converges in O(diameter)
+    rounds (checked via a driver-side count per round — the per-round
+    WORK is fully distributed, the driver only sees the single
+    converged/not-converged scalar, which is how any iterative Spark
+    algorithm terminates). localCheckpoint truncates lineage so plans
+    don't grow exponentially with rounds. The DuckDB oracle computes
+    the same fixpoint as a recursive CTE.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    )
+    for _ in range(20):  # >> diameter of any LSH candidate graph
+        neighbor_min = (
+            edges.join(labels, edges.a == labels.v)
+            .groupBy(F.col("b").alias("nv"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == F.col("nv"), "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))

@@ -147,3 +147,33 @@ def json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+# One SQL text, two engines: the query below parses and evaluates
+# identically in Spark SQL and DuckDB (shared ANSI subset — joins,
+# YEAR(), CASE, decimal casts), so the oracle IS the implementation.
+_SHARED_DIALECT_SQL = """
+SELECT n_name AS nation,
+       CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n_name, YEAR(o_orderdate)
+"""
+
+
+@register("sql_shared_dialect", oracle=_SHARED_DIALECT_SQL, tags=("sql", "dialect"))
+def sql_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() entry path, exercised with a query string written
+    in the ANSI subset BOTH engines accept — the literal same text runs
+    as the oracle. Proves a SQL-first user can bring their warehouse
+    queries to this engine unchanged."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_DIALECT_SQL)

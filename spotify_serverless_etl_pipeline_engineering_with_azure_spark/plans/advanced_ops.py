@@ -8,6 +8,12 @@ of built-in DataFrame ops where semantics allow (as-of join = union +
 ignore-nulls window; IVF = broadcast centroid assignment + in-cluster
 probe), dropping to the Arrow-batched stateful pandas API only for the
 genuinely stateful streaming case.
+
+Reference grounding: these generalize the event/stream surface the
+reference's blob-trigger architecture implies
+(/root/reference/spotifytransform.py:67-68 — one arriving file = one
+event) and the analytical star schema its FK design exists to serve
+(/root/reference/spotifytransform.py:60-61, Readme.MD:189-211).
 """
 
 from __future__ import annotations

@@ -346,3 +346,34 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@register(
+    "agg_statistical_moments",
+    oracle="""
+SELECT c_mktsegment,
+       ROUND(STDDEV_SAMP(c_acctbal), 4) AS std_bal,
+       ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal,
+       ROUND(CORR(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS corr_bal_key,
+       ROUND(COVAR_SAMP(c_acctbal, CAST(c_nationkey AS DOUBLE)), 4) AS covar_bal_nation
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("agg", "statistics"),
+)
+def agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates: stddev/variance/correlation/covariance.
+    Both engines use single-pass moment updates whose results agree to
+    ~1e-10 relative; outputs are rounded (4-6 dp on O(10^3) values) so
+    the hash is stable across summation orders."""
+    cust = table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+        F.round(
+            F.corr("c_acctbal", F.col("c_custkey").cast("double")), 6
+        ).alias("corr_bal_key"),
+        F.round(
+            F.covar_samp("c_acctbal", F.col("c_nationkey").cast("double")), 4
+        ).alias("covar_bal_nation"),
+    )

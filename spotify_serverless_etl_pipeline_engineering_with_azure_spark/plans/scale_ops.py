@@ -1,6 +1,12 @@
 """Scale-pattern operators: binned range join and bucketed co-located
 join — the two join disciplines that keep 100 TB joins off the
 cartesian/full-shuffle cliff.
+
+Reference grounding: the reference plants FK columns specifically so
+its outputs can be joined downstream
+(/root/reference/spotifytransform.py:60-61; Readme.MD:198-199); these
+are the physical layouts that keep those joins affordable when the
+fact side is 10^12 rows.
 """
 
 from __future__ import annotations

@@ -377,3 +377,89 @@ def agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.covar_samp("c_acctbal", F.col("c_nationkey").cast("double")), 4
         ).alias("covar_bal_nation"),
     )
+
+
+@register(
+    "null_semantics",
+    oracle="""
+SELECT c_custkey,
+       (bal IS NOT DISTINCT FROM NULL) AS bal_is_null,
+       (bal IS NOT DISTINCT FROM c_acctbal) AS nullsafe_eq_self,
+       COALESCE(bal, 0.0) AS bal_or_zero,
+       CASE WHEN bal IS NULL THEN 'missing' ELSE 'present' END AS presence,
+       NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null
+FROM (SELECT c_custkey, c_acctbal, c_mktsegment,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer WHERE c_custkey % 13 = 0)
+""",
+    tags=("scalar", "null"),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: null-safe equality (<=>), coalesce,
+    nullif, isNull-driven CASE — over a constructed nullable column so
+    every branch is exercised."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 13 == 0)
+    bal = F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return cust.select(
+        "c_custkey",
+        bal.eqNullSafe(F.lit(None).cast("double")).alias("bal_is_null"),
+        bal.eqNullSafe(F.col("c_acctbal")).alias("nullsafe_eq_self"),
+        F.coalesce(bal, F.lit(0.0)).alias("bal_or_zero"),
+        F.when(bal.isNull(), "missing").otherwise("present").alias("presence"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+    )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+SELECT c_nationkey,
+       ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(c_mktsegment))), '|')
+         AS segments,
+       CAST(LEN(LIST_DISTINCT(LIST(c_mktsegment))) AS INTEGER) AS n_segments
+FROM customer
+GROUP BY c_nationkey
+""",
+    tags=("agg", "collect"),
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/STRING_AGG semantics done deterministically:
+    collect_set → sort → join (an unordered string_agg would be
+    partition-order-dependent — never hashable across engines)."""
+    cust = table(spark, sf_dir, "customer")
+    segs = F.array_sort(F.collect_set("c_mktsegment"))
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(segs, "|").alias("segments"),
+        F.size(segs).alias("n_segments"),
+    )
+
+
+@register(
+    "scalar_date_advanced",
+    oracle="""
+SELECT o_orderkey,
+       STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+       STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(DAYOFWEEK(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+       STRFTIME(DATE_TRUNC('MONTH', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(DAYOFYEAR(o_orderdate) AS INTEGER) AS doy
+FROM orders WHERE o_orderkey % 23 = 0
+""",
+    tags=("scalar", "date"),
+)
+def scalar_date_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_months / last_day / dayofweek / date_trunc / dayofyear.
+    Weekday numbering differs across engines (Spark: Sunday=1; DuckDB:
+    Sunday=0) — the oracle normalizes explicitly, the kind of dialect
+    seam this suite pins down."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 23 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus3mo"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.date_format(F.date_trunc("MONTH", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.dayofyear("o_orderdate").alias("doy"),
+    )

@@ -47,20 +47,25 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udf_apply_in_pandas",
     oracle="""
-SELECT o_custkey,
+SELECT o_orderpriority, o_orderstatus,
        COUNT(*) AS n_orders,
        MAX(o_totalprice) AS max_price,
        CAST(DATEDIFF('day', CAST(MIN(o_orderdate) AS DATE), CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS span_days
 FROM orders
-GROUP BY o_custkey
+GROUP BY o_orderpriority, o_orderstatus
 """,
     tags=("udf", "pandas", "grouped"),
 )
 def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas: per-customer order stats.
+    """Grouped-map applyInPandas: per-(priority, status) order stats.
 
     This is exactly what distributes the reference's eager pandas stage:
-    each group becomes one pandas DataFrame on an executor.
+    each group becomes one pandas DataFrame on an executor. Keyed on a
+    BOUNDED composite (15 groups) deliberately: grouped-map pays a
+    Python dispatch + Arrow round-trip PER GROUP, so high-cardinality
+    keys (e.g. per-customer: 15k tiny groups, measured ~6× slower here)
+    belong in built-in aggregates (agg_stats) — reserve applyInPandas
+    for group logic that genuinely needs pandas on big groups.
     """
     orders = table(spark, sf_dir, "orders")
 
@@ -68,15 +73,18 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = pdf["o_orderdate"].dt.normalize()
         return pd.DataFrame(
             {
-                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "o_orderstatus": [pdf["o_orderstatus"].iloc[0]],
                 "n_orders": [len(pdf)],
                 "max_price": [pdf["o_totalprice"].max()],
                 "span_days": [(d.max() - d.min()).days],
             }
         )
 
-    return orders.groupBy("o_custkey").applyInPandas(
-        stats, schema="o_custkey long, n_orders long, max_price double, span_days long"
+    return orders.groupBy("o_orderpriority", "o_orderstatus").applyInPandas(
+        stats,
+        schema="o_orderpriority string, o_orderstatus string, n_orders long, "
+        "max_price double, span_days long",
     )
 
 

@@ -118,3 +118,44 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "fuzzy_match_part_names",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+blocked AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b
+    ON SUBSTR(a.p_name, 1, 1) = SUBSTR(b.p_name, 1, 1)
+   AND a.p_name < b.p_name
+   AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+)
+SELECT name_a, name_b,
+       CAST(LEVENSHTEIN(name_a, name_b) AS INTEGER) AS edit_dist
+FROM blocked
+WHERE LEVENSHTEIN(name_a, name_b) <= 3
+""",
+    tags=("fuzzy", "dedup", "join"),
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: near-identical name pairs by Levenshtein
+    distance ≤ 3, with BLOCKING (shared first character + length within
+    ±2) so the candidate set is a keyed equi-join, not all-pairs — the
+    same candidate-then-verify shape as the LSH dedup path. Vocabulary
+    is deduplicated before pairing: at 100 TB you fuzzy-match the
+    distinct-value dictionary (thousands), never the raw rows
+    (billions)."""
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    blocked = a.join(
+        b,
+        (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+        & (F.col("name_a") < F.col("name_b"))
+        & (F.abs(F.length("name_a") - F.length("name_b")) <= 2),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return blocked.select("name_a", "name_b", dist.alias("edit_dist")).filter(
+        F.col("edit_dist") <= 3
+    )

@@ -460,3 +460,65 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT event_type,
+         MIN(DATE_TRUNC('DAY', CAST(ts AS TIMESTAMP))) AS d0,
+         MAX(DATE_TRUNC('DAY', CAST(ts AS TIMESTAMP))) AS d1
+  FROM events GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM bounds
+),
+daily AS (
+  SELECT event_type, DATE_TRUNC('DAY', CAST(ts AS TIMESTAMP)) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n_events,
+       (d.n IS NULL) AS was_gap
+FROM spine s LEFT JOIN daily d
+  ON s.event_type = d.event_type AND s.day = d.day
+""",
+    tags=("timeseries", "gap-fill", "sequence"),
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: per event type, generate every day
+    between its first and last event with sequence(), left-join the
+    actual daily counts, zero-fill the holes — the scaffolding every
+    time-series chart/model needs. The spine is built from the grouped
+    bounds (5 rows → array expansion), so its cost is O(days), not
+    O(events)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("DAY", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("DAY", F.min("ts")).alias("d0"),
+        F.date_trunc("DAY", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    d = daily.select(
+        F.col("event_type").alias("de"), F.col("day").alias("dd"), "n"
+    )
+    return (
+        spine.join(
+            d, (spine.event_type == F.col("de")) & (spine.day == F.col("dd")), "left"
+        )
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.col("n").isNull().alias("was_gap"),
+        )
+    )

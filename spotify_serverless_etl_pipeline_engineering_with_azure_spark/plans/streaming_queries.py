@@ -181,3 +181,51 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
+
+
+@register(
+    "streaming_foreach_batch_sink",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "sink", "foreach-batch"),
+)
+def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K2-style multi-sink pattern as a checkable query: the event
+    stream drains through foreachBatch, each micro-batch writing an
+    idempotent parquet dir keyed by batch_id (rerun-safe: overwrite per
+    batch id — the reference's swallowed-error copy+delete replaced by
+    checkpoint + deterministic paths, spotifytransform.py:101-158).
+    Reading the landed files back and aggregating must equal
+    aggregating the source directly."""
+    import hashlib
+    import shutil
+    import uuid
+
+    out = f"/tmp/sse_feb_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    q = (
+        events_stream(spark, sf_dir)
+        .select("event_id", "event_type", "value")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"/tmp/sse_feb_ckpt_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("foreachBatch stream did not drain")
+    from ..functions.exact import dsum
+
+    back = spark.read.option("basePath", out).parquet(f"{out}/batch_id=*")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("sum_value")
+    )

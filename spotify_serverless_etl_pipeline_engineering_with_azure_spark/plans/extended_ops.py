@@ -463,3 +463,70 @@ def scalar_date_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.dayofyear("o_orderdate").alias("doy"),
     )
+
+
+@register(
+    "struct_ops",
+    oracle="""
+SELECT c_custkey,
+       c_custkey + 1 AS k_from_struct,
+       c_acctbal AS bal_from_struct,
+       TRUE AS json_roundtrip_ok,
+       c_mktsegment AS seg_nested
+FROM customer WHERE c_custkey % 19 = 0
+""",
+    tags=("scalar", "struct", "json"),
+)
+def struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructType surface: named_struct construction, field access,
+    nested structs, and a to_json → from_json round-trip proven
+    lossless (the oracle states the identities the round-trip must
+    satisfy; raw JSON text is never compared — engines format numbers
+    differently)."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 19 == 0)
+    s = F.struct(
+        (F.col("c_custkey") + 1).alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.struct(F.col("c_mktsegment").alias("seg")).alias("inner"),
+    )
+    rt = F.from_json(
+        F.to_json(s), "k bigint, bal double, inner struct<seg: string>"
+    )
+    return cust.select(
+        "c_custkey",
+        s.getField("k").alias("k_from_struct"),
+        s.getField("bal").alias("bal_from_struct"),
+        (rt.getField("bal") == F.col("c_acctbal")).alias("json_roundtrip_ok"),
+        rt.getField("inner").getField("seg").alias("seg_nested"),
+    )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+SELECT c_nationkey,
+       ARG_MAX(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 100000 + c_custkey)
+         AS richest_customer,
+       ARG_MIN(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 100000 + c_custkey)
+         AS poorest_customer,
+       MAX(c_acctbal) AS max_bal
+FROM customer
+GROUP BY c_nationkey
+""",
+    tags=("agg", "argmax"),
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (ARG_MAX/ARG_MIN): the per-group argmax without
+    a window + filter. The ordering key folds exact cents with the
+    unique custkey so equal balances break ties identically in both
+    engines — argmax on a float with duplicates is otherwise
+    engine-arbitrary."""
+    cust = table(spark, sf_dir, "customer")
+    ordk = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 100000 + F.col("c_custkey")
+    )
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_name", ordk).alias("richest_customer"),
+        F.min_by("c_name", ordk).alias("poorest_customer"),
+        F.max("c_acctbal").alias("max_bal"),
+    )

@@ -695,3 +695,149 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape — two-bucket conditional counts per category
+# ---------------------------------------------------------------------------
+@register(
+    "q12_priority_by_linestatus",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+""",
+    tags=("join", "conditional", "agg"),
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's two-bucket conditional count (urgent vs not) per category;
+    l_linestatus stands in for the synthetic schema's missing
+    l_shipmode. The date filter prunes the fact scan; the categorical
+    bucketing is a map-side CASE feeding a partial count."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape — nested IN subqueries (supplier shortlist)
+# ---------------------------------------------------------------------------
+@register(
+    "q20_promotion_suppliers",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 400.0
+)
+""",
+    tags=("subquery", "in", "nested"),
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's nested-IN shape: suppliers who shipped > 400 units of
+    SMALL-type parts in 1997 (partsupp availability replaced by shipped
+    quantity). Two nested INs decorrelate to two semi-joins — the inner
+    one a broadcast against the filtered part dim, the outer against a
+    grouped HAVING aggregate."""
+    supp = table(spark, sf_dir, "supplier")
+    small = table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    qualified = (
+        li.join(
+            F.broadcast(small.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec(F.col("l_quantity"), 2)).alias("sq"))
+        .filter(F.col("sq") > 400.0)
+        .select("l_suppkey")
+    )
+    return supp.join(
+        qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — EXISTS + NOT EXISTS on the same correlated table
+# ---------------------------------------------------------------------------
+@register(
+    "q21_sole_returning_supplier",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+""",
+    tags=("subquery", "exists", "not-exists", "semi-join", "anti-join"),
+)
+def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's signature EXISTS + NOT EXISTS pair over the same correlated
+    table: returned lines on multi-supplier orders where NO other
+    supplier on the order also returned (returnflag stands in for the
+    missing receipt/commit delay). Decorrelated as a semi-join on
+    other-supplier lines and an anti-join on other-supplier returns —
+    both keyed on the order, so one shuffle each."""
+    supp = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_key"),
+        F.col("l_suppkey").alias("s2_key"),
+        F.col("l_returnflag").alias("rf2"),
+    )
+    has_other = l1.join(
+        others,
+        (F.col("o2_key") == F.col("l_orderkey"))
+        & (F.col("s2_key") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    other_returns = others.filter(F.col("rf2") == "R")
+    sole = has_other.join(
+        other_returns,
+        (F.col("o2_key") == F.col("l_orderkey"))
+        & (F.col("s2_key") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )

@@ -119,3 +119,45 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("probe_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= 3)
     )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+WITH expanded AS (
+  SELECT label, u.i AS pos, u.v AS val
+  FROM (
+    SELECT label,
+           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),
+                  i -> {'i': CAST(i - 1 AS INTEGER),
+                        'v': CAST(embedding[i] AS DOUBLE)})) AS u
+    FROM embeddings
+  )
+)
+SELECT label, pos,
+       ROUND(SUM(val) / COUNT(*), 6) AS centroid_val,
+       COUNT(*) AS n_vectors
+FROM expanded
+WHERE pos < 8
+GROUP BY label, pos
+""",
+    tags=("similarity", "embedding", "centroid"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean) of the embedding vectors —
+    the class-centroid computation behind IVF training, label
+    debugging, and centroid-classifier baselines. posexplode turns the
+    array into (label, dim, value) rows so the mean is a plain hash
+    aggregate with map-side partials: one shuffle keyed on
+    (label, dim), never a driver-side matrix. Output restricted to the
+    first 8 dims to keep the checked surface compact; sums of ~100
+    like-magnitude doubles differ across engines at ~1e-15 relative,
+    far inside the 6-dp rounding."""
+    emb = table(spark, sf_dir, "embeddings")
+    expanded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    ).filter(F.col("pos") < 8)
+    return expanded.groupBy("label", "pos").agg(
+        F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

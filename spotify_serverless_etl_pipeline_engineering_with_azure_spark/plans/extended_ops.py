@@ -530,3 +530,37 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("c_name", ordk).alias("poorest_customer"),
         F.max("c_acctbal").alias("max_bal"),
     )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       XOR(o_orderkey, o_custkey) AS key_xor,
+       o_orderkey << 2 AS shifted_up,
+       o_orderkey >> 3 AS shifted_down,
+       CAST(BIT_COUNT(o_orderkey) AS INTEGER) AS popcount,
+       GREATEST(o_orderkey, o_custkey * 10) AS biggest,
+       LEAST(o_orderkey, o_custkey * 10) AS smallest
+FROM orders WHERE o_orderkey % 31 = 0
+""",
+    tags=("scalar", "bitwise"),
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface (& | ^ << >> bit_count) + greatest/least — the
+    integer kernel ops id-mangling and flag-packing pipelines lean on."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 31 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(k, 2).alias("shifted_up"),
+        F.shiftright(k, 3).alias("shifted_down"),
+        F.bit_count(k).alias("popcount"),
+        F.greatest(k, F.col("o_custkey") * 10).alias("biggest"),
+        F.least(k, F.col("o_custkey") * 10).alias("smallest"),
+    )

@@ -412,3 +412,47 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
+
+
+@register(
+    "dedup_filtered_corpus",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+       (SELECT COUNT(*) FROM dropped) AS n_dropped,
+       (SELECT COUNT(*) FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) AS n_kept
+""",
+    tags=("dedup", "pipeline", "end-to-end"),
+)
+def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: corpus size after keeping one
+    canonical doc (min doc_id) per near-dup cluster — candidates from
+    MinHash-LSH, clusters from connected components, non-candidates
+    kept untouched. The drop set is an anti-join against the corpus
+    (never a rewrite of it), which at 100 TB means the full text moves
+    zero times: only (doc_id, component) pairs shuffle."""
+    comp = dedup_connected_components(spark, sf_dir)
+    dropped = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    kept = docs.join(dropped, "doc_id", "left_anti")
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(dropped.agg(F.count(F.lit(1)).alias("n_dropped")))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+    )

@@ -53,11 +53,49 @@ _QUERY_MODULES = (
 _loaded = False
 
 
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    The driver process may import this package from an arbitrary CWD via
+    sys.path manipulation — which executor Python workers do NOT
+    inherit, so any query that pickles package-defined callables or
+    classes (the Python DataSource, mapInPandas helpers) would fail
+    with ModuleNotFoundError on the workers. A zip of the package added
+    once per SparkContext makes the import resolve everywhere.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_sse_pkg_shipped", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    fd, zip_path = tempfile.mkstemp(prefix="sse_pkg_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    arc = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, arc)
+    sc.addPyFile(zip_path)
+    sc._sse_pkg_shipped = True
+
+
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_workers_can_import(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip())
+        REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip())
         return fn
 
     return deco

@@ -104,3 +104,64 @@ def from_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     parsed = ev.select(F.from_json("props", "k INT").alias("p"))
     return parsed.groupBy(F.col("p.k").alias("k")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT doc_id, LENGTH(text) AS n_chars_arrow,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens_arrow
+FROM documents WHERE doc_id % 17 = 0
+""",
+    tags=("udf", "arrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy sibling of mapInPandas — batches stay
+    pyarrow RecordBatches, no pandas conversion, compute runs through
+    Arrow's vectorized kernels. The fastest Python-side path when the
+    logic is expressible in pyarrow.compute."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def arrow_stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.utf8_length(text),
+                    pc.list_value_length(pc.split_pattern(text, " ")).cast(pa.int64()),
+                ],
+                names=["doc_id", "n_chars_arrow", "n_tokens_arrow"],
+            )
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    return docs.select("doc_id", "text").mapInArrow(
+        arrow_stats, schema="doc_id long, n_chars_arrow int, n_tokens_arrow long"
+    )
+
+
+@register(
+    "variant_semistructured",
+    oracle="""
+SELECT event_id,
+       CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_typed,
+       CAST(JSON_EXTRACT(props, '$.k') AS VARCHAR) AS k_string,
+       JSON_EXTRACT(props, '$.missing') IS NULL AS missing_is_null
+FROM events WHERE event_id % 97 = 0
+""",
+    tags=("variant", "json", "semistructured"),
+)
+def variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT: parse_json into the binary semi-structured type,
+    then typed path extraction with variant_get — the open-ended-schema
+    column (logs, API payloads) without string re-parsing per access.
+    The oracle reads the same paths through DuckDB's JSON type."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.variant_get(v, "$.k", "string").alias("k_string"),
+        F.variant_get(v, "$.missing", "string").isNull().alias("missing_is_null"),
+    )

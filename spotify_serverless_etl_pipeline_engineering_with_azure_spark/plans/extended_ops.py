@@ -564,3 +564,38 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(k, F.col("o_custkey") * 10).alias("biggest"),
         F.least(k, F.col("o_custkey") * 10).alias("smallest"),
     )
+
+
+@register(
+    "union_schema_evolution",
+    oracle="""
+SELECT doc_id, lang, source, n_chars, quality_tier FROM (
+  SELECT doc_id, lang, source, n_chars, NULL AS quality_tier
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang, NULL AS source, n_chars,
+         CASE WHEN n_chars > 200 THEN 'long' ELSE 'short' END AS quality_tier
+  FROM documents WHERE doc_id % 2 = 1
+)
+""",
+    tags=("setop", "schema-evolution"),
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an old batch (no quality_tier column)
+    and a new batch (no source column) combined with
+    unionByName(allowMissingColumns=True) — missing columns NULL-fill
+    by NAME, not position. This is how a long-lived ingest pipeline
+    absorbs schema drift without rewriting history."""
+    docs = table(spark, sf_dir, "documents")
+    old_batch = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(F.col("n_chars") > 200, "long").otherwise("short").alias("quality_tier"),
+    )
+    return old_batch.unionByName(new_batch, allowMissingColumns=True).select(
+        "doc_id", "lang", "source", "n_chars", "quality_tier"
+    )

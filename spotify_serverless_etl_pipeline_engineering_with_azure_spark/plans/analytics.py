@@ -807,7 +807,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH flagged AS (
   SELECT user_id, ts, event_id,
-         CASE WHEN EPOCH(CAST(ts AS TIMESTAMP)) - EPOCH(CAST(LAG(ts) OVER w AS TIMESTAMP)) > 1800
+         CASE WHEN EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(LAG(ts) OVER w AS TIMESTAMP)) > 1800000000
               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -830,7 +830,9 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30-min inactivity gap).
 
     Batch shadow of streaming session_window; expressed with window
-    functions so the oracle semantics match row-for-row.
+    functions so the oracle semantics match row-for-row. The gap
+    predicate compares MICROSECONDS on both engines — whole-second
+    truncation on one side would misclassify gaps like 1800.4 s.
     """
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -838,7 +840,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
         prev_ts.isNull()
-        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > 1800 * 1_000_000),
         1,
     ).otherwise(0)
     return (

@@ -244,10 +244,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (verification path, bounded probe set)
 # ---------------------------------------------------------------------------
+# Document-frequency cap: a shingle shared by more than this many docs is
+# dropped from the vocabulary BEFORE pair expansion (on both engines). A
+# stop-shingle bucket of size k expands to k² pairs — at 100 TB that is a
+# straggler/OOM — and a shingle shared by thousands of docs carries no
+# similarity signal anyway (standard DF pruning).
+NGRAM_DF_CAP = 32
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH shingles AS ({_SQL_SHINGLES.format(where="WHERE doc_id % 5 = 0")}),
+WITH raw_shingles AS ({_SQL_SHINGLES.format(where="WHERE doc_id % 5 = 0")}),
+df AS (SELECT sh, COUNT(*) AS df FROM raw_shingles GROUP BY sh),
+shingles AS (
+  SELECT s.doc_id, s.sh FROM raw_shingles s JOIN df USING (sh)
+  WHERE df.df <= {NGRAM_DF_CAP}
+),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -267,7 +280,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity over a bounded probe subset.
 
     Inverted-index formulation: group docs by shingle (one shuffle),
-    expand in-bucket pairs, count pair occurrences = |A∩B|. Sizes come
+    DF-prune buckets above NGRAM_DF_CAP (both engines — a hot
+    stop-shingle bucket is quadratic, and a shingle shared that widely
+    has no similarity signal), expand in-bucket pairs, count pair
+    occurrences = |A∩B| over the pruned vocabulary. Sizes come
     from a cheap per-doc count and broadcast-join onto the (small) pair
     set. jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts, so the
     double division is bit-identical across engines. All-pairs Jaccard
@@ -275,12 +291,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    buckets = (
-        sh.groupBy("sh")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    # One groupBy builds the inverted index AND the DF counts; buckets
+    # above NGRAM_DF_CAP are dropped BEFORE the quadratic pair expansion
+    # (bounded fan-out: ≤ CAP²/2 pairs per bucket), and per-doc sizes are
+    # recomputed from the PRUNED vocabulary by re-exploding the kept
+    # buckets — no second pass over the corpus.
+    index = sh.groupBy("sh").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    kept = index.filter(F.size("ids") <= NGRAM_DF_CAP).localCheckpoint(eager=False)
+    sizes = (
+        kept.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
     )
+    buckets = kept.filter(F.size("ids") > 1)
     inter = _bucket_pairs(buckets).groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_common")
     )
@@ -386,7 +409,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
         "label", F.col("v")
     )
-    for _ in range(20):  # >> diameter of any LSH candidate graph
+    # Loop to the FIXPOINT (changed == 0), not a fixed round cap: a
+    # pathological chain of pairwise near-dups can exceed any guessed
+    # diameter, and returning unconverged labels would silently disagree
+    # with the oracle's recursive-CTE fixpoint. The hard ceiling only
+    # guards against a non-terminating regression, and trips loudly.
+    max_rounds = 1000
+    for round_no in range(1, max_rounds + 1):
         neighbor_min = (
             edges.join(labels, edges.a == labels.v)
             .groupBy(F.col("b").alias("nv"))
@@ -411,6 +440,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds"
+        )
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
 
 

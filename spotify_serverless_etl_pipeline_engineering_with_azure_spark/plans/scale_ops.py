@@ -19,6 +19,11 @@ from ..functions.exact import dsum
 from ..registry import register
 
 _BIN_S = 300  # range-join bin width = the predicate radius (seconds)
+# Compare at MICROSECOND precision on both engines: events.ts carries
+# sub-second precision, so a whole-second comparison on one side and a
+# fractional one on the other would diverge for pairs whose true gap
+# straddles the 300 s boundary (e.g. 0.1 s vs 300.9 s).
+_BIN_US = _BIN_S * 1_000_000
 
 
 @register(
@@ -28,7 +33,7 @@ SELECT a.user_id, COUNT(*) AS n_close_pairs
 FROM events a JOIN events b
   ON a.user_id = b.user_id
  AND a.event_id < b.event_id
- AND ABS(EPOCH(CAST(a.ts AS TIMESTAMP)) - EPOCH(CAST(b.ts AS TIMESTAMP))) <= {_BIN_S}
+ AND ABS(EPOCH_US(CAST(a.ts AS TIMESTAMP)) - EPOCH_US(CAST(b.ts AS TIMESTAMP))) <= {_BIN_US}
 GROUP BY a.user_id
 """,
     tags=("join", "range-join", "timeseries"),
@@ -38,35 +43,35 @@ def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A naive inequality join is a per-user cartesian product. Binning by
     the predicate radius makes it an EQUI-join: bucket each event by
-    floor(epoch/300); the right side replicates into its bucket ± 1 so
+    floor(epoch_us/300e6) (microsecond precision on BOTH engines); the right side replicates into its bucket ± 1 so
     every qualifying pair shares an equi-key exactly once; the exact
     |Δt| predicate runs as a residual filter. Shuffle volume is 3× the
     input instead of |user|², and Catalyst plans a plain hash join.
     """
     ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
     )
     left = ev.select(
         "user_id",
         F.col("event_id").alias("a_id"),
-        F.col("sec").alias("a_sec"),
-        F.floor(F.col("sec") / _BIN_S).alias("bin"),
+        F.col("us").alias("a_us"),
+        F.floor(F.col("us") / _BIN_US).alias("bin"),
     )
     right = ev.select(
         "user_id",
         F.col("event_id").alias("b_id"),
-        F.col("sec").alias("b_sec"),
+        F.col("us").alias("b_us"),
         F.explode(
             F.array(
-                F.floor(F.col("sec") / _BIN_S) - 1,
-                F.floor(F.col("sec") / _BIN_S),
-                F.floor(F.col("sec") / _BIN_S) + 1,
+                F.floor(F.col("us") / _BIN_US) - 1,
+                F.floor(F.col("us") / _BIN_US),
+                F.floor(F.col("us") / _BIN_US) + 1,
             )
         ).alias("bin"),
     )
     pairs = left.join(right, ["user_id", "bin"]).filter(
         (F.col("a_id") < F.col("b_id"))
-        & (F.abs(F.col("a_sec") - F.col("b_sec")) <= _BIN_S)
+        & (F.abs(F.col("a_us") - F.col("b_us")) <= _BIN_US)
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_close_pairs"))
 
@@ -92,12 +97,25 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle, but only while one side stays small).
     """
     import hashlib
+    import os
 
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # Cache key = source-data identity (path + parquet mtime/size), not
+    # just the path: regenerated test data invalidates the layout, and a
+    # metastore entry whose /tmp files were cleaned is rebuilt instead of
+    # served stale/broken.
+    fingerprint = [sf_dir]
+    for tbl in ("orders", "lineitem"):
+        p = os.path.join(sf_dir, f"{tbl}.parquet")
+        st = os.stat(p)
+        fingerprint.append(f"{tbl}:{st.st_mtime_ns}:{st.st_size}")
+    suffix = hashlib.md5("|".join(fingerprint).encode()).hexdigest()[:8]
     base = f"/tmp/sse_bucketed_{suffix}"
     names = {"orders": f"sse_orders_b_{suffix}", "lineitem": f"sse_lineitem_b_{suffix}"}
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        if not spark.catalog.tableExists(names[tbl]):
+        cached = spark.catalog.tableExists(names[tbl]) and os.path.isdir(f"{base}/{tbl}")
+        if not cached:
+            if spark.catalog.tableExists(names[tbl]):  # metastore entry, files gone
+                spark.sql(f"DROP TABLE {names[tbl]}")
             (
                 table(spark, sf_dir, tbl)
                 .write.bucketBy(8, key)

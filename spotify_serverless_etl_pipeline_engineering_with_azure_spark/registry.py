@@ -66,6 +66,27 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_sse_pkg_shipped", False):
         return
+    sc.addPyFile(_package_zip())
+    sc._sse_pkg_shipped = True
+
+
+_PKG_ZIP: str | None = None
+
+
+def _package_zip() -> str:
+    """Build (once per process) a zip snapshot of this package.
+
+    The snapshot is taken at FIRST use per process and reused for every
+    SparkContext in that process; code edits after that are not
+    reflected on executors until a new Python process starts. The temp
+    file is removed at interpreter exit instead of accumulating in
+    /tmp.
+    """
+    global _PKG_ZIP
+    if _PKG_ZIP is not None:
+        return _PKG_ZIP
+    import atexit
+    import contextlib
     import os
     import tempfile
     import zipfile
@@ -81,8 +102,14 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
                     full = os.path.join(root, f)
                     arc = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
                     zf.write(full, arc)
-    sc.addPyFile(zip_path)
-    sc._sse_pkg_shipped = True
+
+    def _cleanup(path: str = zip_path) -> None:
+        with contextlib.suppress(OSError):
+            os.unlink(path)
+
+    atexit.register(_cleanup)
+    _PKG_ZIP = zip_path
+    return zip_path
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):

@@ -159,6 +159,9 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "streaming_foreach_batch_sink": {"event_type": "v", "n_events": "v", "sum_value": "d"},
     "streaming_stateful_user_totals": {"user_id": "v", "n_events": "v", "sum_value": "d"},
     "multimodal_binary_meta": {"doc_id": "v", "media_type": "v", "n_bytes": "v"},
+    "multimodal_decode_features": {"doc_id": "v", "media_type": "v", "n_bytes": "v", "width": "v", "height": "v", "n_frames": "v", "duration_ms": "v"},
+    "multimodal_resize": {"doc_id": "v", "media_type": "v", "orig_w": "v", "orig_h": "v", "new_w": "v", "new_h": "v", "n_bytes_out": "v"},
+    "multimodal_frame_sample": {"doc_id": "v", "n_sampled": "v", "last_frame_idx": "v", "bytes_sampled": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -231,7 +234,8 @@ SUITES: dict[str, tuple[str, ...]] = {
         "parquet_partitioned_roundtrip", "unpivot_lineitem",
         "events_multires_rollup", "timeseries_gap_fill",
         "scd2_user_value_history", "fuzzy_match_part_names",
-        "multimodal_binary_meta",
+        "multimodal_binary_meta", "multimodal_decode_features",
+        "multimodal_resize", "multimodal_frame_sample",
     ),
 }
 

@@ -1,7 +1,16 @@
-"""Multimodal plumbing: binary columns, mapInPandas batch shape,
-decode stub determinism."""
+"""Multimodal operators: REAL stdlib-built media payloads (WAV / BMP /
+motion-BMP), real struct-level decode, pixel resize, frame sampling.
+
+The WAV checks use the stdlib ``wave`` READER as an independent decoder
+(the operator's parser walks RIFF chunks by hand), and the BMP checks
+assert actual pixel bytes — so generator and parser can't share a bug.
+"""
 
 from __future__ import annotations
+
+import io
+import struct
+import wave
 
 import pytest
 
@@ -9,36 +18,142 @@ from pyspark.sql import functions as F
 
 from spotify_serverless_etl_pipeline_engineering_with_azure_spark.catalog import table
 from spotify_serverless_etl_pipeline_engineering_with_azure_spark.multimodal.media import (
+    WAV_RATE,
     decode_media,
     extract_features,
-    with_binary_content,
+    iter_mbmp_frames,
+    parse_bmp_header,
+    synth_bmp,
+    synth_mbmp,
+    synth_payload,
+    synth_wav,
+    synthesize_media,
 )
 
 
-def test_binary_column_roundtrip(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
-    media = with_binary_content(docs)
-    assert dict(media.dtypes)["content"] == "binary"
-    row = (
-        media.join(docs, "doc_id")
-        .select("doc_id", F.decode("content", "UTF-8").alias("back"), "text")
-        .first()
-    )
-    assert row.back == row.text
+def test_wav_is_readable_by_stdlib_wave():
+    payload = synth_wav(doc_id=10, text_len=137)
+    with wave.open(io.BytesIO(payload)) as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == WAV_RATE
+        n = w.getnframes()
+        assert n == 800 + (137 * 7) % 4000
+        frames = w.readframes(n)
+    samples = struct.unpack(f"<{n}h", frames)
+    amp = 3000 + (10 % 17) * 1000
+    assert set(abs(s) for s in samples) == {amp}
+    # operator's hand-rolled parser agrees with the stdlib reader
+    meta = decode_media(payload, "audio/wav")
+    assert meta["duration_ms"] == n * 1000 // WAV_RATE
+    assert meta["n_bytes"] == len(payload) == 44 + 2 * n
 
 
-def test_extract_features_schema_and_determinism(spark, sf_dir):
-    media = with_binary_content(table(spark, sf_dir, "documents"))
-    feats = extract_features(media)
-    assert feats.columns == ["doc_id", "media_type", "n_bytes", "width", "height", "n_frames"]
-    a = sorted(tuple(r) for r in feats.collect())
-    b = sorted(tuple(r) for r in feats.collect())
-    assert a == b
-    got = {r.doc_id: r for r in feats.collect()}
-    src = {r.doc_id: r for r in media.select("doc_id", F.length("content").alias("n")).collect()}
-    assert all(got[d].n_bytes == src[d].n for d in src)
+def test_bmp_header_and_pixels():
+    bmp = synth_bmp(seed=5, width=10, height=4)
+    assert bmp[:2] == b"BM"
+    assert struct.unpack_from("<I", bmp, 2)[0] == len(bmp)
+    assert parse_bmp_header(bmp) == (10, 4)
+    data_off = struct.unpack_from("<I", bmp, 10)[0]
+    stride = (3 * 10 + 3) // 4 * 4
+    # pixel (x=3, y=2) must carry the deterministic BGR pattern
+    off = data_off + 2 * stride + 3 * 3
+    b, g, r = bmp[off : off + 3]
+    assert (b, g, r) == ((5 + 3) % 256, (5 * 3 + 2) % 256, (3 * 2 + 5) % 256)
 
 
-def test_real_decode_is_explicitly_stubbed():
+def test_mbmp_container_frames_are_standalone_bmps():
+    payload = synth_mbmp(doc_id=11)
+    frames = list(iter_mbmp_frames(payload))
+    assert len(frames) == 2 + 11 % 6
+    for idx, frame in frames:
+        assert parse_bmp_header(frame) == (16, 9)
+    meta = decode_media(payload, "video/x-mbmp")
+    assert meta["n_frames"] == len(frames)
+    assert (meta["width"], meta["height"]) == (16, 9)
+
+
+def test_unknown_format_is_the_codec_seam():
     with pytest.raises(NotImplementedError):
-        decode_media(b"xx", "image/png", real=True)
+        decode_media(b"xx", "image/png")
+    with pytest.raises(NotImplementedError):
+        synth_payload(1, 10, "video/mp4")
+
+
+def test_synthesize_media_binary_column(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    assert dict(media.dtypes)["content"] == "binary"
+    rows = media.limit(50).collect()
+    assert rows
+    for r in rows:
+        kind = r.doc_id % 3
+        magic = bytes(r.content[:4])
+        if kind == 0:
+            assert magic[:2] == b"BM"
+        elif kind == 1:
+            assert magic == b"RIFF"
+        else:
+            assert magic == b"MBMP"
+
+
+def test_extract_features_values(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    feats = extract_features(media)
+    assert feats.columns == [
+        "doc_id", "media_type", "n_bytes", "width", "height", "n_frames", "duration_ms",
+    ]
+    got = {r.doc_id: r for r in feats.collect()}
+    text_len = {r.doc_id: r.n for r in docs.select("doc_id", F.length("text").alias("n")).collect()}
+    for d, r in got.items():
+        if d % 3 == 0:
+            assert (r.width, r.height) == (8 + text_len[d] % 24, 6 + (text_len[d] * 3) % 18)
+            assert r.n_frames == 1 and r.duration_ms is None
+        elif d % 3 == 1:
+            n = 800 + (text_len[d] * 7) % 4000
+            assert r.duration_ms == n * 1000 // WAV_RATE
+            assert r.width is None and r.n_frames is None
+        else:
+            assert r.n_frames == 2 + d % 6
+            assert (r.width, r.height) == (16, 9)
+
+
+def test_resize_preserves_pixels_nearest_neighbor():
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.multimodal.media import (
+        resize_media,
+    )
+    # direct check of the inner arithmetic through the public operator:
+    # a 2x-downscale of a synthetic BMP must carry source pixels through.
+    src = synth_bmp(seed=9, width=8, height=8)
+    # emulate one row through the pandas path without Spark
+    import pandas as pd
+
+    batches = iter(
+        [pd.DataFrame({"doc_id": [1], "media_type": ["image/bmp"], "content": [src]})]
+    )
+    # reach the inner function via the DataFrame-free generator
+    out = None
+    def fake_map(run, schema):  # noqa: ANN001
+        nonlocal out
+        out = next(run(batches))
+        return None
+
+    class Fake:
+        mapInPandas = staticmethod(fake_map)
+
+    resize_media(Fake(), 4, 4)
+    row = out.iloc[0]
+    assert (row.orig_w, row.orig_h, row.new_w, row.new_h) == (8, 8, 4, 4)
+    resized = row.content
+    assert parse_bmp_header(resized) == (4, 4)
+    src_off = struct.unpack_from("<I", src, 10)[0]
+    dst_off = struct.unpack_from("<I", resized, 10)[0]
+    src_stride = (3 * 8 + 3) // 4 * 4
+    dst_stride = (3 * 4 + 3) // 4 * 4
+    # nearest neighbor with 2x scale: dst(x,y) == src(2x, 2y)
+    for ty in range(4):
+        for tx in range(4):
+            d = resized[dst_off + ty * dst_stride + 3 * tx :][:3]
+            s = src[src_off + (ty * 2) * src_stride + 3 * (tx * 2) :][:3]
+            assert d == s

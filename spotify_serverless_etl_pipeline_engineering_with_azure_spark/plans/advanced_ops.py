@@ -106,6 +106,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_CENTROIDS = 8
 _PROBE_MOD = 29
 _TOPK = 3
+_N_PROBE_CLUSTERS = 3  # multi-probe: search the probe's 3 nearest cells
 
 
 def _ivf_oracle() -> str:
@@ -124,7 +125,8 @@ assign AS (
   FROM embeddings e CROSS JOIN cent c
 ),
 member AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
-probes AS (SELECT vec_id AS probe_id, cid FROM member WHERE vec_id % {_PROBE_MOD} = 0),
+probes AS (SELECT vec_id AS probe_id, cid FROM assign
+           WHERE vec_id % {_PROBE_MOD} = 0 AND rn <= {_N_PROBE_CLUSTERS}),
 cand AS (
   SELECT p.probe_id, m.vec_id AS neighbor_id
   FROM probes p JOIN member m ON m.cid = p.cid AND m.vec_id <> p.probe_id
@@ -143,17 +145,21 @@ FROM scored WHERE rk <= {_TOPK}
 
 @register("sim_ann_ivf", oracle=_ivf_oracle(), tags=("similarity", "ann", "ivf"))
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest of K centroids
-    (broadcast map-side pass, no shuffle), then probe only within the
-    probe vector's cluster — the corpus scanned per query drops from N
-    to N/K.
+    """IVF-style multi-probe ANN: assign every vector to its nearest of
+    K centroids (broadcast map-side pass, no shuffle); each probe then
+    searches its _N_PROBE_CLUSTERS nearest cells — the standard
+    IVF nprobe>1 recall lever (corpus scanned per query is
+    N·nprobe/K instead of N).
 
     Centroids here are the first K corpus vectors (deterministic,
     oracle-expressible); a production build would k-means them, which
     changes recall, not the plan shape. Scale posture: assignment is
     O(N·K) map-side against a K-row broadcast; candidate generation
-    shuffles once on cluster id; a hot cluster is the skew case and
-    takes the join_salted treatment.
+    shuffles once on cluster id; the probe→cell map is tiny and
+    broadcast; a hot cluster is the skew case and takes the
+    join_salted treatment. Pairs need no dedup: each neighbor lives in
+    exactly one cell (rn = 1 partition) and each (probe, cell) edge is
+    distinct.
     """
     from ..functions.vectors import cosine
 
@@ -165,28 +171,31 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = F.round(cosine(F.col("embedding"), F.col("cemb")), 6)
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
-    member = (
+    assign = (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
     )
-    # Bucket the membership list per cluster and expand (probe, member)
-    # pairs row-locally — the assignment pipeline above is evaluated
-    # ONCE (a probes⋈member self-join would re-run it per join side).
+    member = assign.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probe_cells = (
+        assign.filter(
+            (F.col("vec_id") % _PROBE_MOD == 0) & (F.col("rn") <= _N_PROBE_CLUSTERS)
+        )
+        .select(F.col("vec_id").alias("probe_id"), "cid")
+    )
+    # Bucket the membership list per cell once, then expand each
+    # (probe, cell) edge row-locally — the assignment pipeline is
+    # evaluated once per side of a small broadcast join instead of a
+    # full self-join of the derived assignment table.
     buckets = member.groupBy("cid").agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-    pairs = F.flatten(
-        F.transform(
-            F.filter(F.col("ids"), lambda p: p % _PROBE_MOD == 0),
-            lambda p: F.transform(
-                F.filter(F.col("ids"), lambda y: y != p),
-                lambda y: F.struct(p.alias("probe_id"), y.alias("neighbor_id")),
+    cand = (
+        buckets.join(F.broadcast(probe_cells), "cid")
+        .select(
+            "probe_id",
+            F.explode(F.filter(F.col("ids"), lambda y: y != F.col("probe_id"))).alias(
+                "neighbor_id"
             ),
         )
-    )
-    cand = buckets.select(F.explode(pairs).alias("pr")).select(
-        "pr.probe_id", "pr.neighbor_id"
     )
     a = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")

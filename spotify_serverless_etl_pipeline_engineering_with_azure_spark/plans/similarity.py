@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.vectors import cosine, lsh_bucket, sql_lsh_bucket
+from ..functions.vectors import LSH_TABLES, cosine, lsh_bucket, sql_lsh_bucket
 from ..registry import register
 
 TOPK = 5
@@ -67,18 +67,28 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_ann_lsh_bucketed",
-    oracle=f"""
-WITH buckets AS (
-  SELECT vec_id, embedding, {sql_lsh_bucket("embedding")} AS bucket FROM embeddings
-),
-probes AS (SELECT vec_id AS probe_id, embedding AS pe, bucket FROM buckets WHERE vec_id < 20),
-scored AS (
+def _lsh_scored_sql(t: int) -> str:
+    return f"""
   SELECT probe_id, c.vec_id AS neighbor_id,
          ROUND(LIST_COSINE_SIMILARITY(CAST(pe AS DOUBLE[]),
                                       CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
-  FROM probes JOIN buckets c ON c.bucket = probes.bucket AND c.vec_id <> probe_id
+  FROM (SELECT vec_id AS probe_id, embedding AS pe,
+               {sql_lsh_bucket("embedding", t)} AS bucket
+        FROM embeddings WHERE vec_id < 20) p
+  JOIN (SELECT vec_id, embedding, {sql_lsh_bucket("embedding", t)} AS bucket
+        FROM embeddings) c
+    ON c.bucket = p.bucket AND c.vec_id <> probe_id"""
+
+
+@register(
+    "sim_ann_lsh_bucketed",
+    oracle=f"""
+WITH scored AS (
+  SELECT probe_id, neighbor_id, MAX(cos_sim) AS cos_sim FROM (
+    {_lsh_scored_sql(0)}
+    UNION ALL
+    {_lsh_scored_sql(1)}
+  ) GROUP BY probe_id, neighbor_id
 )
 SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
   SELECT probe_id, neighbor_id, cos_sim,
@@ -89,30 +99,47 @@ SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
     tags=("similarity", "ann", "lsh"),
 )
 def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via sign-LSH: 8 random-hyperplane bits → bucket id; score only
-    within-bucket candidates; exact cosine rank inside the bucket.
+    """ANN via multi-table sign-LSH (OR-construction): LSH_TABLES
+    independent hash tables of PLANES_PER_TABLE hyperplane bits each; a
+    candidate is scored if it collides with the probe in ANY table, and
+    exact cosine ranks the survivors.
 
-    Bucketing is a row-local projection (no shuffle); the candidate join
-    is an equi-join on bucket id, so scored pairs shrink ~256× vs brute
-    force at the cost of recall (measured vs brute force in tests).
+    All table buckets are computed in one corpus scan (row-local
+    projections, then a posexplode over the per-table ids — no shuffle);
+    the candidate join is an equi-join on (table, bucket) against a
+    broadcast probe set, and the per-pair MAX aggregation dedupes
+    multi-table collisions before ranking. Scored pairs shrink
+    ~2^k/L vs brute force; recall floors are pinned in
+    tests/test_dedup_similarity.py.
     """
     emb = table(spark, sf_dir, "embeddings")
-    buckets = emb.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    buckets = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.array(*[lsh_bucket(F.col("embedding"), t) for t in range(LSH_TABLES)])
+        ).alias("t", "bucket"),
+    )
     probes = buckets.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
+        F.col("t").alias("pt"),
         F.col("bucket").alias("pbucket"),
     )
     scored = (
         buckets.join(
             F.broadcast(probes),
-            (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("probe_id")),
+            (F.col("t") == F.col("pt"))
+            & (F.col("bucket") == F.col("pbucket"))
+            & (F.col("vec_id") != F.col("probe_id")),
         )
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
         )
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

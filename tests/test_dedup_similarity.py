@@ -58,21 +58,68 @@ def test_simhash_locality(spark, sf_dir):
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
-    """Bucketed ANN neighbors must be a subset of plausible brute-force
-    ranks and recall@3 should be nontrivial."""
-    bf = {
-        (r.probe_id, r.neighbor_id)
-        for r in ALL["sim_cosine_topk_bruteforce"].fn(spark, sf_dir).collect()
-    }
+    """Multi-table LSH recall floor: mean per-probe overlap with the
+    brute-force top-5 must clear 0.15 (measured ≈0.22–0.28 on the
+    synthetic corpus with 2 tables × 4 planes — a broken hyperplane or
+    bucketing change drops it to ≈0.05 single-table levels)."""
+    from collections import defaultdict
+
+    bf = defaultdict(set)
+    for r in ALL["sim_cosine_topk_bruteforce"].fn(spark, sf_dir).collect():
+        bf[r.probe_id].add(r.neighbor_id)
     ann_rows = ALL["sim_ann_lsh_bucketed"].fn(spark, sf_dir).collect()
-    ann = {(r.probe_id, r.neighbor_id) for r in ann_rows if r.probe_id < 10}
     assert ann_rows, "LSH ANN returned nothing"
-    # every ANN hit must at least be a real vector pair with rank<=3
     assert all(r.rank <= 3 for r in ann_rows)
-    # recall: some overlap with brute-force top-5 is expected
-    if ann:
-        overlap = len(ann & bf) / len(ann)
-        assert overlap > 0.0
+    ann = defaultdict(set)
+    for r in ann_rows:
+        ann[r.probe_id].add(r.neighbor_id)
+    recalls = [len(ann.get(p, set()) & ns) / len(ns) for p, ns in bf.items()]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.15, f"LSH mean recall {mean_recall:.3f} < 0.15"
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """Multi-probe IVF recall floor: mean recall@3 vs exact brute force
+    over the IVF probe set must clear 0.4 (measured ≈0.61–0.74 with
+    nprobe=3; single-probe was ≈0.06)."""
+    from collections import defaultdict
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.catalog import table
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.functions.vectors import (
+        cosine,
+    )
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.advanced_ops import (
+        _PROBE_MOD,
+    )
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("s"), F.asc("neighbor_id")
+    )
+    bf_rows = (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("pe"), F.col("embedding")).alias("s"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    )
+    bf = defaultdict(set)
+    for r in bf_rows:
+        bf[r.probe_id].add(r.neighbor_id)
+    ann = defaultdict(set)
+    for r in ALL["sim_ann_ivf"].fn(spark, sf_dir).collect():
+        ann[r.probe_id].add(r.neighbor_id)
+    recalls = [len(ann.get(p, set()) & ns) / len(ns) for p, ns in bf.items()]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.4, f"IVF mean recall@3 {mean_recall:.3f} < 0.4"
 
 
 def test_dedup_exact_is_lossless_partition(spark, sf_dir):

@@ -164,24 +164,66 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine
 
     emb = scatter(table(spark, sf_dir, "embeddings"))
-    cent = (
+    # The codebook is K=8 vectors — driver-resident in every real IVF
+    # system (FAISS keeps the coarse quantizer in memory). Collecting it
+    # lets cell assignment run entirely map-side as codegen'd literal
+    # arithmetic: no N×K crossJoin, no per-vector window shuffle.
+    cent_rows = sorted(
         table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < _N_CENTROIDS)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
-    sim = F.round(cosine(F.col("embedding"), F.col("cemb")), 6)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
-    assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-    )
-    member = assign.filter(F.col("rn") == 1).select("vec_id", "cid")
-    probe_cells = (
-        assign.filter(
-            (F.col("vec_id") % _PROBE_MOD == 0) & (F.col("rn") <= _N_PROBE_CLUSTERS)
+    # Centroid norms are Python-side constants (the oracle compares
+    # ROUND(...,6) similarities, which absorbs sub-1e-6 summation-order
+    # differences — the same tolerance the oracle's own
+    # LIST_COSINE_SIMILARITY already relies on); the row norm is folded
+    # once per row, so assignment costs K dot-folds + 1 norm-fold per
+    # row instead of 3K.
+    import math
+
+    from ..functions.vectors import dot, norm
+
+    def _pynorm(vals: list[float]) -> float:
+        acc = 0.0
+        for v in vals:
+            acc += float(v) * float(v)
+        return math.sqrt(acc)
+
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        -F.round(
+                            dot(
+                                F.col("embedding"),
+                                F.array(*[F.lit(float(v)) for v in r.embedding]),
+                            )
+                            / (F.col("nrm") * F.lit(_pynorm(r.embedding))),
+                            6,
+                        )
+                    ).alias("neg_sim"),
+                    F.lit(int(r.vec_id)).alias("cid"),
+                )
+                for r in cent_rows
+            ]
         )
-        .select(F.col("vec_id").alias("probe_id"), "cid")
+    )
+    emb_n = emb.withColumn("nrm", norm(F.col("embedding")))
+    # sorted ascending on (neg_sim, cid) == (sim DESC, cid ASC): same
+    # tie-break as the oracle's ROW_NUMBER ordering.
+    member = emb_n.select(
+        "vec_id", F.element_at(ranked, 1).getField("cid").alias("cid")
+    )
+    probe_cells = (
+        emb_n.filter(F.col("vec_id") % _PROBE_MOD == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.explode(F.slice(ranked, 1, _N_PROBE_CLUSTERS)).alias("cell"),
+        )
+        .select("probe_id", F.col("cell").getField("cid").alias("cid"))
     )
     # Bucket the membership list per cell once, then expand each
     # (probe, cell) edge row-locally — the assignment pipeline is
@@ -197,13 +239,23 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from ..functions.vectors import dot, norm
+
+    # Norms computed once per vector before the broadcast (identical
+    # doubles → bit-identical cosine); each scored pair pays one fold.
     a = table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        norm(F.col("embedding")).alias("a_nrm"),
     )
     b = table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        norm(F.col("embedding")).alias("b_nrm"),
     )
-    pair_sim = F.round(cosine(F.col("a_emb"), F.col("b_emb")), 6)
+    pair_sim = F.round(
+        dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm")), 6
+    )
     w_rank = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )

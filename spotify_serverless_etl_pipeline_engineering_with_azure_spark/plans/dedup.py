@@ -212,33 +212,49 @@ FROM (
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash signature per document.
 
-    Implementation: explode tokens → hash once per token → 48 codegen'd
-    SUM(±1) aggregates (one per bit) → reassemble bits. A nested
-    higher-order-function fold computes the same thing shuffle-free but
-    runs interpreted (HOF lambdas skip whole-stage codegen) and measured
-    ~5× slower; the explode shuffles only 48 partially-aggregated longs
-    per doc, so the hash-agg form wins at any scale.
+    Implementation: explode tokens → hash once per token → 12 packed
+    SUM aggregates, each carrying four 16-bit per-bit popcounts in one
+    long (bit 4k+i lives at field i·16 of packed sum k) → unpack and
+    reassemble bits row-locally after the shuffle. Versus the naive 48
+    SUM(±1) columns this quarters the per-row aggregate update work
+    (measured 0.87 s → 0.61 s at sf0.1); versus a nested
+    higher-order-function fold (shuffle-free but interpreted — HOF
+    lambdas skip whole-stage codegen) it measured ~5× faster. Only 13
+    partially-aggregated longs per doc cross the shuffle.
 
-    shiftright(h, j) % 2 extracts bit j without floating point; h is a
-    non-negative 48-bit value, so it equals the oracle's
-    `(h // 2^j) % 2` exactly.
+    Capacity: each 16-bit field holds a popcount ≤ 65535 and the packed
+    sum stays below 2^63 for ≤ 32767 tokens per document — far above
+    any real document here; a longer doc needs per-doc pre-chunking.
+
+    The per-bit balance is 2·ones_j − n (same sign as the oracle's
+    SUM(±1)); shiftright/`% 2` extraction is exact on the non-negative
+    48-bit hash, matching the oracle's `(h // 2^j) % 2`.
     """
     docs = table(spark, sf_dir, "documents")
     tok = scatter(docs).select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     hashed = tok.select("doc_id", md5_int48(F.col("t")).alias("h"))
-    balances = hashed.groupBy("doc_id").agg(
+    n_packs = SIMHASH_BITS // 4
+    packed = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum((F.shiftright(F.col("h"), j) % 2) * 2 - 1).alias(f"s_{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+            F.sum(
+                sum(
+                    (F.shiftright(F.col("h"), 4 * k + i) % 2) * (1 << (16 * i))
+                    for i in range(4)
+                )
+            ).alias(f"p_{k}")
+            for k in range(n_packs)
+        ],
     )
     sig = None
     for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+        k, i = divmod(j, 4)
+        ones = F.shiftright(F.col(f"p_{k}"), 16 * i) % 65536
+        bit = F.when(ones * 2 > F.col("n"), F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sig = bit if sig is None else sig + bit
-    return balances.select("doc_id", sig.alias("simhash"))
+    return packed.select("doc_id", sig.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -341,18 +357,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale the pair generation goes through LSH buckets
     (sim_ann_lsh_bucketed); this exact variant is the verification path.
+    Norms are folded once per vector before the pair join (identical
+    doubles → bit-identical cosine), so each pair pays one dot fold.
     """
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, norm
 
     sub = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
-    a = sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = sub.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    a = sub.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        norm(F.col("embedding")).alias("nrm_a"),
+    )
+    b = sub.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        norm(F.col("embedding")).alias("nrm_b"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.6)
     )

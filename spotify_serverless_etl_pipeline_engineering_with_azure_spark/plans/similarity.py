@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.vectors import LSH_TABLES, cosine, lsh_bucket, sql_lsh_bucket
+from ..functions.vectors import LSH_TABLES, dot, lsh_bucket, norm, sql_lsh_bucket
 from ..registry import register
 
 TOPK = 5
@@ -46,18 +46,25 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, rank per probe.
 
     The corpus is never shuffled for scoring — probes broadcast to every
-    partition; the only exchange is the per-probe top-k (tiny).
+    partition; the only exchange is the per-probe top-k (tiny). Norms
+    are computed once per vector BEFORE the pair join (same doubles →
+    bit-identical cosine), so each scored pair pays one dot-product
+    fold instead of three.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pnrm"),
     )
     scored = (
         emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("pe"), F.col("embedding")) / (F.col("pnrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -112,10 +119,11 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2^k/L vs brute force; recall floors are pinned in
     tests/test_dedup_similarity.py.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
     buckets = emb.select(
         "vec_id",
         "embedding",
+        "nrm",
         F.posexplode(
             F.array(*[lsh_bucket(F.col("embedding"), t) for t in range(LSH_TABLES)])
         ).alias("t", "bucket"),
@@ -123,6 +131,7 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = buckets.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pnrm"),
         F.col("t").alias("pt"),
         F.col("bucket").alias("pbucket"),
     )
@@ -136,7 +145,9 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("pe"), F.col("embedding")) / (F.col("pnrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
         )
         .groupBy("probe_id", "neighbor_id")
         .agg(F.max("cos_sim").alias("cos_sim"))

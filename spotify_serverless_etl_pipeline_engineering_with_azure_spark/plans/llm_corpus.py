@@ -1,0 +1,397 @@
+"""LLM-training-corpus operators over the ``documents`` table: token-
+window chunking, sequence packing, Gopher-style repetition signals,
+PII redaction, deterministic stratified sampling, and corpus-mix
+statistics — the data-prep surface a large-scale pretraining pipeline
+runs between "raw crawl" and "training batches".
+
+Scale posture per operator is documented in its docstring; the common
+theme is map-side row-local expressions (JVM codegen, no Python) plus
+at most one keyed shuffle. Every query is DuckDB-oracle-backed and
+certified through the ``llm_corpus`` digest membership in
+``plans/suites.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.hashing import md5_int48, sql_md5_int48
+from ..registry import register
+
+# Token-window chunking: 32-token windows, stride 24 (8-token overlap).
+CHUNK_W = 32
+CHUNK_S = 24
+
+# Sequence packing: shard the corpus, pack each shard into 512-token
+# training sequences by cumulative offset.
+PACK_BUDGET = 512
+PACK_SHARDS = 8
+
+# Deterministic stratified sampling rates (percent kept) per language:
+# downsample the over-represented language, keep low-resource ones.
+SAMPLE_RATES = {"en": 40, "de": 70, "fr": 70, "es": 70}
+SAMPLE_DEFAULT = 100
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, t, n,
+         UNNEST(RANGE(0, 1 + CASE WHEN n > {CHUNK_W}
+                                  THEN (n - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S}
+                                  ELSE 0 END)) AS chunk_idx
+  FROM toks
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_S} + 1 AS INTEGER) AS start_tok,
+       CAST(LEN(LIST_SLICE(t, chunk_idx * {CHUNK_S} + 1,
+                           LEAST(chunk_idx * {CHUNK_S} + {CHUNK_W}, n)))
+            AS INTEGER) AS n_chunk_tokens,
+       ARRAY_TO_STRING(LIST_SLICE(t, chunk_idx * {CHUNK_S} + 1,
+                                  LEAST(chunk_idx * {CHUNK_S} + {CHUNK_W}, n)),
+                       ' ') AS chunk_text
+FROM chunks
+""",
+    tags=("llm", "text", "chunking"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows
+    (1 row → N chunk rows) — the standard context-window prep step.
+
+    Row-local: split once, explode a ``sequence`` of chunk indices,
+    slice the token array per chunk. No shuffle at any scale; output
+    size is input × ~n/stride.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).withColumn(
+        "n", F.size("t").cast("long")
+    )
+    n_chunks = F.lit(1) + F.when(
+        F.col("n") > CHUNK_W,
+        F.floor((F.col("n") - CHUNK_W + CHUNK_S - 1) / CHUNK_S),
+    ).otherwise(F.lit(0))
+    chunked = toks.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_S + 1
+    # slice length is clamped to the doc end: LEAST(start+W-1, n) - start + 1
+    length = F.least(start + CHUNK_W - 1, F.col("n")) - start + 1
+    piece = F.slice("t", start.cast("int"), length.cast("int"))
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_tok"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+placed AS (
+  SELECT shard, n_tok,
+         (CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok)
+           // {PACK_BUDGET} AS bin
+  FROM sized
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(bin AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens_packed,
+       CAST(SUM(n_tok) AS DOUBLE) / {PACK_BUDGET} AS fill_ratio
+FROM placed
+GROUP BY shard, bin
+""",
+    tags=("llm", "packing"),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences by
+    cumulative offset: doc d goes to bin floor(prefix_tokens(d) /
+    budget) within its shard — the deterministic, fully-parallel
+    variant of greedy packing (a doc can straddle two bins; training
+    pipelines truncate or wrap at the boundary).
+
+    Scale posture: sharding makes the running sum embarrassingly
+    parallel — each shard's window sorts only its own rows (one
+    shuffle on shard), never a global order. fill_ratio divides by a
+    power of two, so the double is exact in both engines.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.select(
+        "shard",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET).alias("bin"),
+    )
+    return placed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens_packed"),
+        (F.sum("n_tok").cast("double") / PACK_BUDGET).alias("fill_ratio"),
+    )
+
+
+@register(
+    "text_repetition_signals",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+),
+uni AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_unique,
+         CAST(MAX(c) AS BIGINT) AS top_count
+  FROM (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t)
+  GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_count
+  FROM (
+    SELECT doc_id, bg, COUNT(*) AS c FROM (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(
+               RANGE(1, LEN(STRING_SPLIT(text, ' '))),
+               i -> STRING_SPLIT(text, ' ')[i] || ' ' || STRING_SPLIT(text, ' ')[i+1]
+             )) AS bg
+      FROM documents
+    ) GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+)
+SELECT uni.doc_id,
+       n_tokens,
+       n_unique,
+       CAST(1.0 - CAST(n_unique AS DOUBLE) / n_tokens AS DOUBLE) AS dup_token_frac,
+       CAST(top_count AS DOUBLE) / n_tokens AS top_token_frac,
+       CAST(top_bigram_count AS DOUBLE) / n_bigrams AS top_bigram_frac
+FROM uni JOIN big ON uni.doc_id = big.doc_id
+""",
+    tags=("llm", "text", "quality"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction, most-frequent-token fraction, most-frequent-bigram
+    fraction — the filters that catch boilerplate and degenerate text
+    before training.
+
+    Two keyed aggregations ((doc, token) and (doc, bigram)), both with
+    map-side partial combine, joined on doc_id. Ratios divide exact
+    integers, so the doubles are bit-identical across engines.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    uni = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.max("c").cast("long").alias("top_count"),
+        )
+    )
+    toks = F.split("text", " ")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    big = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("top_bigram_count"),
+        )
+    )
+    return uni.join(big, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        (F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_tokens")).alias(
+            "dup_token_frac"
+        ),
+        (F.col("top_count").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+        (F.col("top_bigram_count").cast("double") / F.col("n_bigrams")).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+# PII patterns kept to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): literal classes, bounded repeats.
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+WITH staged AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' tel 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+       REGEXP_REPLACE(REGEXP_REPLACE(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_len
+FROM staged
+""",
+    tags=("llm", "text", "pii"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: detect and mask email/phone patterns. The corpus
+    is synthetic, so deterministic PII is first injected (doc_id-keyed
+    suffixes) and then redacted — the detect/mask path is the real
+    operator; the injection stands in for a crawl that contains PII.
+
+    Row-local regexp (JVM codegen, no shuffle); patterns restricted to
+    constructs with identical Java-regex/RE2 semantics.
+    """
+    docs = table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" tel 555-"), (1000 + F.col("doc_id") % 9000).cast("string")),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return staged.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        redacted.alias("redacted"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+def _sample_rate_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE {cases} ELSE {SAMPLE_DEFAULT} END"
+
+
+@register(
+    "corpus_sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {sql_md5_int48("'doc' || CAST(doc_id AS VARCHAR)")} % 100 < {_sample_rate_sql()}
+""",
+    tags=("llm", "sampling"),
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: keep a doc
+    iff hash(doc_id) mod 100 clears its language's rate — downsampling
+    the over-represented language while keeping low-resource strata.
+
+    Unlike rand()-based sampling this is reproducible across runs,
+    engines, and partitionings (the property a training pipeline needs
+    for auditable mixes). Pure map-side filter: no shuffle, prunes to
+    three columns at the scan.
+    """
+    docs = table(spark, sf_dir, "documents")
+    rate = F.lit(SAMPLE_DEFAULT)
+    for lang, pct in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    keep = md5_int48(F.concat(F.lit("doc"), F.col("doc_id").cast("string"))) % 100 < rate
+    return docs.filter(keep).select("doc_id", "lang", "source")
+
+
+@register(
+    "corpus_mix_stats",
+    oracle="""
+WITH per AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS BIGINT) AS token_share
+FROM per
+""",
+    tags=("llm", "stats"),
+)
+def corpus_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix accounting per (language, source): document and token
+    counts plus each stratum's share of all training tokens — the
+    numbers a sampling-weight schedule is derived from.
+
+    One aggregation (map-side combine) to stratum granularity — tiny —
+    then an unpartitioned window over the aggregated strata only
+    (hundreds of rows at any corpus size, never the raw data).
+    token_share divides exact integers → bit-identical doubles.
+    """
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("long")).alias(
+            "token_share"
+        ),
+    )

@@ -57,6 +57,7 @@ from . import (  # noqa: F401
     dedup,
     etl_ops,
     extended_ops,
+    llm_corpus,
     misc_ops,
     reference_ops,
     scale_ops,
@@ -162,6 +163,12 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "multimodal_decode_features": {"doc_id": "v", "media_type": "v", "n_bytes": "v", "width": "v", "height": "v", "n_frames": "v", "duration_ms": "v"},
     "multimodal_resize": {"doc_id": "v", "media_type": "v", "orig_w": "v", "orig_h": "v", "new_w": "v", "new_h": "v", "n_bytes_out": "v"},
     "multimodal_frame_sample": {"doc_id": "v", "n_sampled": "v", "last_frame_idx": "v", "bytes_sampled": "v"},
+    "text_chunk_windows": {"doc_id": "v", "chunk_idx": "v", "start_tok": "v", "n_chunk_tokens": "v", "chunk_text": "v"},
+    "corpus_pack_sequences": {"shard": "v", "bin": "v", "n_docs": "v", "n_tokens_packed": "v", "fill_ratio": "d"},
+    "text_repetition_signals": {"doc_id": "v", "n_tokens": "v", "n_unique": "v", "dup_token_frac": "d", "top_token_frac": "d", "top_bigram_frac": "d"},
+    "text_pii_redaction": {"doc_id": "v", "n_emails": "v", "n_phones": "v", "redacted": "v", "redacted_len": "v"},
+    "corpus_sample_stratified": {"doc_id": "v", "lang": "v", "source": "v"},
+    "corpus_mix_stats": {"lang": "v", "source": "v", "n_docs": "v", "n_tokens": "v", "token_share": "d"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -215,10 +222,15 @@ SUITES: dict[str, tuple[str, ...]] = {
         "udf_pandas_scalar", "udf_apply_in_pandas", "udf_map_in_arrow",
         "from_json_props",
     ),
-    # Text-analysis operators over the documents corpus.
+    # Text-analysis + LLM-corpus-prep operators over the documents
+    # corpus (chunking, packing, repetition signals, PII redaction,
+    # stratified sampling, mix accounting).
     "text_suite": (
         "text_token_count", "text_quality_score", "text_lang_id",
         "text_fingerprint", "text_bpe_token_count",
+        "text_chunk_windows", "corpus_pack_sequences",
+        "text_repetition_signals", "text_pii_redaction",
+        "corpus_sample_stratified", "corpus_mix_stats",
     ),
     # Structured Streaming variants beyond the individually-checked
     # tumbling window and watermark dedup.

@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "plans.advanced_ops",
     "plans.etl_ops",
     "plans.scale_ops",
+    "plans.llm_corpus",
     "operators.spotify_queries",
     "multimodal.media",
     # suites must load LAST: they compose the oracles of already-

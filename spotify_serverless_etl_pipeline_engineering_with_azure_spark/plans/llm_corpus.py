@@ -395,3 +395,78 @@ def corpus_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+# Quality-filter thresholds, calibrated to the synthetic corpus so the
+# filter genuinely splits it (~10% repetitive, ~5% boilerplate at
+# sf0.01): the decision op is what matters, not the constants.
+QF_MIN_TOKENS = 15
+QF_MAX_DUP_FRAC = 0.67
+QF_MAX_TOP_FRAC = 0.15
+
+
+@register(
+    "corpus_quality_filter",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+),
+uni AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_unique, CAST(MAX(c) AS BIGINT) AS top_count
+  FROM (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(1.0 - CAST(n_unique AS DOUBLE) / n_tokens AS DOUBLE) AS dup_token_frac,
+       CAST(top_count AS DOUBLE) / n_tokens AS top_token_frac,
+       CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+            WHEN 1.0 - CAST(n_unique AS DOUBLE) / n_tokens > {QF_MAX_DUP_FRAC}
+              THEN 'repetitive'
+            WHEN CAST(top_count AS DOUBLE) / n_tokens > {QF_MAX_TOP_FRAC}
+              THEN 'boilerplate'
+       END AS reject_reason,
+       CASE WHEN n_tokens >= {QF_MIN_TOKENS}
+             AND 1.0 - CAST(n_unique AS DOUBLE) / n_tokens <= {QF_MAX_DUP_FRAC}
+             AND CAST(top_count AS DOUBLE) / n_tokens <= {QF_MAX_TOP_FRAC}
+            THEN TRUE ELSE FALSE END AS keep
+FROM uni
+""",
+    tags=("llm", "quality", "filter"),
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end keep/drop decision a corpus-cleaning pipeline
+    actually emits: length + repetition signals composed into a boolean
+    verdict with the FIRST failing rule as the audit reason.
+
+    One keyed aggregation ((doc, token), map-side combine) then
+    row-local rule evaluation — the decision layer adds nothing to the
+    shuffle footprint of the signals it reads.
+    """
+    docs = table(spark, sf_dir, "documents")
+    uni = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.max("c").cast("long").alias("top_count"),
+        )
+    )
+    dup = F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_tokens")
+    top = F.col("top_count").cast("double") / F.col("n_tokens")
+    reason = (
+        F.when(F.col("n_tokens") < QF_MIN_TOKENS, "too_short")
+        .when(dup > QF_MAX_DUP_FRAC, "repetitive")
+        .when(top > QF_MAX_TOP_FRAC, "boilerplate")
+    )
+    return uni.select(
+        "doc_id",
+        "n_tokens",
+        dup.alias("dup_token_frac"),
+        top.alias("top_token_frac"),
+        reason.alias("reject_reason"),
+        reason.isNull().alias("keep"),
+    )

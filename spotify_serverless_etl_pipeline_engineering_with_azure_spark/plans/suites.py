@@ -169,6 +169,7 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "text_pii_redaction": {"doc_id": "v", "n_emails": "v", "n_phones": "v", "redacted": "v", "redacted_len": "v"},
     "corpus_sample_stratified": {"doc_id": "v", "lang": "v", "source": "v"},
     "corpus_mix_stats": {"lang": "v", "source": "v", "n_docs": "v", "n_tokens": "v", "token_share": "d"},
+    "corpus_quality_filter": {"doc_id": "v", "n_tokens": "v", "dup_token_frac": "d", "top_token_frac": "d", "reject_reason": "v", "keep": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -231,6 +232,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "text_chunk_windows", "corpus_pack_sequences",
         "text_repetition_signals", "text_pii_redaction",
         "corpus_sample_stratified", "corpus_mix_stats",
+        "corpus_quality_filter",
     ),
     # Structured Streaming variants beyond the individually-checked
     # tumbling window and watermark dedup.

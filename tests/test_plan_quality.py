@@ -80,3 +80,37 @@ def test_no_cartesian_product_anywhere(spark, name):
     scalar subqueries / IVF assignment and is allowed.)"""
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_stratified_sample_is_pure_scan_filter(spark):
+    """Hash-mod sampling must stay map-side: no shuffle anywhere, and
+    only the three output columns (plus lang for the rate) scanned."""
+    plan = _plan(spark, "corpus_sample_stratified")
+    assert "Exchange" not in plan, "sampling should not shuffle"
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in schema.group(1).split(",") if c}
+    assert cols == {"doc_id", "lang", "source"}, f"scan reads {cols}"
+
+
+def test_chunk_windows_is_shuffle_free(spark):
+    """Chunking is 1 row → N rows, all row-local (explode over a
+    sequence + array slice): the plan must contain no Exchange."""
+    plan = _plan(spark, "text_chunk_windows")
+    assert "Exchange" not in plan, "chunking should be map-side only"
+
+
+def test_pack_sequences_shuffles_only_on_shard(spark):
+    """Sharded packing: the window runs per shard — exactly one
+    hash-partitioned exchange on shard feeds the sort, plus the final
+    (shard, bin) aggregation exchange; never a single-partition global
+    sort."""
+    plan = _plan(spark, "corpus_pack_sequences")
+    assert "SinglePartition" not in plan, "packing must not serialize globally"
+    assert "hashpartitioning(shard" in plan, "window should partition by shard"
+
+
+def test_repetition_signals_partial_aggregation(spark):
+    """Both keyed aggregations (doc,token) and (doc,bigram) must do
+    map-side partial combine before their shuffles."""
+    plan = _plan(spark, "text_repetition_signals")
+    assert len(re.findall(r"HashAggregate", plan)) >= 4

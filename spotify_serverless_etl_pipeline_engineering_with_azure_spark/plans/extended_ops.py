@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.exact import dsum
+from ..functions.exact import dec, dsum
 from ..registry import register
 
 
@@ -59,6 +59,47 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("richest_key"),
         F.last("c_custkey").over(w_full).alias("poorest_key"),
         peers.alias("peers_within_100"),
+    )
+
+
+@register(
+    "window_time_range_trailing",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last7d,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last7d
+FROM events
+WHERE user_id % 7 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "range", "timeseries"),
+)
+def window_time_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user event count and value sum via a
+    time-RANGE window frame (the rolling-metric shape ROWS frames can't
+    express: the frame is defined by event-time distance, not row
+    count).
+
+    Ordering on epoch MICROSECONDS keeps the frame boundary exact and
+    engine-independent (a seconds-truncated ordering would mis-bucket
+    sub-second gaps straddling the boundary); the value sum uses the
+    decimal-cast discipline. Peers (equal timestamps) are in-frame
+    together in both engines by RANGE semantics. At scale this is one
+    shuffle on user_id with an in-partition sort — no self-join
+    blow-up, which is the naive alternative for rolling windows.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last7d"),
+        F.sum(dec(F.col("value"), 2)).over(w).cast("double").alias("sum_last7d"),
     )
 
 

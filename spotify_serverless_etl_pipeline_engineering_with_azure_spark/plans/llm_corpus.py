@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import scatter, table
 from ..functions.hashing import md5_int48, sql_md5_int48
 from ..registry import register
 
@@ -469,4 +469,87 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.alias("top_token_frac"),
         reason.alias("reject_reason"),
         reason.isNull().alias("keep"),
+    )
+
+
+# Benchmark-contamination check: 5-gram overlap between the training
+# corpus and a held-out benchmark set. 5 tokens is long enough that
+# coincidental overlap on this vocabulary is rare — hits mean copied
+# passages.
+DECON_G = 5
+DECON_BENCH_MOD, DECON_BENCH_REM = 23, 1
+
+
+def _decon_sql_grams(where: str) -> str:
+    terms = " || ' ' || ".join(f"t[i+{j}]" for j in range(DECON_G))
+    return f"""
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, LEN(t) - {DECON_G - 2}), i -> {terms}))) AS sh
+  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents {where})
+  WHERE LEN(t) >= {DECON_G}
+"""
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+WITH bench AS (
+  SELECT DISTINCT sh FROM ({_decon_sql_grams(
+      f"WHERE doc_id % {DECON_BENCH_MOD} = {DECON_BENCH_REM}")})
+),
+train AS ({_decon_sql_grams(
+      f"WHERE doc_id % {DECON_BENCH_MOD} <> {DECON_BENCH_REM}")}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_contaminated_grams
+  FROM train t JOIN bench b USING (sh)
+  GROUP BY t.doc_id
+)
+SELECT h.doc_id, h.n_contaminated_grams, s.n_grams,
+       CAST(h.n_contaminated_grams AS DOUBLE) / s.n_grams AS contamination_frac
+FROM hits h JOIN sizes s USING (doc_id)
+""",
+    tags=("llm", "decontamination"),
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark contamination report: training documents sharing
+    any 5-gram with the benchmark split (doc_id % 23 == 1 stands in for
+    an external eval set), with the contaminated-gram fraction — the
+    decontamination pass every serious pretraining pipeline runs so
+    eval answers don't leak into training data.
+
+    The benchmark gram set is small (eval suites are) and BROADCAST;
+    the training side streams through a row-local shingle explode and
+    one map-side-combining hash join probe per gram — the 100 TB corpus
+    is never shuffled, only its hit counts are (per-doc aggregation).
+    The fraction divides exact integers → bit-identical doubles.
+    """
+    docs = table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == DECON_BENCH_REM
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col("text"), " ")
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - DECON_G),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(DECON_G)]
+            ),
+        )
+        return (
+            scatter(df)
+            .filter(F.size(toks) >= DECON_G)
+            .select("doc_id", F.explode(F.array_distinct(g)).alias("sh"))
+        )
+
+    bench = grams(docs.filter(is_bench)).select("sh").distinct()
+    train = grams(docs.filter(~is_bench))
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    frac = F.col("n_contaminated_grams").cast("double") / F.col("n_grams")
+    return hits.join(sizes, "doc_id").select(
+        "doc_id", "n_contaminated_grams", "n_grams", frac.alias("contamination_frac")
     )

@@ -177,3 +177,81 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked.select("name_a", "name_b", dist.alias("edit_dist")).filter(
         F.col("edit_dist") <= 3
     )
+
+
+# Bloom-filter pruning: m = 2^16 bits packed 32 per BIGINT word (bits
+# stay below the sign bit on both engines), k = 2 md5-derived hashes.
+_BF_BITS = 1 << 16
+_BF_WORD_BITS = 32
+
+
+@register(
+    "bloom_filter_prune_join",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+""",
+    tags=("join", "bloom", "pruning"),
+)
+def bloom_filter_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join through an explicit Bloom-filter pre-prune: build a
+    2^16-bit / 2-hash filter over the BUILDING customer keys (one
+    map-side-combining BIT_OR aggregation → ≤ 2048 packed words),
+    broadcast it, drop non-matching orders row-locally, then run the
+    exact semi-join on the survivors.
+
+    The final semi-join makes the result EXACT (the bloom pass is a
+    superset — no false negatives by construction), so the oracle is
+    the plain semi-join. The point is the scan-side economics at 100 TB:
+    the ~8 KB filter reaches every task and eliminates most fact rows
+    BEFORE the join shuffle, which is what Spark's own runtime bloom
+    pruning (spark.sql.optimizer.runtime.bloomFilter.enabled) automates
+    for shuffle joins — built explicitly here so the mechanics (packed
+    words, k probes, superset guarantee) are visible and testable.
+    """
+    from ..functions.hashing import md5_int48
+
+    def positions(key: F.Column) -> tuple[F.Column, F.Column]:
+        s = key.cast("string")
+        return tuple(
+            md5_int48(F.concat(F.lit(f"bf{i}|"), s)) % _BF_BITS for i in (0, 1)
+        )
+
+    build = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    p0, p1 = positions(F.col("c_custkey"))
+    words = (
+        build.select(F.explode(F.array(p0, p1)).alias("pos"))
+        .select(
+            F.shiftright("pos", 5).alias("widx"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BF_WORD_BITS} AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    o0, o1 = positions(F.col("o_custkey"))
+    probed = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderpriority", "o_totalprice", o0.alias("pos0"), o1.alias("pos1"))
+        .join(F.broadcast(words.select(F.col("widx").alias("w0"), F.col("word").alias("word0"))),
+              F.shiftright("pos0", 5) == F.col("w0"))
+        .join(F.broadcast(words.select(F.col("widx").alias("w1"), F.col("word").alias("word1"))),
+              F.shiftright("pos1", 5) == F.col("w1"))
+        .filter(
+            F.expr(f"(word0 & shiftleft(CAST(1 AS BIGINT), CAST(pos0 % {_BF_WORD_BITS} AS INT))) != 0")
+            & F.expr(f"(word1 & shiftleft(CAST(1 AS BIGINT), CAST(pos1 % {_BF_WORD_BITS} AS INT))) != 0")
+        )
+    )
+    exact = probed.join(F.broadcast(build), probed.o_custkey == build.c_custkey, "left_semi")
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("revenue"),
+    )

@@ -62,6 +62,7 @@ from . import (  # noqa: F401
     reference_ops,
     scale_ops,
     similarity,
+    sketches,
     streaming_queries,
     text_ops,
     tpch_suite,
@@ -170,6 +171,12 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "corpus_sample_stratified": {"doc_id": "v", "lang": "v", "source": "v"},
     "corpus_mix_stats": {"lang": "v", "source": "v", "n_docs": "v", "n_tokens": "v", "token_share": "d"},
     "corpus_quality_filter": {"doc_id": "v", "n_tokens": "v", "dup_token_frac": "d", "top_token_frac": "d", "reject_reason": "v", "keep": "v"},
+    "window_time_range_trailing": {"user_id": "v", "event_id": "v", "n_last7d": "v", "sum_last7d": "d"},
+    "text_tfidf_top_terms": {"doc_id": "v", "term": "v", "tf": "v", "df": "v", "score": "d", "rn": "v"},
+    "corpus_decontaminate": {"doc_id": "v", "n_contaminated_grams": "v", "n_grams": "v", "contamination_frac": "d"},
+    "sketch_hll_distinct": {"o_orderpriority": "v", "hll_estimate": "d", "empty_registers": "v", "exact_distinct": "v"},
+    "sketch_countmin_heavy_hitters": {"term": "v", "true_count": "v", "cms_estimate": "v"},
+    "bloom_filter_prune_join": {"o_orderpriority": "v", "n_orders": "v", "revenue": "d"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -190,6 +197,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     # Inner / left-outer / semi / anti join semantics.
     "join_suite": (
         "top_customers_by_revenue", "join_left_outer", "join_semi", "join_anti",
+        "bloom_filter_prune_join",
     ),
     # Multi-dimensional grouping: rollup, cube, grouping sets, distinct aggs.
     "agg_grouping_suite": (
@@ -198,11 +206,13 @@ SUITES: dict[str, tuple[str, ...]] = {
     # Ordered-set / statistical / positional aggregates.
     "agg_advanced_suite": (
         "agg_percentiles", "agg_statistical_moments", "agg_min_max_by",
-        "agg_string_concat",
+        "agg_string_concat", "sketch_hll_distinct",
+        "sketch_countmin_heavy_hitters",
     ),
     # Ranking, offset, and frame-based window functions.
     "window_suite": (
         "window_rank_topn", "window_running_lag", "window_frames",
+        "window_time_range_trailing",
     ),
     # UNION/INTERSECT/EXCEPT (+ ALL variants) and schema-evolution union.
     "set_ops_suite": (
@@ -232,7 +242,8 @@ SUITES: dict[str, tuple[str, ...]] = {
         "text_chunk_windows", "corpus_pack_sequences",
         "text_repetition_signals", "text_pii_redaction",
         "corpus_sample_stratified", "corpus_mix_stats",
-        "corpus_quality_filter",
+        "corpus_quality_filter", "text_tfidf_top_terms",
+        "corpus_decontaminate",
     ),
     # Structured Streaming variants beyond the individually-checked
     # tumbling window and watermark dedup.

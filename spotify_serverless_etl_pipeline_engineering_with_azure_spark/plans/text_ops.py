@@ -9,10 +9,10 @@ scales linearly with input and never moves data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import scatter, table
 from ..registry import register
 
 FP_PRIME = 1000000007
@@ -231,4 +231,66 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_bpe_tokens"),
         F.size(_tokens()).alias("n_ws_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
+    )
+
+
+TFIDF_TOP_N = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROUND(tf.tf * (LN(CAST(n_docs + 1 AS DOUBLE) / (df.df + 1)) + 1), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= {TFIDF_TOP_N}
+""",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed TF-IDF.
+
+    Two map-side-combining aggregations (term frequency per doc, then
+    document frequency per term), a join on term, and a per-doc top-k
+    window. The IDF's LN is the one transcendental — rounded to 6dp on
+    both engines BEFORE ranking, with the term string as tie-break, so
+    ordering is deterministic cross-engine. At 100 TB the df table is
+    vocabulary-sized: broadcast when it fits, shuffle-join when it
+    doesn't (Spark/AQE picks per stats); the top-k window partitions by
+    doc_id so no global sort exists anywhere.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = scatter(docs).select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf")
+        * (F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1),
+        6,
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
     )

@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "plans.advanced_ops",
     "plans.etl_ops",
     "plans.scale_ops",
+    "plans.sketches",
     "plans.llm_corpus",
     "operators.spotify_queries",
     "multimodal.media",

@@ -25,6 +25,19 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
+def lit_vector(vals: list[float]) -> Column:
+    """Literal double array built as ONE SQL expression.
+
+    ``F.array(*[F.lit(v) ...])`` costs one py4j round trip per element
+    — ~64 driver calls per vector literal, which dominates plan-build
+    time for queries embedding several centroids/hyperplanes. A single
+    F.expr parses JVM-side; string→double parse is correctly rounded,
+    so the literals are bit-identical to F.lit of the same float.
+    """
+    body = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals)
+    return F.expr(f"array({body})")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right fold of the elementwise product, in double."""
     return F.aggregate(
@@ -52,7 +65,7 @@ PLANES_PER_TABLE = 4
 
 
 def _plane_lit(plane: list[float]) -> Column:
-    return F.array(*[F.lit(w) for w in plane])
+    return lit_vector(plane)
 
 
 def _table_planes(t: int) -> list[list[float]]:

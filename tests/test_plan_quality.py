@@ -114,3 +114,42 @@ def test_repetition_signals_partial_aggregation(spark):
     map-side partial combine before their shuffles."""
     plan = _plan(spark, "text_repetition_signals")
     assert len(re.findall(r"HashAggregate", plan)) >= 4
+
+
+def test_time_range_window_single_shuffle(spark):
+    """The 7-day trailing window must be one hashpartitioning(user_id)
+    exchange + in-partition sort — never a self-join or global sort."""
+    plan = _plan(spark, "window_time_range_trailing")
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan, "rolling window must not expand into a self-join"
+
+
+def test_bloom_prune_join_broadcasts_filter(spark):
+    """The packed bloom words and the exact semi-join build side must
+    both arrive by broadcast: the fact table is never shuffled."""
+    plan = _plan(spark, "bloom_filter_prune_join")
+    assert plan.count("BroadcastHashJoin") >= 3  # 2 word probes + semi-join
+    assert "hashpartitioning(o_custkey" not in plan, "fact side must not shuffle on key"
+
+
+def test_hll_sketch_two_level_partial_aggregation(spark):
+    """HLL = per-(group,register) MAX then per-group SUM, each with a
+    map-side partial pair — 4 HashAggregates; registers, not raw keys,
+    cross the shuffle."""
+    plan = _plan(spark, "sketch_hll_distinct")
+    assert len(re.findall(r"HashAggregate", plan)) >= 4
+
+
+def test_countmin_probe_is_broadcast(spark):
+    """CMS cells (≤ 2048 rows) must broadcast to the probe side."""
+    plan = _plan(spark, "sketch_countmin_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set is the small side (an eval suite): it must
+    broadcast; the training corpus must not shuffle its grams for the
+    probe join."""
+    plan = _plan(spark, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,204 @@
+"""Data-quality operators: referential-integrity auditing and column
+profiling — the checks a pipeline runs BEFORE trusting a 100 TB drop
+of upstream data, and after every load of the reference's star schema
+(/root/reference/Readme.MD:189-211 plants the FK columns these audits
+verify).
+
+Scale posture: integrity checks are anti-join counts (one shuffle per
+FK, child side never materializes more than its keys); profiling is a
+single full-scan aggregation per table with map-side partial combine —
+every statistic is distributive or algebraic except exact distinct,
+which is the one deliberate shuffle (the HLL sketch in
+plans/sketches.py is its at-scale replacement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+# (relationship label, child table, child FK, parent table, parent key)
+_FK_RELATIONS = (
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for label, child, fk, parent, pk in _FK_RELATIONS:
+        parts.append(f"""
+SELECT '{label}' AS relationship,
+       (SELECT COUNT(*) FROM {child}) AS n_child_rows,
+       (SELECT COUNT(*) FROM {child}
+        WHERE {fk} NOT IN (SELECT {pk} FROM {parent})) AS n_orphans,
+       (SELECT COUNT(*) FROM {child}
+        WHERE {fk} NOT IN (SELECT {pk} FROM {parent})) = 0 AS integrity_ok""")
+    return "\nUNION ALL".join(parts)
+
+
+@register("dq_referential_integrity", oracle=_ri_oracle(), tags=("quality", "audit", "join"))
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK audit across the star schema: orphaned child rows per
+    relationship (anti-join against the parent key set) next to the
+    child row count. A clean load reports 0 orphans everywhere — the
+    AUDIT existing (and being cheap enough to run per load) is the
+    operator; at 100 TB each check is one anti-join where only parent
+    KEYS are built into the hash side, never parent payloads.
+
+    TPC-H keys contain no NULLs, so the anti-join orphan count equals
+    the oracle's NOT IN count (with NULLable FKs, NOT IN's three-valued
+    logic would differ — the anti-join is the semantics you actually
+    want for an audit).
+    """
+    out: DataFrame | None = None
+    for label, child, fk, parent, pk in _FK_RELATIONS:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent).select(pk)
+        orphans = c.select(fk).join(p, c[fk] == p[pk], "left_anti")
+        row = (
+            c.agg(F.count(F.lit(1)).alias("n_child_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(label).alias("relationship"),
+                "n_child_rows",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("integrity_ok"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# Column profile renderers: min/max must serialize identically across
+# engines, so each dtype gets a canonical string form — ints/strings
+# verbatim, doubles through DECIMAL(18,2) (engine double→string
+# formatting differs), timestamps as epoch microseconds.
+_PROFILE_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "dec2"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "dec2":
+            mn = f"CAST(CAST(MIN({col}) AS DECIMAL(18,2)) AS VARCHAR)"
+            mx = f"CAST(CAST(MAX({col}) AS DECIMAL(18,2)) AS VARCHAR)"
+        elif kind == "ts":
+            mn = f"CAST(EPOCH_US(CAST(MIN({col}) AS TIMESTAMP)) AS VARCHAR)"
+            mx = f"CAST(EPOCH_US(CAST(MAX({col}) AS TIMESTAMP)) AS VARCHAR)"
+        else:
+            mn, mx = f"CAST(MIN({col}) AS VARCHAR)", f"CAST(MAX({col}) AS VARCHAR)"
+        parts.append(f"""
+SELECT '{col}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({col}) AS n_nulls,
+       COUNT(DISTINCT {col}) AS n_distinct,
+       {mn} AS min_value,
+       {mx} AS max_value
+FROM orders""")
+    return "\nUNION ALL".join(parts)
+
+
+@register("dq_profile_orders", oracle=_profile_oracle(), tags=("quality", "profile", "agg"))
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler: row/null/distinct counts and canonicalized
+    min/max per column — the schema-drift and data-drift smoke test a
+    pipeline runs on every new partition of upstream data.
+
+    One aggregation pass per column over a single cached scan shape;
+    every statistic partial-aggregates map-side. Exact COUNT(DISTINCT)
+    is the one per-column shuffle — at 100 TB swap in the
+    sketch_hll_distinct pattern for the high-cardinality columns.
+    """
+    orders = table(spark, sf_dir, "orders")
+    out: DataFrame | None = None
+    for col, kind in _PROFILE_COLS:
+        if kind == "dec2":
+            mn = F.min(col).cast("decimal(18,2)").cast("string")
+            mx = F.max(col).cast("decimal(18,2)").cast("string")
+        elif kind == "ts":
+            # parquet TIMESTAMP_NTZ → TIMESTAMP under the pinned UTC
+            # session, matching the oracle's naive-as-UTC EPOCH_US
+            mn = F.unix_micros(F.min(col).cast("timestamp")).cast("string")
+            mx = F.unix_micros(F.max(col).cast("timestamp")).cast("string")
+        else:
+            mn, mx = F.min(col).cast("string"), F.max(col).cast("string")
+        row = orders.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            mn.alias("min_value"),
+            mx.alias("max_value"),
+        ).select(
+            F.lit(col).alias("column_name"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_value",
+            "max_value",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# Histogram: 10 equal-width bins over [0, 600k) dollars in CENTS —
+# integer arithmetic end-to-end so bin edges are exact on both engines
+# (double width_bucket-style division can flip a boundary value's bin
+# in the last ulp; cents × integer-div cannot).
+_HIST_BINS = 10
+_HIST_HI_CENTS = 60_000_000
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+SELECT bin,
+       bin * {_HIST_HI_CENTS // _HIST_BINS // 100} AS lo_dollars,
+       (bin + 1) * {_HIST_HI_CENTS // _HIST_BINS // 100} AS hi_dollars,
+       COUNT(*) AS n_orders
+FROM (
+  SELECT LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) * {_HIST_BINS}
+               // {_HIST_HI_CENTS}, {_HIST_BINS - 1}) AS bin
+  FROM orders
+)
+GROUP BY bin
+""",
+    tags=("quality", "profile", "histogram"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width value histogram (10 bins over order totals) — the
+    distribution-drift profile next to dq_profile_orders' point stats.
+
+    Bucketing runs in integer CENTS (2dp-exact doubles → round → int →
+    integer division), so bin assignment is exact and engine-independent
+    — the same trick Spark's width_bucket can't guarantee across
+    engines at bin boundaries. Map-side: one groupBy over 10 keys.
+    """
+    orders = table(spark, sf_dir, "orders")
+    per_bin_dollars = _HIST_HI_CENTS // _HIST_BINS // 100
+    bin_ = F.least(
+        F.expr(f"CAST(ROUND(o_totalprice * 100) AS BIGINT) * {_HIST_BINS} div {_HIST_HI_CENTS}"),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        orders.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bin",
+            (F.col("bin") * per_bin_dollars).alias("lo_dollars"),
+            ((F.col("bin") + 1) * per_bin_dollars).alias("hi_dollars"),
+            "n_orders",
+        )
+    )

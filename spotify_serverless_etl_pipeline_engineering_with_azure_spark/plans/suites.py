@@ -59,6 +59,7 @@ from . import (  # noqa: F401
     extended_ops,
     llm_corpus,
     misc_ops,
+    quality_ops,
     reference_ops,
     scale_ops,
     similarity,
@@ -177,6 +178,9 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "sketch_hll_distinct": {"o_orderpriority": "v", "hll_estimate": "d", "empty_registers": "v", "exact_distinct": "v"},
     "sketch_countmin_heavy_hitters": {"term": "v", "true_count": "v", "cms_estimate": "v"},
     "bloom_filter_prune_join": {"o_orderpriority": "v", "n_orders": "v", "revenue": "d"},
+    "dq_referential_integrity": {"relationship": "v", "n_child_rows": "v", "n_orphans": "v", "integrity_ok": "v"},
+    "dq_profile_orders": {"column_name": "v", "n_rows": "v", "n_nulls": "v", "n_distinct": "v", "min_value": "v", "max_value": "v"},
+    "agg_histogram": {"bin": "v", "lo_dollars": "v", "hi_dollars": "v", "n_orders": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -207,7 +211,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     "agg_advanced_suite": (
         "agg_percentiles", "agg_statistical_moments", "agg_min_max_by",
         "agg_string_concat", "sketch_hll_distinct",
-        "sketch_countmin_heavy_hitters",
+        "sketch_countmin_heavy_hitters", "agg_histogram",
     ),
     # Ranking, offset, and frame-based window functions.
     "window_suite": (
@@ -261,6 +265,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "scd2_user_value_history", "fuzzy_match_part_names",
         "multimodal_binary_meta", "multimodal_decode_features",
         "multimodal_resize", "multimodal_frame_sample",
+        "dq_referential_integrity", "dq_profile_orders",
     ),
 }
 

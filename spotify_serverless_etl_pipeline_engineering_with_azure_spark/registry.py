@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "plans.etl_ops",
     "plans.scale_ops",
     "plans.sketches",
+    "plans.quality_ops",
     "plans.llm_corpus",
     "operators.spotify_queries",
     "multimodal.media",

@@ -523,3 +523,103 @@ def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(dropped.agg(F.count(F.lit(1)).alias("n_dropped")))
         .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the LSH candidate graph (iterative centrality)
+# ---------------------------------------------------------------------------
+PR_ITERS = 3
+PR_DAMPING = 0.85
+
+# Per-iteration quantization is the cross-engine determinism anchor:
+# ranks are cut to 6dp decimals at every iteration boundary and
+# per-edge contributions to 9dp BEFORE the exact decimal SUM, so
+# float-summation order (Spark's parallel partials vs DuckDB's
+# sequential fold) can never leak into the next iteration's inputs.
+_PR_QUANT = "CAST(CAST(ROUND({x}, 6) AS DECIMAL(18,6)) AS DOUBLE)"
+
+
+def _pagerank_oracle() -> str:
+    iters = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+iter{k} AS (
+  SELECT d.v,
+         {_PR_QUANT.format(x=f"(1 - {PR_DAMPING}) / n.cnt + {PR_DAMPING} * CAST(s.contrib AS DOUBLE)")} AS r
+  FROM (
+    SELECT e.b AS v, SUM(CAST(ROUND(p.r / d2.deg, 9) AS DECIMAL(28,12))) AS contrib
+    FROM edges e
+    JOIN {prev} p ON p.v = e.a
+    JOIN deg d2 ON d2.v = e.a
+    GROUP BY e.b
+  ) s
+  JOIN deg d ON d.v = s.v
+  CROSS JOIN n
+)""")
+        prev = f"iter{k}"
+    its = ",".join(iters)
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+deg AS (SELECT a AS v, COUNT(*) AS deg FROM edges GROUP BY a),
+n AS (SELECT COUNT(*) AS cnt FROM deg),
+r0 AS (
+  SELECT v, {_PR_QUANT.format(x="1.0 / n.cnt")} AS r FROM deg CROSS JOIN n
+),{its}
+SELECT v AS doc_id, r AS pagerank FROM {prev}
+"""
+
+
+@register("graph_pagerank_neardup", oracle=_pagerank_oracle(), tags=("graph", "iterative", "pagerank"))
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the undirected MinHash-LSH
+    candidate graph — ranks the most-connected near-duplicate hubs, the
+    signal a dedup pipeline uses to pick cluster canonicals or flag
+    template spam (a doc near-duplicating MANY others is boilerplate).
+
+    Iterative groupBy-join rounds exactly like connected components
+    above: per round, each vertex's rank disperses along its edges and
+    re-aggregates — one shuffle per iteration, edges localCheckpointed
+    once. The undirected graph has no dangling nodes (every vertex has
+    degree ≥ 1), so no leaked-mass correction term is needed. Ranks are
+    quantized to 6dp at every iteration boundary and contributions
+    summed as exact decimals, making the whole computation bit-identical
+    to the oracle's unrolled-CTE form regardless of summation order.
+
+    (On this synthetic corpus the candidate graph is a union of
+    near-cliques — regular components — so ranks converge to uniform;
+    the oracle still verifies every dispersal/damping step exactly, and
+    irregular graphs rank hubs above leaves with the same plan.)
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    quant = lambda c: F.round(c, 6).cast("decimal(18,6)").cast("double")  # noqa: E731
+    ranks = deg.select("v", quant(F.lit(1.0) / F.lit(float(n))).alias("r"))
+    base = (1 - PR_DAMPING) / float(n)
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("v", "rv"), F.col("rv") == F.col("a"))
+            .join(deg.select(F.col("v").alias("dv"), "deg"), F.col("dv") == F.col("a"))
+            .select("b", F.round(F.col("r") / F.col("deg"), 9).cast("decimal(28,12)").alias("c"))
+            .groupBy("b")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = contribs.select(
+            F.col("b").alias("v"),
+            quant(F.lit(base) + PR_DAMPING * F.col("contrib").cast("double")).alias("r"),
+        ).localCheckpoint()
+    return ranks.select(F.col("v").alias("doc_id"), F.col("r").alias("pagerank"))

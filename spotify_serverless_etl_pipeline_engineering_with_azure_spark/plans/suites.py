@@ -181,6 +181,7 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "dq_referential_integrity": {"relationship": "v", "n_child_rows": "v", "n_orphans": "v", "integrity_ok": "v"},
     "dq_profile_orders": {"column_name": "v", "n_rows": "v", "n_nulls": "v", "n_distinct": "v", "min_value": "v", "max_value": "v"},
     "agg_histogram": {"bin": "v", "lo_dollars": "v", "hi_dollars": "v", "n_orders": "v"},
+    "graph_pagerank_neardup": {"doc_id": "v", "pagerank": "d"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -266,6 +267,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "multimodal_binary_meta", "multimodal_decode_features",
         "multimodal_resize", "multimodal_frame_sample",
         "dq_referential_integrity", "dq_profile_orders",
+        "graph_pagerank_neardup",
     ),
 }
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import scatter, table
 from ..functions.vectors import LSH_TABLES, dot, lsh_bucket, norm, sql_lsh_bucket
 from ..registry import register
 
@@ -156,6 +156,167 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.select("probe_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) over the embedding corpus — iterative clustering
+# ---------------------------------------------------------------------------
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+# Cross-engine determinism anchors (same scheme as graph_pagerank_neardup):
+# centroids are quantized to 6dp at every iteration boundary, per-vector
+# element contributions to the mean are quantized to 9dp and summed as
+# exact decimals, and assignment distances are rounded to 6dp with the
+# centroid id as tie-break — so Spark's parallel partial sums and
+# DuckDB's sequential folds can never diverge between iterations.
+
+
+def _kmeans_oracle() -> str:
+    parts = [
+        f"""
+exp AS (
+  SELECT vec_id, u.i AS pos, u.v AS val FROM (
+    SELECT vec_id,
+           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),
+                  i -> {{'i': CAST(i - 1 AS INTEGER),
+                        'v': CAST(embedding[i] AS DOUBLE)}})) AS u
+    FROM embeddings
+  )
+),
+c0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, pos, ROUND(val, 6) AS cval FROM exp
+  WHERE vec_id < {KMEANS_K}
+)"""
+    ]
+    prev = "c0"
+    for k in range(1, KMEANS_ITERS + 1):
+        parts.append(f"""
+d{k} AS (
+  SELECT e.vec_id, c.cid,
+         ROUND(SUM((e.val - c.cval) * (e.val - c.cval)), 6) AS dist_sq
+  FROM exp e JOIN {prev} c ON c.pos = e.pos
+  GROUP BY e.vec_id, c.cid
+),
+a{k} AS (
+  SELECT vec_id, cid, dist_sq FROM (
+    SELECT vec_id, cid, dist_sq,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_sq, cid) AS rn
+    FROM d{k}
+  ) WHERE rn = 1
+),
+c{k} AS (
+  SELECT p.cid, p.pos, COALESCE(u.cval, p.cval) AS cval
+  FROM {prev} p LEFT JOIN (
+    SELECT a.cid, e.pos,
+           ROUND(CAST(SUM(CAST(ROUND(e.val, 9) AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS cval
+    FROM a{k} a JOIN exp e ON e.vec_id = a.vec_id
+    GROUP BY a.cid, e.pos
+  ) u ON u.cid = p.cid AND u.pos = p.pos
+)""")
+        prev = f"c{k}"
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT vec_id, cid AS cluster_id, dist_sq
+FROM a{KMEANS_ITERS}
+"""
+
+
+def _kmeans_assign_expr(centroids: dict[int, list[float]]) -> str:
+    """One SQL string ranking all K centroids per row: K zip_with
+    squared-distance folds over literal arrays, sorted on (dist, cid).
+    Single py4j call — per-Column construction of K 64-wide folds costs
+    ~1 s of driver time per invocation (see sim_ann_ivf above)."""
+
+    def sq_dist(vals: list[float]) -> str:
+        lits = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals)
+        return (
+            f"round(aggregate(zip_with(embedding, array({lits}), "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z), 6)"
+        )
+
+    structs = ", ".join(
+        f"struct({sq_dist(vals)} AS dist_sq, {cid} AS cid)"
+        for cid, vals in sorted(centroids.items())
+    )
+    return f"element_at(array_sort(array({structs})), 1)"
+
+
+@register("cluster_kmeans_embeddings", oracle=_kmeans_oracle(), tags=("clustering", "kmeans", "iterative"))
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (K=4, 3 iterations, squared-Euclidean) over the
+    embedding corpus, seeded from the first K vectors — the codebook
+    trainer behind IVF cells, semantic corpus bucketing, and
+    diversity-balanced data selection.
+
+    Classic scalable Lloyd shape: the codebook (K×dim doubles) lives on
+    the driver — exactly like sim_ann_ivf's coarse quantizer — so each
+    assignment pass is pure map-side codegen'd literal arithmetic over
+    one corpus scan (zero shuffle, zero crossJoin); each update pass is
+    one map-side-combining hash aggregation keyed (cluster, dim) — K·dim
+    groups cross the wire, independent of corpus size. Per iteration:
+    one scan + one bounded shuffle + one K×dim collect, the same sync a
+    1000-executor cluster would do. An emptied cluster keeps its
+    previous centroid (COALESCE in the oracle, dict fallback here).
+
+    Determinism: per-iteration 6dp centroid quantization, 9dp→decimal
+    exact mean sums, 6dp distances with cid tie-break (see module
+    comment); the unrolled-CTE oracle replays every assignment and
+    update step bit-identically.
+    """
+    emb = scatter(table(spark, sf_dir, "embeddings"))
+    # Initial codebook: first K vectors, element-quantized in-engine so
+    # the 6dp rounding semantics match the oracle's ROUND exactly.
+    init = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < KMEANS_K)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+        )
+        .select("cid", "pos", F.round("val", 6).alias("cval"))
+        .collect()
+    )
+    centroids: dict[int, list[float]] = {}
+    for r in init:
+        centroids.setdefault(r.cid, [0.0] * 64)
+        if r.pos >= len(centroids[r.cid]):
+            centroids[r.cid].extend([0.0] * (r.pos + 1 - len(centroids[r.cid])))
+        centroids[r.cid][r.pos] = r.cval
+
+    for _ in range(KMEANS_ITERS - 1):
+        best = F.expr(_kmeans_assign_expr(centroids))
+        updated = (
+            emb.select(
+                best.getField("cid").alias("cid"),
+                F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+            )
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.round("val", 9).cast("decimal(28,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cid",
+                "pos",
+                F.round(F.col("s").cast("double") / F.col("n"), 6).alias("cval"),
+            )
+            .collect()
+        )
+        nxt = {cid: list(vals) for cid, vals in centroids.items()}
+        for r in updated:
+            nxt[r.cid][r.pos] = r.cval
+        centroids = nxt
+
+    best = F.expr(_kmeans_assign_expr(centroids))
+    return emb.select(
+        "vec_id",
+        best.getField("cid").alias("cluster_id"),
+        best.getField("dist_sq").alias("dist_sq"),
     )
 
 

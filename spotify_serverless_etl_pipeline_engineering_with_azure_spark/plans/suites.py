@@ -182,6 +182,9 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "dq_profile_orders": {"column_name": "v", "n_rows": "v", "n_nulls": "v", "n_distinct": "v", "min_value": "v", "max_value": "v"},
     "agg_histogram": {"bin": "v", "lo_dollars": "v", "hi_dollars": "v", "n_orders": "v"},
     "graph_pagerank_neardup": {"doc_id": "v", "pagerank": "d"},
+    "text_pmi_collocations": {"w1": "v", "w2": "v", "n_pair": "v", "pmi": "d"},
+    "text_vocab_coverage": {"rank": "v", "token": "v", "cnt": "v", "cum_share": "d"},
+    "cluster_kmeans_embeddings": {"vec_id": "v", "cluster_id": "v", "dist_sq": "d"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -248,7 +251,8 @@ SUITES: dict[str, tuple[str, ...]] = {
         "text_repetition_signals", "text_pii_redaction",
         "corpus_sample_stratified", "corpus_mix_stats",
         "corpus_quality_filter", "text_tfidf_top_terms",
-        "corpus_decontaminate",
+        "corpus_decontaminate", "text_pmi_collocations",
+        "text_vocab_coverage",
     ),
     # Structured Streaming variants beyond the individually-checked
     # tumbling window and watermark dedup.
@@ -267,7 +271,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "multimodal_binary_meta", "multimodal_decode_features",
         "multimodal_resize", "multimodal_frame_sample",
         "dq_referential_integrity", "dq_profile_orders",
-        "graph_pagerank_neardup",
+        "graph_pagerank_neardup", "cluster_kmeans_embeddings",
     ),
 }
 

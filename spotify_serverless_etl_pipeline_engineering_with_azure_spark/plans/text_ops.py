@@ -234,6 +234,151 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_PAIR_COUNT = 5
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents
+),
+bg AS (
+  SELECT u.w1, u.w2 FROM (
+    SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)),
+                  i -> {{'w1': l[i], 'w2': l[i + 1]}})) AS u
+    FROM tok
+  )
+),
+uni AS (
+  SELECT t AS w, COUNT(*) AS c FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+  ) GROUP BY t
+),
+totals AS (
+  SELECT (SELECT COUNT(*) FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) FROM documents)) AS n_uni,
+         (SELECT COUNT(*) FROM bg) AS n_bi
+),
+pairs AS (
+  SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY w1, w2
+  HAVING COUNT(*) >= {MIN_PAIR_COUNT}
+)
+SELECT p.w1, p.w2, p.n_pair,
+       ROUND(LN((CAST(p.n_pair AS DOUBLE) / t.n_bi) /
+                ((CAST(u1.c AS DOUBLE) / t.n_uni) * (CAST(u2.c AS DOUBLE) / t.n_uni))), 6)
+         AS pmi
+FROM pairs p
+JOIN uni u1 ON u1.w = p.w1
+JOIN uni u2 ON u2.w = p.w2
+CROSS JOIN totals t
+""",
+    tags=("text", "pmi", "collocation"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token bigrams — the
+    classic collocation-mining signal (phrase detection for tokenizer
+    vocab building, boilerplate-phrase discovery).
+
+    Bigram expansion is row-local (``transform`` over the token array —
+    no self-join on position); the pair and unigram counts are two
+    map-side-combining aggregations, and the unigram table joined back
+    is vocabulary-sized, so both enrich joins broadcast at any corpus
+    scale. PMI's LN is computed from the same division tree on both
+    engines and rounded to 6dp, absorbing libm last-ulp differences.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigram = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+        "(x, i) -> struct(x AS w1, element_at(split(text, ' '), i + 2) AS w2))"
+    )
+    bg = scatter(docs).select(F.explode(bigram).alias("b")).select("b.w1", "b.w2")
+    uni = (
+        scatter(docs)
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = docs.select(F.sum(F.size(toks)).alias("n_uni"))
+    pairs = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= MIN_PAIR_COUNT)
+    )
+    n_bi = bg.agg(F.count(F.lit(1)).alias("n_bi"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") / F.col("n_bi"))
+            / (
+                (F.col("u1.c").cast("double") / F.col("n_uni"))
+                * (F.col("u2.c").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(uni.alias("u1")), F.col("w1") == F.col("u1.w"))
+        .join(F.broadcast(uni.alias("u2")), F.col("w2") == F.col("u2.w"))
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+WITH uni AS (
+  SELECT t AS token, COUNT(*) AS cnt FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+  ) GROUP BY t
+),
+tot AS (SELECT SUM(cnt) AS n_total FROM uni)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
+       token, cnt,
+       ROUND(CAST(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+             / n_total, 6) AS cum_share
+FROM uni CROSS JOIN tot
+""",
+    tags=("text", "vocab"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with cumulative corpus coverage — the
+    tokenizer-sizing curve ("how many vocab entries cover 95% of
+    tokens").
+
+    The corpus reduces to a vocabulary-sized table via one map-side-
+    combining count; the ranking window then runs over vocab rows only
+    (bounded, ≪ corpus — the single-partition window is over thousands
+    of rows at any data scale, never over the corpus). Cumulative sums
+    are exact integers; only the final share divides, rounded to 6dp.
+    """
+    docs = table(spark, sf_dir, "documents")
+    uni = (
+        scatter(docs)
+        .select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = uni.agg(F.sum("cnt").alias("n_total"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    cum = Window.orderBy(F.desc("cnt"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        uni.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "cnt",
+            F.round(F.sum("cnt").over(cum).cast("double") / F.col("n_total"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
 TFIDF_TOP_N = 3
 
 

@@ -146,6 +146,78 @@ FROM scored WHERE rk <= {_TOPK}
 _CENTROID_CACHE: dict[tuple, list] = {}
 
 
+def load_centroids(spark: SparkSession, sf_dir: str, k: int) -> list:
+    """First-k-vectors codebook, collected once per dataset identity.
+
+    The codebook is driver-resident in every real IVF/SemDeDup system
+    (FAISS keeps the coarse quantizer in memory). Collecting it lets
+    cell assignment run entirely map-side as codegen'd literal
+    arithmetic: no N×K crossJoin, no per-vector window shuffle. The
+    collect is cached per dataset identity (a quantizer is loaded once,
+    not per query) — the mtime in the key rebuilds it if the underlying
+    parquet is regenerated.
+    """
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    cache_key = (sf_dir, st.st_mtime_ns, st.st_size, k)
+    cent_rows = _CENTROID_CACHE.get(cache_key)
+    if cent_rows is None:
+        cent_rows = sorted(
+            table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < k)
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r.vec_id,
+        )
+        _CENTROID_CACHE[cache_key] = cent_rows
+    return cent_rows
+
+
+def ranked_centroids_expr(cent_rows: list):
+    """Centroids ranked by cosine similarity to the row's ``embedding``.
+
+    Returns an array<struct<neg_sim,cid>> Column sorted ascending on
+    (neg_sim, cid) == (sim DESC, cid ASC) — the same tie-break as a
+    ROW_NUMBER() OVER (ORDER BY sim DESC, cid) oracle. Requires a
+    double ``nrm`` column (the row vector's norm) in scope.
+
+    Centroid norms are Python-side constants (the oracle compares
+    ROUND(...,6) similarities, which absorbs sub-1e-6 summation-order
+    differences — the same tolerance the oracle's own
+    LIST_COSINE_SIMILARITY already relies on); the row norm is folded
+    once per row, so assignment costs K dot-folds + 1 norm-fold per row
+    instead of 3K. The whole ranked-centroids expression is ONE SQL
+    string (a single py4j call + one JVM-side parse): per-Column
+    construction of K zip_with/aggregate folds over 64-wide literal
+    arrays costs ~0.8 s of driver time per invocation; this is
+    identical Catalyst-side.
+    """
+    import math
+
+    def _pynorm(vals: list[float]) -> float:
+        acc = 0.0
+        for v in vals:
+            acc += float(v) * float(v)
+        return math.sqrt(acc)
+
+    def _sql_dot_lit(vals: list[float]) -> str:
+        lits = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals)
+        return (
+            f"aggregate(zip_with(embedding, array({lits}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
+    structs = ", ".join(
+        f"struct(-round({_sql_dot_lit(r.embedding)} / "
+        f"(nrm * CAST('{_pynorm(r.embedding)!r}' AS DOUBLE)), 6) AS neg_sim, "
+        f"{int(r.vec_id)} AS cid)"
+        for r in cent_rows
+    )
+    return F.expr(f"array_sort(array({structs}))")
+
+
 @register("sim_ann_ivf", oracle=_ivf_oracle(), tags=("similarity", "ann", "ivf"))
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style multi-probe ANN: assign every vector to its nearest of
@@ -164,68 +236,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one cell (rn = 1 partition) and each (probe, cell) edge is
     distinct.
     """
-    from ..functions.vectors import cosine
+    from ..functions.vectors import norm
 
     emb = scatter(table(spark, sf_dir, "embeddings"))
-    # The codebook is K=8 vectors — driver-resident in every real IVF
-    # system (FAISS keeps the coarse quantizer in memory). Collecting it
-    # lets cell assignment run entirely map-side as codegen'd literal
-    # arithmetic: no N×K crossJoin, no per-vector window shuffle. The
-    # collect is cached per dataset identity (a quantizer is loaded
-    # once, not per query) — the mtime in the key rebuilds it if the
-    # underlying parquet is regenerated.
-    import os
-
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    cache_key = (sf_dir, st.st_mtime_ns, st.st_size)
-    cent_rows = _CENTROID_CACHE.get(cache_key)
-    if cent_rows is None:
-        cent_rows = sorted(
-            table(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") < _N_CENTROIDS)
-            .select("vec_id", "embedding")
-            .collect(),
-            key=lambda r: r.vec_id,
-        )
-        _CENTROID_CACHE[cache_key] = cent_rows
-    # Centroid norms are Python-side constants (the oracle compares
-    # ROUND(...,6) similarities, which absorbs sub-1e-6 summation-order
-    # differences — the same tolerance the oracle's own
-    # LIST_COSINE_SIMILARITY already relies on); the row norm is folded
-    # once per row, so assignment costs K dot-folds + 1 norm-fold per
-    # row instead of 3K.
-    import math
-
-    from ..functions.vectors import dot, lit_vector, norm
-
-    def _pynorm(vals: list[float]) -> float:
-        acc = 0.0
-        for v in vals:
-            acc += float(v) * float(v)
-        return math.sqrt(acc)
-
-    # The whole ranked-centroids expression is ONE SQL string (a single
-    # py4j call + one JVM-side parse): per-Column construction of 8
-    # zip_with/aggregate folds over 64-wide literal arrays costs ~0.8 s
-    # of driver time per invocation; this is identical Catalyst-side.
-    def _sql_dot_lit(vals: list[float]) -> str:
-        lits = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals)
-        return (
-            f"aggregate(zip_with(embedding, array({lits}), "
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-
-    structs = ", ".join(
-        f"struct(-round({_sql_dot_lit(r.embedding)} / "
-        f"(nrm * CAST('{_pynorm(r.embedding)!r}' AS DOUBLE)), 6) AS neg_sim, "
-        f"{int(r.vec_id)} AS cid)"
-        for r in cent_rows
-    )
-    ranked = F.expr(f"array_sort(array({structs}))")
+    cent_rows = load_centroids(spark, sf_dir, _N_CENTROIDS)
+    ranked = ranked_centroids_expr(cent_rows)
     emb_n = emb.withColumn("nrm", norm(F.col("embedding")))
-    # sorted ascending on (neg_sim, cid) == (sim DESC, cid ASC): same
-    # tie-break as the oracle's ROW_NUMBER ordering.
     member = emb_n.select(
         "vec_id", F.element_at(ranked, 1).getField("cid").alias("cid")
     )

@@ -393,6 +393,172 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: cluster-bucketed semantic dedup (the embedding-cosine scale path)
+# ---------------------------------------------------------------------------
+SEMDEDUP_K = 8  # codebook size; production: K ~ sqrt(N) keeps cells bounded
+SEMDEDUP_TAU = 0.5  # drop a vector whose max cosine to a lower-id cellmate ≥ τ
+
+
+def _semdedup_oracle() -> str:
+    cos = (
+        "ROUND(LIST_COSINE_SIMILARITY(CAST({a} AS DOUBLE[]), "
+        "CAST({b} AS DOUBLE[])), 6)"
+    )
+    asim = cos.format(a="e.embedding", b="c.cemb")
+    psim = cos.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+              WHERE vec_id < {SEMDEDUP_K}),
+assign AS (
+  SELECT e.vec_id,
+         c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {asim} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+member AS (SELECT vec_id, cid AS cluster FROM assign WHERE rn = 1),
+pairs AS (
+  SELECT mb.vec_id AS vb, {psim} AS cs
+  FROM member ma
+  JOIN member mb ON ma.cluster = mb.cluster AND ma.vec_id < mb.vec_id
+  JOIN embeddings ea ON ea.vec_id = ma.vec_id
+  JOIN embeddings eb ON eb.vec_id = mb.vec_id
+),
+agg AS (SELECT vb AS vec_id, MAX(cs) AS mx FROM pairs GROUP BY vb)
+SELECT m.vec_id, m.cluster,
+       COALESCE(a.mx, CAST(-1.0 AS DOUBLE)) AS max_sim_lower,
+       COALESCE(a.mx, CAST(-1.0 AS DOUBLE)) < {SEMDEDUP_TAU} AS keep
+FROM member m LEFT JOIN agg a ON a.vec_id = m.vec_id
+"""
+
+
+@register("dedup_semdedup", oracle=_semdedup_oracle(), tags=("dedup", "embedding", "semdedup"))
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via k-means cells.
+
+    Assign every vector to its nearest of K codebook centroids, then
+    compare ONLY within a cell: a vector is dropped when its max cosine
+    to a lower-id cellmate reaches SEMDEDUP_TAU. This is the scale path
+    that `dedup_embedding_cosine` (exact all-pairs verification) is the
+    spot-check for: cell assignment is O(N·K) map-side literal
+    arithmetic against a driver-resident codebook (no shuffle — the
+    same broadcast-quantizer pattern as sim_ann_ivf), pair expansion is
+    O(Σ cell²) instead of O(N²), bounded by choosing K ~ sqrt(N) so
+    cells stay ~sqrt(N) wide; a hot cell takes the join_salted
+    treatment. One shuffle builds the cells, one joins embeddings onto
+    the (much smaller) candidate pair set.
+
+    Output is the per-vector verdict a corpus pipeline consumes:
+    (vec_id, cluster, max_sim_lower, keep) — every input row appears
+    exactly once, keep=false marks semantic near-duplicates.
+    """
+    from ..functions.vectors import dot, norm
+
+    from .advanced_ops import load_centroids, ranked_centroids_expr
+
+    emb = scatter(table(spark, sf_dir, "embeddings"))
+    ranked = ranked_centroids_expr(load_centroids(spark, sf_dir, SEMDEDUP_K))
+    member = emb.withColumn("nrm", norm(F.col("embedding"))).select(
+        "vec_id",
+        F.element_at(ranked, 1).getField("cid").cast("long").alias("cluster"),
+    )
+    cells = (
+        member.groupBy("cluster")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = _bucket_pairs(cells).select(
+        F.col("doc_a").alias("va"), F.col("doc_b").alias("vb")
+    )
+    # Norms folded once per vector before the pair join; each candidate
+    # pair pays a single dot fold. The embeddings side is keyed by
+    # vec_id, so both attach joins shuffle on the key (broadcast at
+    # probe scale, sort-merge at corpus scale — AQE picks).
+    ea = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("emb_a"),
+        norm(F.col("embedding")).alias("nrm_a"),
+    )
+    eb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("emb_b"),
+        norm(F.col("embedding")).alias("nrm_b"),
+    )
+    cs = F.round(
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+    )
+    max_lower = (
+        pairs.join(ea, F.col("a_id") == F.col("va"))
+        .join(eb, F.col("b_id") == F.col("vb"))
+        .select("vb", cs.alias("cs"))
+        .groupBy("vb")
+        .agg(F.max("cs").alias("mx"))
+    )
+    sim = F.coalesce(F.col("mx"), F.lit(-1.0))
+    return (
+        member.join(max_lower, member.vec_id == max_lower.vb, "left")
+        .select(
+            "vec_id",
+            "cluster",
+            sim.alias("max_sim_lower"),
+            (sim < SEMDEDUP_TAU).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (which sources copy from each other)
+# ---------------------------------------------------------------------------
+def _cross_source_oracle() -> str:
+    return f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()})),
+labeled AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b
+  FROM pairs
+  JOIN documents da ON da.doc_id = pairs.doc_a
+  JOIN documents db ON db.doc_id = pairs.doc_b
+)
+SELECT source_a, source_b, COUNT(*) AS n_pairs
+FROM labeled GROUP BY 1, 2
+"""
+
+
+@register(
+    "corpus_cross_source_overlap",
+    oracle=_cross_source_oracle(),
+    tags=("dedup", "corpus", "provenance"),
+)
+def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate overlap matrix between corpus sources.
+
+    The curation question behind dedup: which pairs of sources share
+    near-duplicate content (mirrors, scrapes, cross-posts)? MinHash+LSH
+    candidate pairs (the scale-safe generator) are labeled with each
+    side's source via two key joins against the documents dimension,
+    then counted per unordered source pair. The pair set is orders of
+    magnitude smaller than the corpus, so both label joins broadcast
+    the pair side at any scale; LEAST/GREATEST canonicalizes the
+    unordered pair so (A,B) and (B,A) fold together.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = table(spark, sf_dir, "documents")
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    labeled = (
+        pairs.join(da, F.col("id_a") == F.col("doc_a"))
+        .join(db, F.col("id_b") == F.col("doc_b"))
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Connected components over the LSH candidate graph (dedup clustering)
 # ---------------------------------------------------------------------------
 def _cc_oracle() -> str:

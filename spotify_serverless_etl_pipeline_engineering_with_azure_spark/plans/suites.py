@@ -185,6 +185,8 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "text_pmi_collocations": {"w1": "v", "w2": "v", "n_pair": "v", "pmi": "d"},
     "text_vocab_coverage": {"rank": "v", "token": "v", "cnt": "v", "cum_share": "d"},
     "cluster_kmeans_embeddings": {"vec_id": "v", "cluster_id": "v", "dist_sq": "d"},
+    "dedup_semdedup": {"vec_id": "v", "cluster": "v", "max_sim_lower": "d", "keep": "v"},
+    "corpus_cross_source_overlap": {"source_a": "v", "source_b": "v", "n_pairs": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -272,6 +274,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "multimodal_resize", "multimodal_frame_sample",
         "dq_referential_integrity", "dq_profile_orders",
         "graph_pagerank_neardup", "cluster_kmeans_embeddings",
+        "dedup_semdedup", "corpus_cross_source_overlap",
     ),
 }
 

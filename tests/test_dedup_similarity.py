@@ -129,3 +129,41 @@ def test_dedup_exact_is_lossless_partition(spark, sf_dir):
     n_docs = table(spark, sf_dir, "documents").count()
     agg = out.agg(F.sum("n_copies")).first()[0]
     assert agg == n_docs  # every doc in exactly one group
+
+
+def test_semdedup_partitions_corpus_and_drops_duplicates(spark, sf_dir):
+    """Every vector gets exactly one verdict; an exact duplicate pair
+    lands in the same cell and the higher id is dropped (the SemDeDup
+    guarantee: identical embeddings have cosine 1 to every centroid, so
+    they share a nearest cell and score max_sim_lower = 1 >= tau)."""
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.catalog import table
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.dedup import (
+        SEMDEDUP_TAU,
+        dedup_semdedup,
+    )
+
+    out = ALL["dedup_semdedup"].fn(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    rows = out.collect()
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    for r in rows:
+        assert r.keep == (r.max_sim_lower < SEMDEDUP_TAU)
+
+    # Inject an exact duplicate of vec 9 as a fresh max id: the clone
+    # must be dropped while some original representative is kept.
+    import tempfile
+
+    clone_id = n + 1000
+    dup = emb.filter(F.col("vec_id") == 9).select(
+        F.lit(clone_id).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        emb.select("vec_id", "embedding", "label").unionByName(dup).write.parquet(
+            f"{tmp}/embeddings.parquet"
+        )
+        verdicts = {r.vec_id: r for r in dedup_semdedup(spark, tmp).collect()}
+    assert not verdicts[clone_id].keep
+    assert abs(verdicts[clone_id].max_sim_lower - 1.0) < 1e-6
+    assert verdicts[9].cluster == verdicts[clone_id].cluster

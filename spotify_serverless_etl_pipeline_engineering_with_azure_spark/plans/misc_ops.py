@@ -51,6 +51,36 @@ def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_sink_roundtrip",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY l_returnflag
+""",
+    tags=("sink", "orc", "pushdown"),
+)
+def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar ORC sink + filtered read-back (the second columnar
+    format Spark ships natively besides parquet — warehouses routinely
+    hold both). The read-back filter and 3-column projection push into
+    the ORC scan exactly as with parquet (predicate pushdown + column
+    pruning over ORC stripe stats), so the aggregate must equal
+    computing it straight from the source table.
+    """
+    out = f"/tmp/sse_orc_roundtrip_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_shipdate"
+    )
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).filter(F.col("l_shipdate") >= "1995-01-01")
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("l_extendedprice"), 2).alias("total")
+    )
+
+
+@register(
     "sql_grouping_sets",
     oracle="""
 SELECT r_name, n_name, COUNT(*) AS n_customers

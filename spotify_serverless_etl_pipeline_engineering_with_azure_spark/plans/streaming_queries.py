@@ -331,3 +331,47 @@ def streaming_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.expr("ts_us div 3600000000")).alias("n_hours")
     )
     return agg_typed.join(agg_users, "event_type").join(agg_times, "event_type")
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN EPOCH(CAST(ts AS TIMESTAMP)) - EPOCH(CAST(LAG(ts) OVER w AS TIMESTAMP)) > 1800
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+    tags=("streaming", "session-window"),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window as a REAL streaming aggregation: dynamic
+    30-min-gap sessions whose state merges windows as events arrive —
+    the canonical sessionization a clickstream pipeline runs 24/7.
+
+    Executed file-source → availableNow → memory sink in complete mode
+    (one micro-batch over the bounded table: nothing is late, so the
+    result equals the batch session_window / gaps-and-islands oracle).
+    At scale, session state is per-user MapState merged by the dedicated
+    SessionWindowStateStore path; the watermark bounds state retention.
+    """
+    name = _sink_name("stream_sess")
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "24 hours")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)

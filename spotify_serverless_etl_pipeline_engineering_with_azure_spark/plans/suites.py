@@ -187,6 +187,9 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "cluster_kmeans_embeddings": {"vec_id": "v", "cluster_id": "v", "dist_sq": "d"},
     "dedup_semdedup": {"vec_id": "v", "cluster": "v", "max_sim_lower": "d", "keep": "v"},
     "corpus_cross_source_overlap": {"source_a": "v", "source_b": "v", "n_pairs": "v"},
+    "text_unigram_logprob": {"doc_id": "v", "n_tokens": "v", "h_bits": "d"},
+    "orc_sink_roundtrip": {"l_returnflag": "v", "n": "v", "total": "d"},
+    "streaming_session_window": {"user_id": "v", "session_start": "t", "n_events": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -254,14 +257,14 @@ SUITES: dict[str, tuple[str, ...]] = {
         "corpus_sample_stratified", "corpus_mix_stats",
         "corpus_quality_filter", "text_tfidf_top_terms",
         "corpus_decontaminate", "text_pmi_collocations",
-        "text_vocab_coverage",
+        "text_vocab_coverage", "text_unigram_logprob",
     ),
     # Structured Streaming variants beyond the individually-checked
     # tumbling window and watermark dedup.
     "streaming_suite": (
         "streaming_sliding_window", "streaming_stream_stream_join",
         "streaming_static_enrich_join", "streaming_foreach_batch_sink",
-        "streaming_stateful_user_totals",
+        "streaming_stateful_user_totals", "streaming_session_window",
     ),
     # Remaining batch ETL / event-time / layout operators.
     "etl_misc_suite": (
@@ -275,6 +278,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "dq_referential_integrity", "dq_profile_orders",
         "graph_pagerank_neardup", "cluster_kmeans_embeddings",
         "dedup_semdedup", "corpus_cross_source_overlap",
+        "orc_sink_roundtrip",
     ),
 }
 

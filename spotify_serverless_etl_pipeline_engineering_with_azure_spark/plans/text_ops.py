@@ -439,3 +439,65 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP_N)
         .select("doc_id", "term", "tf", "df", "score", "rn")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS n_total FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         ROUND(LOG2(CAST(v.cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS lp
+  FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(-(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)), 6)
+         AS h_bits
+FROM scored GROUP BY doc_id
+""",
+    tags=("text", "quality", "language-model"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy per document (CCNet-style LM quality proxy).
+
+    Perplexity filtering scores each document against a language model;
+    the distributed unigram form is fully expressible in SQL: build the
+    corpus unigram distribution (one map-side-combining aggregation),
+    score every token with round(log2 p, 6) — per-row transcendental,
+    identical division tree both engines — and average per document.
+    h_bits = -mean log2 p(tok); outlier-high documents are gibberish /
+    rare-token soup, outlier-low are repetitive boilerplate, the same
+    two tails a real perplexity filter trims.
+
+    Scale posture: the vocabulary is sublinear in corpus size (Heaps'
+    law) and broadcasts; token scoring is a broadcast-hash join (no
+    corpus shuffle); the only corpus-sized shuffles are the vocab count
+    and the per-doc aggregation, both with map-side partial aggregation.
+    Per-token logs are 6dp-quantized then decimal-summed (the PageRank
+    discipline), so the per-doc mean is order-independent and
+    bit-identical across engines.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = scatter(docs).select("doc_id", F.explode(_tokens()).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    lp = F.round(
+        F.log2(F.col("cnt").cast("double") / F.col("n_total").cast("double")), 6
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp.alias("lp"))
+    )
+    from ..functions.exact import dec
+
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            -(F.sum(dec(F.col("lp"), 6)).cast("double") / F.count(F.lit(1))), 6
+        ).alias("h_bits"),
+    )

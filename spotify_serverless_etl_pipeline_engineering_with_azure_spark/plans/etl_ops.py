@@ -110,3 +110,60 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         eff_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "observe_pipeline_metrics",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+""",
+    tags=("etl", "observe", "metrics"),
+)
+def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pipeline audit metrics via the Observation API.
+
+    A production sink job must emit row counts / null counts / control
+    totals WITHOUT a second scan of the input. ``df.observe`` attaches
+    accumulator-backed aggregates to the frame: the metrics materialize
+    as a side effect of the one writing action (here the noop sink
+    standing in for the real writer). The returned one-row frame is the
+    audit record a pipeline would log; the oracle recomputes the same
+    metrics relationally, proving the observed values are exact — not
+    sampled — at any scale (accumulators merge per-task, no extra
+    shuffle, no second pass).
+    """
+    from pyspark.sql import Observation
+
+    orders = table(spark, sf_dir, "orders")
+    obs = Observation("orders_audit")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_priority"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_null_priority"]),
+                float(m["total_price"]),
+                int(m["min_key"]),
+                int(m["max_key"]),
+            )
+        ],
+        "n_rows bigint, n_null_priority bigint, total_price double, min_key bigint, max_key bigint",
+    )

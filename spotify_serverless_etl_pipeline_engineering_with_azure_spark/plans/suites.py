@@ -190,6 +190,7 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "text_unigram_logprob": {"doc_id": "v", "n_tokens": "v", "h_bits": "d"},
     "orc_sink_roundtrip": {"l_returnflag": "v", "n": "v", "total": "d"},
     "streaming_session_window": {"user_id": "v", "session_start": "t", "n_events": "v"},
+    "observe_pipeline_metrics": {"n_rows": "v", "n_null_priority": "v", "total_price": "d", "min_key": "v", "max_key": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -278,7 +279,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "dq_referential_integrity", "dq_profile_orders",
         "graph_pagerank_neardup", "cluster_kmeans_embeddings",
         "dedup_semdedup", "corpus_cross_source_overlap",
-        "orc_sink_roundtrip",
+        "orc_sink_roundtrip", "observe_pipeline_metrics",
     ),
 }
 

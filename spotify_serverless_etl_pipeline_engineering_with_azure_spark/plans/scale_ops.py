@@ -255,3 +255,55 @@ def bloom_filter_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@register(
+    "compact_small_files",
+    oracle="""
+SELECT CAST(48 AS BIGINT) AS n_files_before,
+       CAST(4 AS BIGINT) AS n_files_after,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+""",
+    tags=("layout", "compaction", "maintenance"),
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every 100 TB
+    lakehouse runs: a fragmented dataset (here 48 shuffle-sized files,
+    the debris a wide parallel write leaves) is rewritten into few
+    full-sized files so later scans pay per-file open/footer cost 12×
+    less often.
+
+    The compaction read uses coalesce(4), NOT repartition: coalesce
+    narrows partitions without a shuffle, so the rewrite is pure
+    read+write I/O. The returned audit row carries the REAL before/after
+    file counts listed from disk plus content control totals; the oracle
+    pins the expected counts as literals and recomputes the totals from
+    the source table, proving the rewrite is lossless.
+    """
+    import hashlib
+    import os
+
+    base = f"/tmp/sse_compact_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    frag, compacted = f"{base}/frag", f"{base}/compact"
+    orders = table(spark, sf_dir, "orders")
+    orders.repartition(48).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compacted)
+
+    def _n_parquet(path: str) -> int:
+        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+    back = spark.read.parquet(compacted)
+    return (
+        back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.lit(_n_parquet(frag)).cast("long").alias("n_files_before"),
+            F.lit(_n_parquet(compacted)).cast("long").alias("n_files_after"),
+            "n_rows",
+            "total_price",
+        )
+    )

@@ -191,6 +191,8 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "orc_sink_roundtrip": {"l_returnflag": "v", "n": "v", "total": "d"},
     "streaming_session_window": {"user_id": "v", "session_start": "t", "n_events": "v"},
     "observe_pipeline_metrics": {"n_rows": "v", "n_null_priority": "v", "total_price": "d", "min_key": "v", "max_key": "v"},
+    "udtf_sentence_stats": {"doc_id": "v", "tok": "v", "tok_len": "v", "is_long": "v"},
+    "compact_small_files": {"n_files_before": "v", "n_files_after": "v", "n_rows": "v", "total_price": "d"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -245,7 +247,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     # from_json schema projection.
     "udf_surface_suite": (
         "udf_pandas_scalar", "udf_apply_in_pandas", "udf_map_in_arrow",
-        "from_json_props",
+        "from_json_props", "udtf_sentence_stats",
     ),
     # Text-analysis + LLM-corpus-prep operators over the documents
     # corpus (chunking, packing, repetition signals, PII redaction,
@@ -280,6 +282,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "graph_pagerank_neardup", "cluster_kmeans_embeddings",
         "dedup_semdedup", "corpus_cross_source_overlap",
         "orc_sink_roundtrip", "observe_pipeline_metrics",
+        "compact_small_files",
     ),
 }
 

@@ -165,3 +165,51 @@ def variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "string").alias("k_string"),
         F.variant_get(v, "$.missing", "string").isNull().alias("missing_is_null"),
     )
+
+
+@register(
+    "udtf_sentence_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+  WHERE doc_id % 7 = 0
+)
+SELECT doc_id, tok,
+       CAST(LEN(tok) AS INTEGER) AS tok_len,
+       (LEN(tok) >= 5) AS is_long
+FROM toks
+""",
+    tags=("udf", "udtf", "python"),
+)
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one input row → N output rows with
+    computed columns — the table-function member of the Python surface
+    (scalar pandas_udf, grouped applyInPandas, mapInArrow, and this).
+
+    A UDTF is the idiomatic escape hatch when per-row fan-out needs
+    imperative logic (parsers, tokenizers with state); here the body is
+    deliberately simple so the DuckDB UNNEST oracle can certify the
+    machinery. Scale posture: UDTFs evaluate row-local in the Python
+    worker (no shuffle introduced); prefer explode()+builtins when the
+    logic fits — this exists to verify the boundary, and the lateral
+    join it plans stays within the partition.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok: string, tok_len: int, is_long: boolean")
+    class SentenceStats:
+        def eval(self, text: str):
+            for tok in (text or "").split(" "):
+                yield tok, len(tok), len(tok) >= 5
+
+    # lateral-join the UDTF against the filtered docs via the SQL API
+    # (the only stable way to pass a column argument in PySpark 4).
+    spark.udtf.register("sse_sentence_stats", SentenceStats)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    docs.createOrReplaceTempView("sse_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.tok, s.tok_len, s.is_long
+        FROM sse_udtf_docs d, LATERAL sse_sentence_stats(d.text) s
+        """
+    )

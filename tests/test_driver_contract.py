@@ -43,3 +43,40 @@ def test_queries_run_from_foreign_cwd():
     assert "CWD_CONTRACT_OK" in proc.stdout, (
         f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
     )
+
+
+def test_timestamp_queries_survive_non_utc_session():
+    """The driver may run with any session timezone; catalog.table pins
+    UTC per call, so timestamp-output queries must match the UTC oracle
+    even when the session starts in America/New_York (a regression here
+    shifts every window/session boundary by the offset)."""
+    script = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "America/New_York")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+from tests.oracle_mirror import duckdb_conn, compare
+qs, osql = e.queries(), e.oracle_sql()
+con = duckdb_conn("/root/testdata/sf0.001")
+for name in ("events_tumbling_window", "ref_c1_timestamp_cast",
+             "events_sessionization", "streaming_tumbling_window"):
+    p = compare(qs[name](spark, "/root/testdata/sf0.001").toPandas(),
+                con.execute(osql[name]).fetchdf())
+    assert not p, f"{{name}}: {{p}}"
+print("TZ_CONTRACT_OK")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env={**os.environ, "PYTHONDONTWRITEBYTECODE": "1", "TZ": "America/New_York"},
+    )
+    assert "TZ_CONTRACT_OK" in proc.stdout, (
+        f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
+    )

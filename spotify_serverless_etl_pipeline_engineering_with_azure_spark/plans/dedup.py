@@ -149,22 +149,15 @@ GROUP BY 1, 2
 """
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: shingle → 16 minhashes → 8 bands
-    of 2 → bucket grouping on (band, sig) → in-bucket pair expansion.
-
-    The 16-hash signature is ONE aggregation (16 min() columns, partial
-    agg map-side); banding replaces the O(n²) all-pairs scan, and
-    collect_list bucketing evaluates the signature pipeline once (a
-    bucket self-join would evaluate it per join side).
-    """
-    docs = table(spark, sf_dir, "documents")
+def _band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH banding rows: shingle → md5 48-bit →
+    16 minhashes in ONE aggregation (partial agg map-side) → 8 bands of
+    2 exploded row-locally. SQL-string construction (one py4j call per
+    F.expr) — identical plan, ~6× cheaper driver-side build than
+    per-Column operator calls."""
     hashed = _shingles(docs).select(
         "doc_id", (md5_int48(F.col("sh")) % MERSENNE31).alias("x")
     )
-    # SQL-string construction (one py4j call per F.expr) — identical
-    # plan, ~6× cheaper driver-side build than per-Column operator calls.
     minhash = hashed.groupBy("doc_id").agg(
         *[
             F.expr(f"MIN(({a} * x + {b}) % {MERSENNE31}) AS mh_{j}")
@@ -176,9 +169,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols = range(k * MINHASH_ROWS_PER_BAND, (k + 1) * MINHASH_ROWS_PER_BAND)
         sig = ", ".join(f"CAST(mh_{j} AS STRING)" for j in cols)
         band_structs.append(f"struct({k} AS band, concat_ws(',', {sig}) AS sig)")
-    bands = minhash.select(
+    return minhash.select(
         "doc_id", F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 16 minhashes → 8 bands
+    of 2 → bucket grouping on (band, sig) → in-bucket pair expansion.
+
+    The 16-hash signature is ONE aggregation (16 min() columns, partial
+    agg map-side); banding replaces the O(n²) all-pairs scan, and
+    collect_list bucketing evaluates the signature pipeline once (a
+    bucket self-join would evaluate it per join side).
+    """
+    docs = table(spark, sf_dir, "documents")
+    bands = _band_signatures(docs)
     buckets = (
         bands.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -555,6 +562,69 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return labeled.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: an arriving delta batch checked against the corpus
+# ---------------------------------------------------------------------------
+def _incremental_oracle() -> str:
+    return f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()})),
+hits AS (
+  SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS delta_id,
+         CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_id
+  FROM pairs WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+),
+best AS (SELECT delta_id, MIN(corpus_id) AS first_match FROM hits GROUP BY delta_id)
+SELECT d.doc_id, COALESCE(b.first_match, CAST(-1 AS BIGINT)) AS first_match,
+       (b.delta_id IS NOT NULL) AS is_dup
+FROM documents d LEFT JOIN best b ON b.delta_id = d.doc_id
+WHERE d.doc_id % 10 = 0
+"""
+
+
+@register(
+    "dedup_incremental_delta",
+    oracle=_incremental_oracle(),
+    tags=("dedup", "minhash", "incremental"),
+)
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: each document in an arriving DELTA batch
+    (doc_id % 10 = 0 stands in for today's crawl) is checked against the
+    EXISTING corpus via the LSH band index — the shape a production
+    pipeline runs daily, where the corpus side's (band, sig) index is
+    precomputed once and only the delta's signatures are fresh work.
+
+    One banding pass covers both sides (lazily checkpointed — two
+    consumers would otherwise re-run the signature pipeline), then an
+    equi-join on (band, sig) finds delta↔corpus collisions only:
+    delta-internal duplicates are deliberately out of scope (they are
+    the ordinary batch-local dedup). Every delta doc gets a verdict row
+    (is_dup + lowest matching corpus doc), ready to anti-join the delta
+    before appending.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bands = _band_signatures(docs).localCheckpoint(eager=False)
+    is_delta = F.col("doc_id") % 10 == 0
+    delta_b = bands.filter(is_delta).select(
+        F.col("doc_id").alias("delta_id"), "band", "sig"
+    )
+    corpus_b = bands.filter(~is_delta).select(
+        F.col("doc_id").alias("corpus_id"), "band", "sig"
+    )
+    best = (
+        delta_b.join(corpus_b, ["band", "sig"])
+        .groupBy("delta_id")
+        .agg(F.min("corpus_id").alias("first_match"))
+    )
+    delta_docs = docs.filter(is_delta).select("doc_id")
+    return delta_docs.join(
+        best, delta_docs.doc_id == best.delta_id, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("first_match"), F.lit(-1).cast("long")).alias("first_match"),
+        F.col("delta_id").isNotNull().alias("is_dup"),
     )
 
 

@@ -193,6 +193,7 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "observe_pipeline_metrics": {"n_rows": "v", "n_null_priority": "v", "total_price": "d", "min_key": "v", "max_key": "v"},
     "udtf_sentence_stats": {"doc_id": "v", "tok": "v", "tok_len": "v", "is_long": "v"},
     "compact_small_files": {"n_files_before": "v", "n_files_after": "v", "n_rows": "v", "total_price": "d"},
+    "dedup_incremental_delta": {"doc_id": "v", "first_match": "v", "is_dup": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -282,7 +283,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "graph_pagerank_neardup", "cluster_kmeans_embeddings",
         "dedup_semdedup", "corpus_cross_source_overlap",
         "orc_sink_roundtrip", "observe_pipeline_metrics",
-        "compact_small_files",
+        "compact_small_files", "dedup_incremental_delta",
     ),
 }
 

@@ -356,13 +356,16 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
-    q = (
-        updated.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    from ..streaming.pipeline import narrow_state_partitions
+
+    with narrow_state_partitions(spark):
+        q = (
+            updated.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(300)
     if q.isActive:
         q.stop()

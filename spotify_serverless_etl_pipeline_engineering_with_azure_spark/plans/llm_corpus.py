@@ -553,3 +553,106 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(sizes, "doc_id").select(
         "doc_id", "n_contaminated_grams", "n_grams", frac.alias("contamination_frac")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus accounting: the whole cleaning pipeline as one query
+# ---------------------------------------------------------------------------
+CONTAMINATION_DROP_FRAC = 0.1
+
+
+def _end_to_end_oracle() -> str:
+    from ..registry import REGISTRY
+
+    cq = REGISTRY["corpus_quality_filter"].oracle
+    cc = REGISTRY["dedup_connected_components"].oracle
+    dx = REGISTRY["corpus_decontaminate"].oracle
+    return f"""
+WITH verdicts AS (
+  SELECT d.source, q.n_tokens,
+         CASE WHEN NOT q.keep THEN 'quality'
+              WHEN c.component IS NOT NULL AND c.component <> d.doc_id
+                THEN 'duplicate'
+              WHEN x.contamination_frac > {CONTAMINATION_DROP_FRAC}
+                THEN 'contaminated'
+              ELSE 'kept' END AS v
+  FROM documents d
+  JOIN ({cq}) q ON q.doc_id = d.doc_id
+  LEFT JOIN ({cc}) c ON c.doc_id = d.doc_id
+  LEFT JOIN ({dx}) x ON x.doc_id = d.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN v = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN v = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+       CAST(SUM(CASE WHEN v = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_dup,
+       CAST(SUM(CASE WHEN v = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_contaminated,
+       CAST(SUM(CASE WHEN v = 'kept' THEN q.n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept
+FROM verdicts q
+GROUP BY source
+"""
+
+
+def corpus_end_to_end_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole cleaning pipeline as ONE composed plan: per-source
+    accounting of what survives quality filtering, near-dup clustering,
+    and benchmark decontamination — the governance table a training-data
+    team reviews before a corpus ships.
+
+    Composes the registered member operators directly (their DataFrames
+    join on doc_id; Catalyst plans the whole thing as one DAG), with
+    drop-reason precedence quality > duplicate > contaminated mirrored
+    exactly in the composed-CTE oracle. Scale posture: each member is
+    individually scale-audited; the composition adds only doc_id-keyed
+    joins (the near-dup and contamination sides are tiny verdict
+    tables — broadcast) and a final low-cardinality source aggregation.
+    """
+    from .dedup import dedup_connected_components
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    cq = corpus_quality_filter(spark, sf_dir).select("doc_id", "n_tokens", "keep")
+    cc = dedup_connected_components(spark, sf_dir).select(
+        F.col("doc_id").alias("cc_id"), "component"
+    )
+    dx = corpus_decontaminate(spark, sf_dir).select(
+        F.col("doc_id").alias("dx_id"), "contamination_frac"
+    )
+    v = (
+        F.when(~F.col("keep"), F.lit("quality"))
+        .when(
+            F.col("component").isNotNull() & (F.col("component") != F.col("doc_id")),
+            F.lit("duplicate"),
+        )
+        .when(
+            F.col("contamination_frac") > CONTAMINATION_DROP_FRAC, F.lit("contaminated")
+        )
+        .otherwise(F.lit("kept"))
+    )
+    joined = (
+        docs.join(cq, "doc_id")
+        .join(F.broadcast(cc), docs.doc_id == F.col("cc_id"), "left")
+        .join(F.broadcast(dx), docs.doc_id == F.col("dx_id"), "left")
+        .select("source", "n_tokens", v.alias("v"))
+    )
+    kept = F.col("v") == "kept"
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum((F.col("v") == "quality").cast("long")).alias("n_drop_quality"),
+        F.sum((F.col("v") == "duplicate").cast("long")).alias("n_drop_dup"),
+        F.sum((F.col("v") == "contaminated").cast("long")).alias("n_drop_contaminated"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0).cast("long")).alias(
+            "n_tokens_kept"
+        ),
+    )
+
+
+def _register_end_to_end() -> None:
+    register(
+        "corpus_end_to_end_accounting",
+        oracle=_end_to_end_oracle(),
+        tags=("corpus", "pipeline", "governance"),
+    )(corpus_end_to_end_accounting)
+
+
+_register_end_to_end()

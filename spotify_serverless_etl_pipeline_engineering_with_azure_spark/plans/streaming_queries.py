@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..streaming.pipeline import events_stream, run_to_memory, windowed_counts
+from ..streaming.pipeline import (
+    events_stream,
+    narrow_state_partitions,
+    run_to_memory,
+    windowed_counts,
+)
 
 
 def _sink_name(prefix: str) -> str:
@@ -211,14 +216,15 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch_df, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
 
-    q = (
-        events_stream(spark, sf_dir)
-        .select("event_id", "event_type", "value")
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"/tmp/sse_feb_ckpt_{uuid.uuid4().hex[:8]}")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with narrow_state_partitions(spark):
+        q = (
+            events_stream(spark, sf_dir)
+            .select("event_id", "event_type", "value")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"/tmp/sse_feb_ckpt_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(300)
     if q.isActive:
         q.stop()
@@ -296,12 +302,13 @@ def streaming_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, df in branches.items():
             write_csv(df, f"{out}/{name}/batch_id={batch_id}", mode="overwrite")
 
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with narrow_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(300)
     if q.isActive:
         q.stop()

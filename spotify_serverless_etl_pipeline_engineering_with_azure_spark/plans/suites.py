@@ -194,6 +194,7 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "udtf_sentence_stats": {"doc_id": "v", "tok": "v", "tok_len": "v", "is_long": "v"},
     "compact_small_files": {"n_files_before": "v", "n_files_after": "v", "n_rows": "v", "total_price": "d"},
     "dedup_incremental_delta": {"doc_id": "v", "first_match": "v", "is_dup": "v"},
+    "corpus_end_to_end_accounting": {"source": "v", "n_docs": "v", "n_kept": "v", "n_drop_quality": "v", "n_drop_dup": "v", "n_drop_contaminated": "v", "n_tokens_kept": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -284,6 +285,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "dedup_semdedup", "corpus_cross_source_overlap",
         "orc_sink_roundtrip", "observe_pipeline_metrics",
         "compact_small_files", "dedup_incremental_delta",
+        "corpus_end_to_end_accounting",
     ),
 }
 

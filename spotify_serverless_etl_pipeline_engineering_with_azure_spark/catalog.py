@@ -34,8 +34,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     # Timestamp semantics are defined in UTC (TESTDATA timestamps are
     # instants; the DuckDB oracle renders them naive/UTC). Pin the
-    # session so results don't depend on the caller's local timezone.
+    # session so results don't depend on the caller's local timezone,
+    # and read naive parquet timestamps (isAdjustedToUTC=false) as
+    # instants (TIMESTAMP_LTZ) rather than TIMESTAMP_NTZ so the whole
+    # timestamp function surface (unix_micros, window, watermarks)
+    # applies uniformly regardless of how the driver generated the data.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -56,11 +61,12 @@ def scatter(df: DataFrame) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    outright — read it as a long (legacy conf) and convert to a
-    microsecond timestamp. Integer `div` (not double /) — ns epoch
-    values exceed 2^53. The test data carries no sub-microsecond
-    component, so this is lossless and matches DuckDB's CAST."""
+    """events.ts arrives in one of two driver-generated encodings:
+    TIMESTAMP(NANOS), which Spark 4's reader rejects outright — read it
+    as a long (legacy conf) and convert with integer `div` (not double
+    /; ns epoch values exceed 2^53) — or naive TIMESTAMP(MICROS), which
+    the inferTimestampNTZ=false pin in table() reads directly as an
+    instant. Both are lossless and match DuckDB's naive/UTC reading."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

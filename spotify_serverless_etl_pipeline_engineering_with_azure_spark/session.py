@@ -35,6 +35,11 @@ def get_spark(
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Naive parquet timestamps (isAdjustedToUTC=false) are instants
+        # in this data model — read them as TIMESTAMP_LTZ, not NTZ, so
+        # unix_micros/window/watermark apply uniformly. catalog.table()
+        # re-pins this per call for driver-constructed sessions.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)

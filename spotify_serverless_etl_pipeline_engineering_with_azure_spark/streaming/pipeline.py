@@ -108,10 +108,12 @@ def _staged_dir(sf_dir: str, name: str) -> str:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events parquet as a (bounded) stream — schema from the static
-    table, file source underneath. ts is TIMESTAMP(NANOS) in the file
-    (illegal for Spark 4's reader), so it comes in as a long and is
-    converted with integer div (ns epoch exceeds 2^53 — no double /)."""
+    table, file source underneath. ts arrives either as TIMESTAMP(NANOS)
+    (illegal for Spark 4's reader — read as long via legacy conf and
+    converted with integer div; ns epoch exceeds 2^53, no double /) or as
+    naive micros (read as an instant, not NTZ — conf pinned below)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     src = _staged_dir(sf_dir, "events")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(src)

@@ -1,0 +1,266 @@
+"""User-behavior analytics over the events stream table: funnel
+conversion, cohort retention, sequential decay scoring, and the salted
+two-phase aggregation pattern for skewed keys.
+
+These extend the reference's event-pipeline surface (SURVEY.md §2.2 —
+the reference's own analytics stop at projections/counts,
+spotifytransform.py:77-130) with the event-behavior queries a
+product-analytics user of the pipeline runs downstream. All four are
+oracle-backed and scale-safe: every aggregate is keyed on user_id (one
+shuffle, arbitrarily partitionable) or on a salted composite.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions.exact import dec, sql_dsum
+from ..registry import register
+
+# Funnel step definitions: ordered event types a user must hit in
+# sequence (each step's event strictly AFTER the previous step's first
+# occurrence — the standard strict-ordering funnel).
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+),
+steps AS (
+  SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', COUNT(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(*) FROM s3
+)
+SELECT step, step_name, n_users,
+       CAST(n_users AS DOUBLE)
+         / FIRST_VALUE(n_users) OVER (ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS conv_rate
+FROM steps
+""",
+    tags=("behavior", "funnel", "event-time"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ordering funnel view → click → purchase.
+
+    Each step is a keyed MIN-aggregate on user_id joined to the
+    previous step's first-occurrence time — three shuffles on the SAME
+    key, so every join is co-partitioned after the first exchange and
+    AQE plans the (shrinking) right sides as broadcasts at small scale.
+    At 100 TB the per-step frames only ever carry (user_id, ts): the
+    event payload never moves.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    prev = ev.filter(F.col("event_type") == _FUNNEL_STEPS[0]).groupBy("user_id").agg(
+        F.min("ts").alias("t_prev")
+    )
+    step_frames = [prev]
+    for step_type in _FUNNEL_STEPS[1:]:
+        nxt = (
+            ev.filter(F.col("event_type") == step_type)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t_prev"))
+        )
+        step_frames.append(nxt)
+        prev = nxt
+    counts = None
+    for i, (name, frame) in enumerate(zip(_FUNNEL_STEPS, step_frames), start=1):
+        row = frame.agg(
+            F.lit(i).alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        counts = row if counts is None else counts.unionAll(row)
+    w = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return counts.select(
+        "step",
+        "step_name",
+        "n_users",
+        (F.col("n_users").cast("double") / F.first("n_users").over(w)).alias("conv_rate"),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT f.cohort_week,
+         CAST(DATEDIFF('day', f.cohort_week, DATE_TRUNC('week', e.ts)) / 7 AS BIGINT) AS week_offset,
+         e.user_id
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+),
+cells AS (
+  SELECT cohort_week, week_offset, COUNT(*) AS n_active FROM active GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active,
+       CAST(n_active AS DOUBLE)
+         / FIRST_VALUE(n_active) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS retention
+FROM cells
+""",
+    tags=("behavior", "cohort", "event-time"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix.
+
+    Users are cohorted by the Monday-start week of their first event
+    (date_trunc('week') is Monday-based in both engines); each cell
+    counts distinct cohort users active in week cohort+offset, plus the
+    retention ratio against the cohort's week-0 size. Two shuffles on
+    user_id (first-seen agg + join back) and one on the tiny
+    (cohort, offset) matrix; the distinct collapses map-side first.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    cells = active.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        (F.col("n_active").cast("double") / F.first("n_active").over(w)).alias("retention"),
+    )
+
+
+# EWMA smoothing factor. 0.25 and 0.75 are exact binary fractions, so
+# acc*0.75 + x*0.25 is two IEEE multiplies and one add per element —
+# the identical op sequence in both engines yields bit-identical
+# doubles (required by the exact-repr value compare).
+_EWMA_ALPHA = 0.25
+
+
+@register(
+    "timeseries_ewma_decay",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       LIST_REDUCE(LIST(value ORDER BY ts, event_id),
+                   (acc, x) -> acc * 0.75 + x * 0.25) AS ewma_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("behavior", "timeseries", "udf", "sequential"),
+)
+def timeseries_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values.
+
+    The recurrence acc ← 0.75·acc + 0.25·x is inherently sequential
+    WITHIN a key — no window-function form exists (weights depend on
+    the distance to the current row) — so this is the canonical
+    grouped-map case: applyInPandas partitions by user_id and runs the
+    loop per group (recency-decay scoring, the same shape as
+    recency-weighted quality scores in training-data curation). State
+    is O(1) per key and groups shard freely across executors at 100 TB.
+    The DuckDB oracle replays the identical left-fold via LIST_REDUCE
+    over the same (ts, event_id) ordering, so both engines execute the
+    same IEEE op sequence and the doubles match bit-for-bit.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy()
+        acc = float(vals[0])
+        for x in vals[1:]:
+            acc = acc * (1.0 - _EWMA_ALPHA) + float(x) * _EWMA_ALPHA
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma_value": [acc],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        ewma, schema="user_id long, n_events long, ewma_value double"
+    )
+
+
+# Salt fan-out for the skewed aggregation. 16 sub-keys per hot key is
+# enough to spread any single reducer's load at local scale; at cluster
+# scale this is sized to executor count / hot-key frequency.
+_AGG_SALT = 16
+
+
+@register(
+    "agg_salted_skew",
+    oracle=f"""
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       {sql_dsum("l_extendedprice", 2, "sum_price")}
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("aggregation", "skew", "salting"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a pathologically skewed key.
+
+    l_returnflag has 3 values over the whole lineitem table — a direct
+    groupBy funnels everything through 3 reducers. Phase 1 aggregates
+    on (key, salt) where salt = pmod(l_orderkey, 16) (deterministic —
+    no rand(), results reproducible), spreading each hot key over 16
+    reducers; phase 2 merges the 48 partial rows. Partial sums stay
+    DECIMAL until the final cast, so the result is bit-identical to the
+    oracle's single-phase sum regardless of merge order. This is the
+    aggregation-side counterpart of join_salted
+    (plans/extended_ops.py): same pattern Spark's AQE cannot apply for
+    you, because a low-cardinality groupBy key is skew BY DESIGN, not a
+    runtime anomaly.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey", "l_extendedprice")
+    partial = (
+        li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(_AGG_SALT)))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(dec(F.col("l_extendedprice"), 2)).alias("psum"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_rows"),
+        F.sum("psum").cast("double").alias("sum_price"),
+    )

@@ -54,6 +54,7 @@ from ..multimodal import media  # noqa: F401  (multimodal_binary_meta)
 from . import (  # noqa: F401
     advanced_ops,
     analytics,
+    behavior_ops,
     dedup,
     etl_ops,
     extended_ops,
@@ -195,6 +196,10 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "compact_small_files": {"n_files_before": "v", "n_files_after": "v", "n_rows": "v", "total_price": "d"},
     "dedup_incremental_delta": {"doc_id": "v", "first_match": "v", "is_dup": "v"},
     "corpus_end_to_end_accounting": {"source": "v", "n_docs": "v", "n_kept": "v", "n_drop_quality": "v", "n_drop_dup": "v", "n_drop_contaminated": "v", "n_tokens_kept": "v"},
+    "events_funnel_conversion": {"step": "v", "step_name": "v", "n_users": "v", "conv_rate": "d"},
+    "events_cohort_retention": {"cohort_week": "t", "week_offset": "v", "n_active": "v", "retention": "d"},
+    "timeseries_ewma_decay": {"user_id": "v", "n_events": "v", "ewma_value": "d"},
+    "agg_salted_skew": {"l_returnflag": "v", "n_rows": "v", "sum_price": "d"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -286,6 +291,8 @@ SUITES: dict[str, tuple[str, ...]] = {
         "orc_sink_roundtrip", "observe_pipeline_metrics",
         "compact_small_files", "dedup_incremental_delta",
         "corpus_end_to_end_accounting",
+        "events_funnel_conversion", "events_cohort_retention",
+        "timeseries_ewma_decay", "agg_salted_skew",
     ),
 }
 

@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "plans.extended_ops",
     "plans.tpch_suite",
     "plans.advanced_ops",
+    "plans.behavior_ops",
     "plans.etl_ops",
     "plans.scale_ops",
     "plans.sketches",

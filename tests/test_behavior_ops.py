@@ -1,0 +1,76 @@
+"""Semantic invariants for the user-behavior operators (funnel, cohort
+retention, EWMA decay, salted aggregation). Oracle parity is covered by
+test_oracle_parity.py; these pin the properties a hash compare can't
+express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_serverless_etl_pipeline_engineering_with_azure_spark import registry
+from spotify_serverless_etl_pipeline_engineering_with_azure_spark.catalog import table
+
+ALL = registry.load_all()
+
+
+def test_funnel_counts_monotonically_shrink(spark, sf_dir):
+    rows = sorted(
+        ALL["events_funnel_conversion"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step_name"] for r in rows] == ["view", "click", "purchase"]
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True), "each step loses (or keeps) users"
+    assert rows[0]["conv_rate"] == 1.0
+    assert all(0.0 <= r["conv_rate"] <= 1.0 for r in rows)
+
+
+def test_cohort_week0_is_full_cohort(spark, sf_dir):
+    """Every user is active in their own first-seen week, so week 0
+    retention is exactly 1.0 and week-0 cells sum to the user count."""
+    cells = ALL["events_cohort_retention"].fn(spark, sf_dir).collect()
+    week0 = [r for r in cells if r["week_offset"] == 0]
+    assert week0, "at least one cohort exists"
+    assert all(r["retention"] == 1.0 for r in week0)
+    n_users = (
+        table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_active"] for r in week0) == n_users
+    assert all(r["week_offset"] >= 0 for r in cells)
+
+
+def test_ewma_bounded_by_value_range(spark, sf_dir):
+    """A convex-combination recurrence stays within [min, max] of each
+    user's values; n_events sums to the table size."""
+    ev = table(spark, sf_dir, "events")
+    bounds = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in ev.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    out = ALL["timeseries_ewma_decay"].fn(spark, sf_dir).collect()
+    assert sum(r["n_events"] for r in out) == ev.count()
+    for r in out:
+        lo, hi = bounds[r["user_id"]]
+        assert lo <= r["ewma_value"] <= hi
+
+
+def test_salted_agg_has_two_aggregation_phases(spark, sf_dir):
+    """The physical plan must contain the salted pre-aggregation (a
+    HashAggregate keyed on (l_returnflag, salt)) feeding the final
+    merge — i.e. 'salt' appears as a grouping key in the plan."""
+    df = ALL["agg_salted_skew"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan
+    assert plan.count("HashAggregate") >= 4, "partial+final for both phases"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["events_funnel_conversion", "events_cohort_retention", "agg_salted_skew"],
+)
+def test_behavior_plans_have_no_cartesian(spark, sf_dir, name):
+    plan = ALL[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -220,6 +220,71 @@ def timeseries_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Attribution lookback window: a purchase is credited to the most
+# recent prior click by the same user within this many microseconds.
+_ATTRIB_WINDOW_US = 7 * 86_400 * 1_000_000
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, last_click_ts,
+       CASE WHEN last_click_ts IS NULL THEN NULL
+            ELSE EPOCH_US(ts) - EPOCH_US(last_click_ts) END AS gap_us,
+       COALESCE(EPOCH_US(ts) - EPOCH_US(last_click_ts) <= {_ATTRIB_WINDOW_US}, FALSE) AS attributed
+FROM seq
+WHERE event_type = 'purchase'
+""",
+    tags=("behavior", "attribution", "event-time"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: credit each purchase to the same user's
+    most recent prior click within a 7-day lookback.
+
+    This is the PER-EVENT carry-forward shape (every purchase needs its
+    own predecessor), which a keyed as-of join (asof_join_events,
+    plans/scale_ops.py) cannot express — there the right side is one
+    row per key. One shuffle on user_id, then a running MAX over the
+    click timestamps (ascending order makes running-max ≡ most recent)
+    inside the sorted window — no join at all, so no skew surface; at
+    100 TB the state per task is a single timestamp per user.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    gap = F.unix_micros("ts") - F.unix_micros(F.col("last_click_ts"))
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+            gap.alias("gap_us"),
+            F.coalesce(gap <= _ATTRIB_WINDOW_US, F.lit(False)).alias("attributed"),
+        )
+    )
+
+
 # Salt fan-out for the skewed aggregation. 16 sub-keys per hot key is
 # enough to spread any single reducer's load at local scale; at cluster
 # scale this is sized to executor count / hot-key frequency.

@@ -200,6 +200,7 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "events_cohort_retention": {"cohort_week": "t", "week_offset": "v", "n_active": "v", "retention": "d"},
     "timeseries_ewma_decay": {"user_id": "v", "n_events": "v", "ewma_value": "d"},
     "agg_salted_skew": {"l_returnflag": "v", "n_rows": "v", "sum_price": "d"},
+    "events_attribution_last_touch": {"purchase_id": "v", "user_id": "v", "purchase_ts": "t", "last_click_ts": "t", "gap_us": "v", "attributed": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -293,6 +294,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "corpus_end_to_end_accounting",
         "events_funnel_conversion", "events_cohort_retention",
         "timeseries_ewma_decay", "agg_salted_skew",
+        "events_attribution_last_touch",
     ),
 }
 

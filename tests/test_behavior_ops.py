@@ -57,6 +57,23 @@ def test_ewma_bounded_by_value_range(spark, sf_dir):
         assert lo <= r["ewma_value"] <= hi
 
 
+def test_attribution_gap_nonnegative_and_window_bounded(spark, sf_dir):
+    """Attributed purchases have 0 <= gap <= 7 days; the click always
+    precedes (or ties) the purchase under (ts, event_id) ordering."""
+    rows = ALL["events_attribution_last_touch"].fn(spark, sf_dir).collect()
+    n_purchases = (
+        table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    assert len(rows) == n_purchases, "one output row per purchase"
+    seven_days_us = 7 * 86_400 * 1_000_000
+    for r in rows:
+        if r["gap_us"] is not None:
+            assert r["gap_us"] >= 0
+            assert r["attributed"] == (r["gap_us"] <= seven_days_us)
+        else:
+            assert not r["attributed"]
+
+
 def test_salted_agg_has_two_aggregation_phases(spark, sf_dir):
     """The physical plan must contain the salted pre-aggregation (a
     HashAggregate keyed on (l_returnflag, salt)) feeding the final

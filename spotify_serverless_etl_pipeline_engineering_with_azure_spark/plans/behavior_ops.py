@@ -285,6 +285,123 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS cur_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT cur_type, next_type, COUNT(*) AS n_pairs
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY cur_type, next_type
+)
+SELECT cur_type, next_type, n_pairs,
+       CAST(n_pairs AS DOUBLE)
+         / SUM(n_pairs) OVER (PARTITION BY cur_type) AS prob
+FROM pairs
+""",
+    tags=("behavior", "markov", "event-time"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams.
+
+    LEAD within each user's (ts, event_id)-ordered stream pairs every
+    event with its successor; the (cur, next) counts normalize to
+    row-stochastic probabilities. One shuffle on user_id for the
+    window, then an aggregation on the 5×5 type matrix — the heavy
+    stage is the window sort, which partitions freely by user. The
+    normalizing SUM runs over the tiny aggregated matrix (|types|²
+    rows), so its unpartitioned window is a constant-size frame at any
+    input scale. Integer-over-integer division is deterministic across
+    engines (both divide the same exact longs).
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("cur_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    norm = Window.partitionBy("cur_type")
+    return pairs.select(
+        "cur_type",
+        "next_type",
+        "n_pairs",
+        (F.col("n_pairs").cast("double") / F.sum("n_pairs").over(norm)).alias("prob"),
+    )
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+WITH anchor AS (SELECT CAST(MAX(ts) AS DATE) AS anchor_day FROM events),
+purchases AS (
+  SELECT user_id,
+         CAST(DATEDIFF('day', CAST(MAX(ts) AS DATE), (SELECT anchor_day FROM anchor)) AS BIGINT) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary,
+       NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+       NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+       NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+FROM purchases
+""",
+    tags=("behavior", "rfm", "segmentation"),
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation of
+    purchasing users.
+
+    Per-user purchase stats reduce in ONE keyed aggregation (recency
+    anchored to the corpus max-ts day so results are data-deterministic,
+    monetary as an exact decimal sum); the three NTILE(4) scores rank
+    the small per-user frame with user_id tie-breaks, making bucket
+    assignment a total order — identical in both engines. The NTILE
+    windows are unpartitioned by definition (global quartiles): at
+    100 TB the per-user aggregate this ranks is ~users-sized, and a
+    production variant would rank via percentile cutoffs (two passes)
+    instead of a single sort; the semantics pinned here are the
+    quartile contract itself.
+    """
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.to_date(F.max("ts")).alias("anchor_day"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.to_date(F.max("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(dec(F.col("value"), 2)).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("anchor_day", "last_day").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return purchases.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), "user_id")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "user_id")).alias("m_score"),
+    )
+
+
 # Salt fan-out for the skewed aggregation. 16 sub-keys per hot key is
 # enough to spread any single reducer's load at local scale; at cluster
 # scale this is sized to executor count / hot-key frequency.

@@ -201,6 +201,8 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "timeseries_ewma_decay": {"user_id": "v", "n_events": "v", "ewma_value": "d"},
     "agg_salted_skew": {"l_returnflag": "v", "n_rows": "v", "sum_price": "d"},
     "events_attribution_last_touch": {"purchase_id": "v", "user_id": "v", "purchase_ts": "t", "last_click_ts": "t", "gap_us": "v", "attributed": "v"},
+    "events_markov_transitions": {"cur_type": "v", "next_type": "v", "n_pairs": "v", "prob": "d"},
+    "events_rfm_segmentation": {"user_id": "v", "recency_days": "v", "frequency": "v", "monetary": "d", "r_score": "v", "f_score": "v", "m_score": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -295,6 +297,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "events_funnel_conversion", "events_cohort_retention",
         "timeseries_ewma_decay", "agg_salted_skew",
         "events_attribution_last_touch",
+        "events_markov_transitions", "events_rfm_segmentation",
     ),
 }
 

@@ -74,6 +74,30 @@ def test_attribution_gap_nonnegative_and_window_bounded(spark, sf_dir):
             assert not r["attributed"]
 
 
+def test_markov_rows_are_stochastic(spark, sf_dir):
+    """Each cur_type's outgoing probabilities sum to 1 (row-stochastic)
+    and every probability is in (0, 1]."""
+    rows = ALL["events_markov_transitions"].fn(spark, sf_dir).collect()
+    by_cur: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 < r["prob"] <= 1.0
+        by_cur[r["cur_type"]] = by_cur.get(r["cur_type"], 0.0) + r["prob"]
+    for cur, total in by_cur.items():
+        assert abs(total - 1.0) < 1e-9, f"{cur}: {total}"
+
+
+def test_rfm_scores_are_balanced_quartiles(spark, sf_dir):
+    """NTILE(4) buckets differ in size by at most one user and every
+    score is in 1..4."""
+    rows = ALL["events_rfm_segmentation"].fn(spark, sf_dir).collect()
+    for col in ("r_score", "f_score", "m_score"):
+        sizes: dict[int, int] = {}
+        for r in rows:
+            assert 1 <= r[col] <= 4
+            sizes[r[col]] = sizes.get(r[col], 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (col, sizes)
+
+
 def test_salted_agg_has_two_aggregation_phases(spark, sf_dir):
     """The physical plan must contain the salted pre-aggregation (a
     HashAggregate keyed on (l_returnflag, salt)) feeding the final

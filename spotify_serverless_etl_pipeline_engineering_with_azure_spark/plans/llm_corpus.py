@@ -656,3 +656,63 @@ def _register_end_to_end() -> None:
 
 
 _register_end_to_end()
+
+
+# Length-band filter percentiles: documents outside [P_LO, P_HI] of the
+# corpus token-length distribution are dropped (too-short docs are
+# boilerplate/fragments, too-long ones are concatenation artifacts —
+# the standard C4/Gopher-style length gate, but with DATA-DERIVED
+# cutoffs instead of fixed constants).
+BAND_P_LO = 0.05
+BAND_P_HI = 0.95
+
+
+@register(
+    "corpus_length_band_filter",
+    oracle=f"""
+WITH cuts AS (
+  SELECT quantile_cont(LENGTH(text), {BAND_P_LO}) AS lo,
+         quantile_cont(LENGTH(text), {BAND_P_HI}) AS hi
+  FROM documents
+)
+SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS n_chars_txt,
+       LENGTH(d.text) >= (SELECT lo FROM cuts)
+         AND LENGTH(d.text) <= (SELECT hi FROM cuts) AS keep
+FROM documents d
+""",
+    tags=("corpus", "filter", "percentile"),
+)
+def corpus_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-percentile length-band filter: keep documents whose char
+    length lies within [p5, p95] of the corpus distribution.
+
+    This is the two-pass global-quantile-cutoff pattern (the production
+    alternative to a full NTILE sort, cf. events_rfm_segmentation's
+    docstring): pass 1 reduces the whole corpus to TWO scalars with
+    Spark's exact interpolated ``percentile`` aggregate (matching
+    DuckDB's ``quantile_cont`` formula rank = p·(n-1) bit-for-bit);
+    pass 2 re-scans with the broadcast scalar cutoffs as a row-local
+    predicate. No shuffle ever carries document text — the only
+    exchange is the single-row percentile reduce. At 100 TB the exact
+    percentile's sort-based aggregation is the cost center; swap in
+    approx_percentile with a pinned error budget if the cutoffs may be
+    approximate (semantics, not plan shape, change — which is why the
+    exact form is the oracle-pinned contract here).
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars_txt")
+    )
+    cuts = docs.agg(
+        F.expr(f"percentile(n_chars_txt, {BAND_P_LO})").alias("lo"),
+        F.expr(f"percentile(n_chars_txt, {BAND_P_HI})").alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            F.col("n_chars_txt").cast("long").alias("n_chars_txt"),
+            ((F.col("n_chars_txt") >= F.col("lo")) & (F.col("n_chars_txt") <= F.col("hi"))).alias(
+                "keep"
+            ),
+        )
+    )

@@ -203,6 +203,7 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "events_attribution_last_touch": {"purchase_id": "v", "user_id": "v", "purchase_ts": "t", "last_click_ts": "t", "gap_us": "v", "attributed": "v"},
     "events_markov_transitions": {"cur_type": "v", "next_type": "v", "n_pairs": "v", "prob": "d"},
     "events_rfm_segmentation": {"user_id": "v", "recency_days": "v", "frequency": "v", "monetary": "d", "r_score": "v", "f_score": "v", "m_score": "v"},
+    "corpus_length_band_filter": {"doc_id": "v", "n_chars_txt": "v", "keep": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -268,7 +269,8 @@ SUITES: dict[str, tuple[str, ...]] = {
         "text_chunk_windows", "corpus_pack_sequences",
         "text_repetition_signals", "text_pii_redaction",
         "corpus_sample_stratified", "corpus_mix_stats",
-        "corpus_quality_filter", "text_tfidf_top_terms",
+        "corpus_quality_filter", "corpus_length_band_filter",
+        "text_tfidf_top_terms",
         "corpus_decontaminate", "text_pmi_collocations",
         "text_vocab_coverage", "text_unigram_logprob",
     ),

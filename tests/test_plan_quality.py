@@ -153,3 +153,35 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     probe join."""
     plan = _plan(spark, "corpus_decontaminate")
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_pushes_event_type_to_scan(spark):
+    """Each funnel step's event_type equality must reach the parquet
+    scan, and no scan reads more than (user_id, event_type, ts)."""
+    plan = _plan(spark, "events_funnel_conversion")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("event_type" in p for p in pushed), "event_type not pushed"
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"user_id", "event_type", "ts"}, f"scan reads {cols}"
+
+
+def test_attribution_is_single_shuffle(spark):
+    """Last-touch attribution = one window over user_id: exactly one
+    Exchange (hashpartitioning on user_id), no join operators."""
+    df = registry.queries()["events_attribution_last_touch"](spark, SF_SMOKE)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+
+
+def test_length_band_filter_never_shuffles_text(spark):
+    """The percentile pass reduces to 2 scalars; the re-scan applies
+    the cutoffs row-locally. The text column itself must not appear in
+    any exchange: only length(text) is ever materialized."""
+    plan = _plan(spark, "corpus_length_band_filter")
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"doc_id", "text"}, f"scan reads {cols}"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -402,6 +402,74 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_point_in_time_enrich",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'signup' THEN value END AS dim_value
+  FROM events
+  WHERE event_type IN ('signup', 'purchase')
+),
+carried AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAST_VALUE(dim_value IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dim_value_at
+  FROM u
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       dim_value_at, dim_value_at IS NOT NULL AS has_dim
+FROM carried
+WHERE event_type = 'purchase'
+""",
+    tags=("behavior", "scd2", "point-in-time", "event-time"),
+)
+def events_point_in_time_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against the SCD2 dimension: each
+    purchase sees the signup-version value in effect at its timestamp.
+
+    This CONSUMES the versioned history scd2_user_value_history
+    (plans/etl_ops.py) BUILDS. The naive form is a per-key range join
+    (user_id equal AND from <= ts < to); the scalable form used here
+    merges dimension-change rows and fact rows into ONE (ts, event_id)-
+    ordered stream per user and carries the last non-null dimension
+    value forward — a single shuffle on user_id, no join, O(1) state
+    per key, immune to version-count skew. The oracle states the same
+    merge-sorted semantics with LAST_VALUE IGNORE NULLS, so effective-
+    from boundaries (a signup and purchase in the same microsecond tie-
+    broken by event_id) are encoded identically in both engines.
+    Purchases before a user's first signup keep NULL (has_dim=false) —
+    the left-outer semantics of the range-join form, for free.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.when(F.col("event_type") == "signup", F.col("value")).alias("dim_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.withColumn(
+        "dim_value_at", F.last("dim_value", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "dim_value_at",
+        F.col("dim_value_at").isNotNull().alias("has_dim"),
+    )
+
+
 # Salt fan-out for the skewed aggregation. 16 sub-keys per hot key is
 # enough to spread any single reducer's load at local scale; at cluster
 # scale this is sized to executor count / hot-key frequency.

@@ -204,6 +204,7 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "events_markov_transitions": {"cur_type": "v", "next_type": "v", "n_pairs": "v", "prob": "d"},
     "events_rfm_segmentation": {"user_id": "v", "recency_days": "v", "frequency": "v", "monetary": "d", "r_score": "v", "f_score": "v", "m_score": "v"},
     "corpus_length_band_filter": {"doc_id": "v", "n_chars_txt": "v", "keep": "v"},
+    "events_point_in_time_enrich": {"purchase_id": "v", "user_id": "v", "purchase_ts": "t", "dim_value_at": "d", "has_dim": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -300,6 +301,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "timeseries_ewma_decay", "agg_salted_skew",
         "events_attribution_last_touch",
         "events_markov_transitions", "events_rfm_segmentation",
+        "events_point_in_time_enrich",
     ),
 }
 

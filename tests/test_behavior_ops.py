@@ -98,6 +98,49 @@ def test_rfm_scores_are_balanced_quartiles(spark, sf_dir):
         assert max(sizes.values()) - min(sizes.values()) <= 1, (col, sizes)
 
 
+def test_point_in_time_matches_range_join_form(spark, sf_dir):
+    """The carry-forward formulation must equal the naive SCD2 range
+    join (user_id equal, effective_from <= ts < effective_to) — the
+    semantics it optimizes away."""
+    ev = table(spark, sf_dir, "events")
+    hist = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("effective_from"),
+            F.col("event_id").alias("dim_eid"),
+            F.col("value").alias("dim_value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    # latest version with (from, eid) <= (ts, purchase event_id): join all
+    # earlier versions, keep max by (effective_from, dim_eid)
+    joined = purchases.join(hist, "user_id").filter(
+        F.col("effective_from") <= F.col("ts")
+    )
+    latest = (
+        joined.groupBy("purchase_id")
+        .agg(
+            F.max_by(
+                "dim_value", F.struct("effective_from", "dim_eid")
+            ).alias("expect_value")
+        )
+    )
+    got = {
+        r["purchase_id"]: r["dim_value_at"]
+        for r in ALL["events_point_in_time_enrich"].fn(spark, sf_dir).collect()
+    }
+    expect = {r["purchase_id"]: r["expect_value"] for r in latest.collect()}
+    for pid, v in expect.items():
+        assert got[pid] == v, pid
+    # purchases with no prior signup must be NULL in the carry-forward form
+    for pid, v in got.items():
+        if pid not in expect:
+            assert v is None
+
+
 def test_salted_agg_has_two_aggregation_phases(spark, sf_dir):
     """The physical plan must contain the salted pre-aggregation (a
     HashAggregate keyed on (l_returnflag, salt)) feeding the final

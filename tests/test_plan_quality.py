@@ -185,3 +185,52 @@ def test_length_band_filter_never_shuffles_text(spark):
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols <= {"doc_id", "text"}, f"scan reads {cols}"
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# Shuffle budget per headline bench query (measured at the current best
+# plans; "simple" explain Exchange count). A regression that ADDS an
+# exchange to any of these fails loudly — at 100 TB one extra shuffle
+# on lineitem dwarfs every other plan change. Bounds are exact counts,
+# not <=: losing an exchange is also a semantic change worth reviewing.
+HEADLINE_EXCHANGE_BUDGET = {
+    "q1_pricing_summary": 2,
+    "q3_shipping_priority": 3,
+    "q5_local_supplier_volume": 6,
+    "q6_forecast_revenue": 1,
+    "q9_product_profit": 5,
+    "q13_customer_distribution": 3,
+    "q18_large_volume_customers": 5,
+    "top_customers_by_revenue": 5,
+    "join_broadcast_enrich": 3,
+    "window_rank_topn": 1,
+    "window_running_lag": 1,
+    "events_tumbling_window": 2,
+    "events_sessionization": 1,
+    "json_extract_events": 2,
+    "dedup_exact": 1,
+    "dedup_minhash_lsh": 4,
+    "dedup_simhash": 2,
+    "dedup_ngram_jaccard": 5,
+    "text_fingerprint": 0,
+    "text_quality_score": 0,
+    "sim_cosine_topk_bruteforce": 2,
+    "sim_ann_lsh_bucketed": 3,
+    "sim_ann_ivf": 5,
+    "asof_join_events": 1,
+    "range_join_close_events": 2,
+    "merge_upsert_orders": 3,
+    "events_multires_rollup": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(HEADLINE_EXCHANGE_BUDGET))
+def test_headline_shuffle_budget(spark, name):
+    df = registry.queries()[name](spark, SF_SMOKE)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    got = plan.count("Exchange")
+    want = HEADLINE_EXCHANGE_BUDGET[name]
+    assert got == want, (
+        f"{name}: plan has {got} exchanges, budget is {want} — a new shuffle "
+        f"appeared (or one vanished); re-audit the plan before re-pinning"
+    )

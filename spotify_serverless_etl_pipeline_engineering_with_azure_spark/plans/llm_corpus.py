@@ -716,3 +716,47 @@ def corpus_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Bounded-k hash-priority sample: exactly K docs per language (or all
+# of a smaller stratum), chosen by md5 priority — the deterministic
+# analogue of per-stratum reservoir sampling.
+RESERVOIR_K = 20
+
+
+@register(
+    "corpus_sample_reservoir",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {sql_md5_int48("'rsv|' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, rn FROM ranked WHERE rn <= {RESERVOIR_K}
+""",
+    tags=("corpus", "sampling", "topk"),
+)
+def corpus_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-k per-stratum sample: the K smallest md5 priorities per
+    language — a deterministic reservoir sample (every doc's priority
+    is an iid uniform hash, so the K smallest are a uniform
+    without-replacement draw).
+
+    corpus_sample_stratified keeps a RATE per stratum (output grows
+    with the corpus); this keeps a COUNT (output fixed at K·|strata|
+    regardless of input size — what an eval-set or human-review draw
+    needs). Plan: one shuffle on lang for the per-stratum top-K. A
+    pathologically hot stratum is the skew case: at cluster scale the
+    rank-filter becomes a per-partition top-K (take K smallest within
+    each map partition, then re-rank the K·P survivors) — the same
+    two-phase shape as agg_salted_skew; the window form here IS that
+    plan once AQE splits the hot partition.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pri = md5_int48(F.concat(F.lit("rsv|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RESERVOIR_K)
+    )

@@ -234,3 +234,102 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("term", "true_count")
         .agg(F.min("cell").alias("cms_estimate"))
     )
+
+
+def _hll_merge_oracle() -> str:
+    h = sql_md5_int48("CAST(user_id AS VARCHAR)")
+    rank = f"CASE WHEN w = 0 THEN {HLL_RANK_BITS + 1} ELSE {HLL_RANK_BITS + 1} - LENGTH(BIN(w)) END"
+    return f"""
+WITH hashed AS (
+  SELECT event_type AS grp, {h} AS h FROM events
+),
+split AS (
+  SELECT grp, h % {HLL_M} AS reg, h // {HLL_M} AS w FROM hashed
+),
+regs AS (
+  SELECT grp, reg, MAX({rank}) AS mx FROM split GROUP BY grp, reg
+),
+merged AS (
+  SELECT reg, MAX(mx) AS mx FROM regs GROUP BY reg
+),
+folded AS (
+  SELECT SUM(CAST(1 AS BIGINT) << ({HLL_RANK_BITS + 1} - mx))
+           + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {HLL_RANK_BITS + 1})
+           AS s_scaled,
+         {HLL_M} - COUNT(*) AS empty_registers
+  FROM merged
+),
+est AS (
+  SELECT empty_registers, {HLL_NUMER!r} / CAST(s_scaled AS DOUBLE) AS e_raw
+  FROM folded
+)
+SELECT (SELECT CAST(COUNT(DISTINCT grp) AS BIGINT) FROM regs) AS n_sketches,
+       ROUND(CASE WHEN e_raw <= {HLL_SMALL_RANGE!r} AND empty_registers > 0
+                  THEN {float(HLL_M)!r} * LN({float(HLL_M)!r} / empty_registers)
+                  ELSE e_raw END, 6) AS hll_estimate,
+       empty_registers,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct
+FROM est
+"""
+
+
+@register("sketch_hll_merge", oracle=_hll_merge_oracle(), tags=("sketch", "hll", "merge"))
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY: per-event-type HLL sketches of user_id,
+    merged into one global sketch by register-wise MAX, estimating the
+    distinct users across ALL types.
+
+    Mergeability is the property that makes sketches the scale answer:
+    at 100 TB each partition/source/day builds its 256-register sketch
+    independently and a 256-row (or 256·K-row) merge replaces a global
+    COUNT(DISTINCT) shuffle of raw keys. The merge here really passes
+    through the per-group sketches (regs → register-wise MAX), so the
+    estimate is provably the one a distributed merge would produce —
+    and it EQUALS the single-sketch estimate of the union, which the
+    exact_distinct column lets the driver confirm (same formula,
+    rounded 6dp, identical in both engines).
+    """
+    ev = table(spark, sf_dir, "events")
+    hashed = ev.select(
+        F.col("event_type").alias("grp"),
+        md5_int48(F.col("user_id").cast("string")).alias("h"),
+    )
+    split = hashed.select(
+        "grp",
+        (F.col("h") % HLL_M).alias("reg"),
+        F.shiftright("h", HLL_P).alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(HLL_RANK_BITS + 1)).otherwise(
+        F.lit(HLL_RANK_BITS + 1) - F.length(F.bin("w"))
+    )
+    regs = split.groupBy("grp", "reg").agg(F.max(rank).alias("mx"))
+    n_sketches = regs.agg(F.count_distinct("grp").alias("n_sketches"))
+    merged = regs.groupBy("reg").agg(F.max("mx").alias("mx"))
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RANK_BITS + 1} - mx)")
+    folded = merged.agg(
+        (
+            F.sum(term)
+            + (HLL_M - F.count(F.lit(1)))
+            * F.lit(1 << (HLL_RANK_BITS + 1)).cast("long")
+        ).alias("s_scaled"),
+        (HLL_M - F.count(F.lit(1))).alias("empty_registers"),
+    )
+    e_raw = F.lit(HLL_NUMER) / F.col("s_scaled").cast("double")
+    estimate = F.round(
+        F.when(
+            (e_raw <= F.lit(HLL_SMALL_RANGE)) & (F.col("empty_registers") > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("empty_registers")),
+        ).otherwise(e_raw),
+        6,
+    )
+    truth = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return (
+        folded.crossJoin(F.broadcast(n_sketches))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "n_sketches",
+            estimate.alias("hll_estimate"),
+            "empty_registers",
+            "exact_distinct",
+        )
+    )

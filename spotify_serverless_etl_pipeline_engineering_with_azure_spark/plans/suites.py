@@ -205,6 +205,8 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "events_rfm_segmentation": {"user_id": "v", "recency_days": "v", "frequency": "v", "monetary": "d", "r_score": "v", "f_score": "v", "m_score": "v"},
     "corpus_length_band_filter": {"doc_id": "v", "n_chars_txt": "v", "keep": "v"},
     "events_point_in_time_enrich": {"purchase_id": "v", "user_id": "v", "purchase_ts": "t", "dim_value_at": "d", "has_dim": "v"},
+    "sketch_hll_merge": {"n_sketches": "v", "hll_estimate": "d", "empty_registers": "v", "exact_distinct": "v"},
+    "corpus_sample_reservoir": {"doc_id": "v", "lang": "v", "rn": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -236,6 +238,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "agg_percentiles", "agg_statistical_moments", "agg_min_max_by",
         "agg_string_concat", "sketch_hll_distinct",
         "sketch_countmin_heavy_hitters", "agg_histogram",
+        "sketch_hll_merge",
     ),
     # Ranking, offset, and frame-based window functions.
     "window_suite": (
@@ -269,7 +272,8 @@ SUITES: dict[str, tuple[str, ...]] = {
         "text_fingerprint", "text_bpe_token_count",
         "text_chunk_windows", "corpus_pack_sequences",
         "text_repetition_signals", "text_pii_redaction",
-        "corpus_sample_stratified", "corpus_mix_stats",
+        "corpus_sample_stratified", "corpus_sample_reservoir",
+        "corpus_mix_stats",
         "corpus_quality_filter", "corpus_length_band_filter",
         "text_tfidf_top_terms",
         "corpus_decontaminate", "text_pmi_collocations",

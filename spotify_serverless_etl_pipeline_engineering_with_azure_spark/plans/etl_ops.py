@@ -167,3 +167,79 @@ def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, n_null_priority bigint, total_price double, min_key bigint, max_key bigint",
     )
+
+
+@register(
+    "table_diff_snapshot",
+    oracle="""
+WITH new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice FROM orders WHERE o_orderkey % 1000 = 0
+),
+diff AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'deleted'
+              WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         o.o_totalprice AS old_price, n.o_totalprice AS new_price
+  FROM orders o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+)
+SELECT status, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(COALESCE(old_price, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_old,
+       CAST(SUM(CAST(COALESCE(new_price, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_new
+FROM diff GROUP BY status
+""",
+    tags=("cdc", "diff", "etl"),
+)
+def table_diff_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC derivation): classify every key across two
+    table versions as added / deleted / changed / unchanged.
+
+    The new snapshot is derived deterministically from orders (every
+    97th key deleted, every 10th price-bumped, every 1000th cloned as
+    a new key), then ONE full outer join on the key produces the
+    change classification — the shape a CDC extractor or a
+    snapshot-reconciliation audit runs nightly. Values compare with
+    plain <> (exact decimals; the +100.0 bump is exact at 2 dp). One
+    shuffle on the key; per-status decimal sums make the audit totals
+    engine-exact. At 100 TB both snapshots bucket on the key and the
+    join is shuffle-free.
+    """
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    new_snap = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 100.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"), "o_totalprice"
+            )
+        )
+    )
+    o = orders.select(
+        F.col("o_orderkey").alias("k_old"), F.col("o_totalprice").alias("old_price")
+    )
+    n = new_snap.select(
+        F.col("o_orderkey").alias("k_new"), F.col("o_totalprice").alias("new_price")
+    )
+    diff = o.join(n, F.col("k_old") == F.col("k_new"), "full_outer").select(
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "deleted")
+        .when(F.col("old_price") != F.col("new_price"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        "old_price",
+        "new_price",
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.coalesce(F.col("old_price"), F.lit(0.0)), 2).alias("sum_old"),
+        dsum(F.coalesce(F.col("new_price"), F.lit(0.0)), 2).alias("sum_new"),
+    )

@@ -202,3 +202,70 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         COUNT(*) AS n_days,
+         SUM(n_events) AS s,
+         SUM(n_events * n_events) AS ss
+  FROM daily GROUP BY event_type
+),
+scored AS (
+  SELECT d.event_type, d.day, d.n_events,
+         st.n_days AS n, st.s AS s, st.ss AS ss,
+         st.n_days * d.n_events - st.s AS nx_minus_s
+  FROM daily d JOIN stats st ON d.event_type = st.event_type
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day, n_events,
+       ROUND(CAST(nx_minus_s AS DOUBLE) * SQRT(CAST(n - 1 AS DOUBLE))
+             / SQRT(CAST(n AS DOUBLE) * CAST(n * ss - s * s AS DOUBLE)), 6) AS zscore,
+       (n - 1) * nx_minus_s * nx_minus_s > 4 * n * (n * ss - s * s) AS is_anomaly
+FROM scored
+""",
+    tags=("quality", "anomaly", "event-time"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume anomaly detection: z-score each (type, day)
+    count against its type's mean/stddev, flag |z| > 2.
+
+    The ANOMALY DECISION is computed in pure INT64 arithmetic — the
+    sample-variance inequality z² > 4 rearranges to
+    (n−1)·(n·x−S)² > 4·n·(n·SS−S²) over the integer daily counts — so
+    the flag can never flip on a last-bit float difference between
+    engines; the reported z-score itself is one identical IEEE
+    expression over those integers, rounded 6dp. Plan: daily counts
+    shuffle on (type, day); per-type moment totals are a 5-row
+    aggregate joined back by broadcast. Nothing wider than the daily
+    matrix ever moves.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+    )
+    scored = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "nx_minus_s", F.col("n") * F.col("n_events") - F.col("s")
+    )
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    zscore = F.round(
+        F.col("nx_minus_s").cast("double")
+        * F.sqrt((F.col("n") - 1).cast("double"))
+        / F.sqrt(F.col("n").cast("double") * var_num.cast("double")),
+        6,
+    )
+    flag = (F.col("n") - 1) * F.col("nx_minus_s") * F.col("nx_minus_s") > 4 * F.col("n") * var_num
+    return scored.select(
+        "event_type", "day", "n_events", zscore.alias("zscore"), flag.alias("is_anomaly")
+    )

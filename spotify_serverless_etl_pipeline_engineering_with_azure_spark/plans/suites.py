@@ -207,6 +207,8 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "events_point_in_time_enrich": {"purchase_id": "v", "user_id": "v", "purchase_ts": "t", "dim_value_at": "d", "has_dim": "v"},
     "sketch_hll_merge": {"n_sketches": "v", "hll_estimate": "d", "empty_registers": "v", "exact_distinct": "v"},
     "corpus_sample_reservoir": {"doc_id": "v", "lang": "v", "rn": "v"},
+    "table_diff_snapshot": {"status": "v", "n_rows": "v", "sum_old": "d", "sum_new": "d"},
+    "events_anomaly_zscore": {"event_type": "v", "day": "t", "n_events": "v", "zscore": "d", "is_anomaly": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -306,6 +308,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "events_attribution_last_touch",
         "events_markov_transitions", "events_rfm_segmentation",
         "events_point_in_time_enrich",
+        "table_diff_snapshot", "events_anomaly_zscore",
     ),
 }
 

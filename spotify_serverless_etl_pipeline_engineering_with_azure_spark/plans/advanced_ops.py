@@ -618,3 +618,110 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("was_gap"),
         )
     )
+
+
+@register(
+    "streaming_stateful_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s1
+UNION ALL
+SELECT 2, 'click', COUNT(*) FROM s2
+UNION ALL
+SELECT 3, 'purchase', COUNT(*) FROM s3
+""",
+    tags=("streaming", "stateful", "funnel", "pandas"),
+)
+def streaming_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel tracker: a per-user state machine in explicit
+    GroupState advances view → click → purchase as events arrive,
+    emitting each user's deepest step reached.
+
+    The state is THREE timestamps (first view; first later click;
+    first later purchase) — O(1) per user regardless of stream length,
+    the property that lets this run forever at 100 TB/day. Events are
+    processed in (ts, event_id) order within each Arrow batch, and the
+    machine only ever ADVANCES (monotone), so with per-user in-order
+    delivery (the Kafka-partition-by-key contract) the drained result
+    equals the batch funnel — which is exactly what the oracle checks:
+    the bounded test stream's per-user deepest steps aggregate to the
+    same step counts as events_funnel_conversion's batch SQL
+    (plans/behavior_ops.py).
+    """
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.pipeline import events_stream, narrow_state_partitions
+
+    NONE = -1
+
+    def funnel(key, pdf_iter, state: GroupState):
+        t1, t2, t3 = state.get if state.exists else (NONE, NONE, NONE)
+        frames = [pdf for pdf in pdf_iter]
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+            us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for ts, etype in zip(us, pdf["event_type"]):
+                if etype == "view" and t1 == NONE:
+                    t1 = ts
+                elif etype == "click" and t2 == NONE and t1 != NONE and ts > t1:
+                    t2 = ts
+                elif etype == "purchase" and t3 == NONE and t2 != NONE and ts > t2:
+                    t3 = ts
+        state.update((t1, t2, t3))
+        step = 3 if t3 != NONE else 2 if t2 != NONE else 1 if t1 != NONE else 0
+        yield pd.DataFrame({"user_id": [key[0]], "deepest_step": [step]})
+
+    stream = events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    tracked = stream.groupBy("user_id").applyInPandasWithState(
+        funnel,
+        outputStructType="user_id bigint, deepest_step int",
+        stateStructType="t1 bigint, t2 bigint, t3 bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_funnel_{uuid.uuid4().hex[:8]}"
+    with narrow_state_partitions(spark):
+        q = (
+            tracked.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {name} did not drain")
+    # update mode re-emits a user's row each micro-batch; the machine is
+    # monotone, so the deepest step is the MAX per user. A user at step
+    # k counts in every funnel level <= k (cumulative funnel).
+    deepest = (
+        spark.table(name).groupBy("user_id").agg(F.max("deepest_step").alias("s"))
+    )
+    levels = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (3, "purchase")], "step int, step_name string"
+    )
+    return (
+        deepest.join(F.broadcast(levels), F.col("s") >= F.col("step"))
+        .groupBy("step", "step_name")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -209,6 +209,7 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "corpus_sample_reservoir": {"doc_id": "v", "lang": "v", "rn": "v"},
     "table_diff_snapshot": {"status": "v", "n_rows": "v", "sum_old": "d", "sum_new": "d"},
     "events_anomaly_zscore": {"event_type": "v", "day": "t", "n_events": "v", "zscore": "d", "is_anomaly": "v"},
+    "streaming_stateful_funnel": {"step": "v", "step_name": "v", "n_users": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -287,6 +288,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "streaming_sliding_window", "streaming_stream_stream_join",
         "streaming_static_enrich_join", "streaming_foreach_batch_sink",
         "streaming_stateful_user_totals", "streaming_session_window",
+        "streaming_stateful_funnel",
     ),
     # Remaining batch ETL / event-time / layout operators.
     "etl_misc_suite": (

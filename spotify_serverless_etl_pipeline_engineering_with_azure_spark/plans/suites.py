@@ -210,6 +210,8 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "table_diff_snapshot": {"status": "v", "n_rows": "v", "sum_old": "d", "sum_new": "d"},
     "events_anomaly_zscore": {"event_type": "v", "day": "t", "n_events": "v", "zscore": "d", "is_anomaly": "v"},
     "streaming_stateful_funnel": {"step": "v", "step_name": "v", "n_users": "v"},
+    "streaming_tumbling_window": {"window_start": "t", "event_type": "v", "n_events": "v", "sum_value": "d"},
+    "streaming_dedup_watermark": {"user_id": "v", "event_type": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -289,6 +291,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "streaming_static_enrich_join", "streaming_foreach_batch_sink",
         "streaming_stateful_user_totals", "streaming_session_window",
         "streaming_stateful_funnel",
+        "streaming_tumbling_window", "streaming_dedup_watermark",
     ),
     # Remaining batch ETL / event-time / layout operators.
     "etl_misc_suite": (
@@ -297,14 +300,26 @@ SUITES: dict[str, tuple[str, ...]] = {
         "parquet_partitioned_roundtrip", "unpivot_lineitem",
         "events_multires_rollup", "timeseries_gap_fill",
         "scd2_user_value_history", "fuzzy_match_part_names",
+        "dq_referential_integrity", "dq_profile_orders",
+        "orc_sink_roundtrip",
+    ),
+    # Heavier members split out of etl_misc_suite: iterative operators
+    # (pagerank, k-means, SemDeDup) run eager driver-side jobs during
+    # plan build, and multimodal ops pay a Python-worker round trip —
+    # together they made the single etl_misc row a ~50 s timeout
+    # magnet. Each digest row now stays well under half that.
+    "advanced_misc_suite": (
         "multimodal_binary_meta", "multimodal_decode_features",
         "multimodal_resize", "multimodal_frame_sample",
-        "dq_referential_integrity", "dq_profile_orders",
         "graph_pagerank_neardup", "cluster_kmeans_embeddings",
         "dedup_semdedup", "corpus_cross_source_overlap",
-        "orc_sink_roundtrip", "observe_pipeline_metrics",
-        "compact_small_files", "dedup_incremental_delta",
-        "corpus_end_to_end_accounting",
+        "observe_pipeline_metrics", "compact_small_files",
+        "dedup_incremental_delta", "corpus_end_to_end_accounting",
+    ),
+    # User-behavior analytics + warehouse-audit operators (split from
+    # etl_misc_suite to keep each digest row's wall time bounded: a
+    # driver row that re-runs 35 members is a timeout magnet).
+    "behavior_suite": (
         "events_funnel_conversion", "events_cohort_retention",
         "timeseries_ewma_decay", "agg_salted_skew",
         "events_attribution_last_touch",

@@ -181,9 +181,13 @@ PRIORITY: tuple[str, ...] = (
     "array_ops_embeddings",
     "udf_surface_suite",
     "variant_semistructured",
-    "streaming_dedup_watermark",
+    # streaming_tumbling_window and streaming_dedup_watermark, formerly
+    # individual slots here, are members of streaming_suite; their two
+    # slots fund the etl_misc/advanced_misc split (digest wall-time
+    # bounding) and keep events_sessionization's individual row.
     "streaming_suite",
     "etl_misc_suite",
+    "advanced_misc_suite",
     "merge_upsert_orders",
     # LLM-pipeline north-star operators
     "dedup_minhash_lsh",
@@ -197,7 +201,11 @@ PRIORITY: tuple[str, ...] = (
     "sim_ann_ivf",
     "embedding_centroids",
     "text_suite",
-    "events_sessionization",
+    # behavior analytics + warehouse audits (funnel, cohort, attribution,
+    # Markov, RFM, PIT, EWMA, salted agg, CDC diff, anomaly) in one row;
+    # events_sessionization, formerly this slot, is a member of
+    # etl_misc_suite and stays certified there.
+    "behavior_suite",
 )
 
 

@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import scatter, table
@@ -859,3 +859,111 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             quant(F.lit(base) + PR_DAMPING * F.col("contrib").cast("double")).alias("r"),
         ).localCheckpoint()
     return ranks.select(F.col("v").alias("doc_id"), F.col("r").alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter set-similarity join (PPJoin-family)
+# ---------------------------------------------------------------------------
+# Jaccard threshold for the prefix-filter join. With threshold t, two
+# shingle sets can only reach Jaccard >= t if they share a shingle
+# among each one's (m - ceil(t*m) + 1) RAREST shingles — the
+# prefix-filter guarantee (Chaudhuri et al. SSJoin / Xiao et al.
+# PPJoin), which makes this join EXACT: no false negatives, unlike
+# MinHash LSH.
+PF_JACCARD_T = 0.6
+
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+WITH toks AS ({_SQL_SHINGLES.format(where="")}),
+dfreq AS (SELECT sh, COUNT(*) AS dfc FROM toks GROUP BY sh),
+ordered AS (
+  SELECT t.doc_id, t.sh,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.dfc, t.sh) AS i,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS m
+  FROM toks t JOIN dfreq d ON t.sh = d.sh
+),
+prefix AS (
+  SELECT doc_id, sh FROM ordered WHERE i <= m - CEIL({PF_JACCARD_T} * m) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS m FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       sa.m + sb.m - i.n_common AS n_union,
+       ROUND(CAST(i.n_common AS DOUBLE) / (sa.m + sb.m - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.m + sb.m - i.n_common) >= {PF_JACCARD_T}
+""",
+    tags=("dedup", "jaccard", "prefix-filter"),
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-Jaccard similarity join via prefix filtering — the
+    deterministic alternative to MinHash LSH (no false negatives).
+
+    Each doc's 3-token shingles sort by ascending document frequency;
+    only the (m − ⌈t·m⌉ + 1) RAREST shingles form its prefix, and two
+    docs are candidates only if their prefixes share a shingle. The
+    inverted index is built on prefix shingles only, which are low-df
+    BY CONSTRUCTION — the hot-shingle quadratic bucket the DF-pruned
+    dedup_ngram_jaccard guards against cannot occur, because a shingle
+    frequent enough to form a big bucket is never in anyone's prefix
+    (rare shingles rank first). Verification computes exact Jaccard on
+    candidates with one aggregation over the shared-shingle join.
+    Shuffles: df agg (vocab-sized, broadcast back), per-doc window,
+    prefix equi-join, candidate verification — all keyed, none
+    quadratic. Integer-over-integer division makes the threshold
+    decision engine-exact.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = _shingles(docs)
+    dfreq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
+    w_doc = Window.partitionBy("doc_id").orderBy("dfc", "sh")
+    w_m = Window.partitionBy("doc_id")
+    ordered = (
+        toks.join(F.broadcast(dfreq), "sh")
+        .withColumn("i", F.row_number().over(w_doc))
+        .withColumn("m", F.count(F.lit(1)).over(w_m))
+    )
+    prefix = ordered.filter(
+        F.col("i") <= F.col("m") - F.ceil(F.lit(PF_JACCARD_T) * F.col("m")) + 1
+    ).select("doc_id", "sh")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    shared = (
+        cand.join(toks.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(toks.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    joined = (
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb")), "doc_b")
+        .withColumn("n_union", F.col("ma") + F.col("mb") - F.col("n_common"))
+        .withColumn(
+            "jaccard", F.round(F.col("n_common").cast("double") / F.col("n_union"), 6)
+        )
+    )
+    return joined.filter(
+        F.col("n_common").cast("double") / F.col("n_union") >= PF_JACCARD_T
+    ).select("doc_a", "doc_b", "n_common", "n_union", "jaccard")

@@ -212,6 +212,7 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "streaming_stateful_funnel": {"step": "v", "step_name": "v", "n_users": "v"},
     "streaming_tumbling_window": {"window_start": "t", "event_type": "v", "n_events": "v", "sum_value": "d"},
     "streaming_dedup_watermark": {"user_id": "v", "event_type": "v"},
+    "dedup_prefix_filter_jaccard": {"doc_a": "v", "doc_b": "v", "n_common": "v", "n_union": "v", "jaccard": "d"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -315,6 +316,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "dedup_semdedup", "corpus_cross_source_overlap",
         "observe_pipeline_metrics", "compact_small_files",
         "dedup_incremental_delta", "corpus_end_to_end_accounting",
+        "dedup_prefix_filter_jaccard",
     ),
     # User-behavior analytics + warehouse-audit operators (split from
     # etl_misc_suite to keep each digest row's wall time bounded: a

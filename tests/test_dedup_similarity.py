@@ -167,3 +167,44 @@ def test_semdedup_partitions_corpus_and_drops_duplicates(spark, sf_dir):
     assert not verdicts[clone_id].keep
     assert abs(verdicts[clone_id].max_sim_lower - 1.0) < 1e-6
     assert verdicts[9].cluster == verdicts[clone_id].cluster
+
+
+def test_prefix_filter_jaccard_is_complete(spark, sf_dir):
+    """The prefix-filter join must find EVERY pair with shingle-Jaccard
+    >= t (no false negatives) — compared against a brute-force
+    all-pairs DuckDB computation at test scale."""
+    import duckdb
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark import registry
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.dedup import (
+        PF_JACCARD_T,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in registry.load_all()["dedup_prefix_filter_jaccard"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    brute = con.execute(f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
+    WHERE LEN(t) >= 3)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS m FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS c
+  FROM toks ta JOIN toks tb ON ta.sh = tb.sh AND ta.doc_id < tb.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(c AS DOUBLE) / (sa.m + sb.m - c) >= {PF_JACCARD_T}
+""").fetchall()
+    assert got == {(a, b) for a, b in brute}

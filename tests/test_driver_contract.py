@@ -63,7 +63,9 @@ from tests.oracle_mirror import duckdb_conn, compare
 qs, osql = e.queries(), e.oracle_sql()
 con = duckdb_conn("/root/testdata/sf0.001")
 for name in ("events_tumbling_window", "ref_c1_timestamp_cast",
-             "events_sessionization", "streaming_tumbling_window"):
+             "events_sessionization", "streaming_tumbling_window",
+             "events_cohort_retention", "events_attribution_last_touch",
+             "events_point_in_time_enrich", "events_anomaly_zscore"):
     p = compare(qs[name](spark, "/root/testdata/sf0.001").toPandas(),
                 con.execute(osql[name]).fetchdf())
     assert not p, f"{{name}}: {{p}}"

@@ -514,3 +514,76 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_rows"),
         F.sum("psum").cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "events_rolling_active_users",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT DATE_TRUNC('day', ts) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs),
+fanned AS (
+  SELECT UNNEST(GENERATE_SERIES(p.day, p.day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS report_day,
+         p.day, p.user_id
+  FROM pairs p
+),
+rolled AS (
+  SELECT f.report_day, COUNT(DISTINCT f.user_id) AS wau_users,
+         COUNT(DISTINCT CASE WHEN f.day = f.report_day THEN f.user_id END) AS dau_users
+  FROM fanned f JOIN days d ON f.report_day = d.day
+  GROUP BY f.report_day
+)
+SELECT CAST(report_day AS TIMESTAMP) AS report_day, dau_users, wau_users,
+       CAST(dau_users AS DOUBLE) / wau_users AS stickiness
+FROM rolled
+""",
+    tags=("behavior", "timeseries", "distinct", "event-time"),
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users (DAU / WAU / stickiness).
+
+    Distinct-count over a sliding window has no window-function form
+    (COUNT(DISTINCT) OVER RANGE is unsupported in both engines, and a
+    range join is a skew trap). The scalable rewrite: reduce to
+    distinct (day, user) pairs — the ONLY pass over raw events — then
+    explode each pair to the 7 report days it contributes to (bounded
+    ×7 fan-out of an already-tiny frame) and aggregate with an
+    equi-shuffle on report_day. DAU rides along as a conditional
+    distinct on the same aggregation; stickiness = DAU/WAU is the
+    usual product-health ratio. Report days are restricted to observed
+    days, so every window is fully defined by data. At 100 TB the
+    (day, user) pre-aggregation is cardinality-bounded (users×days),
+    and nothing downstream ever touches raw events again.
+    """
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct().withColumnRenamed("day", "report_day")
+    fanned = pairs.withColumn(
+        "report_day",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    rolled = (
+        fanned.join(F.broadcast(days), "report_day")
+        .groupBy("report_day")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("day") == F.col("report_day"), F.col("user_id"))
+            ).alias("dau_users"),
+            F.count_distinct("user_id").alias("wau_users"),
+        )
+    )
+    return rolled.select(
+        "report_day",
+        "dau_users",
+        "wau_users",
+        (F.col("dau_users").cast("double") / F.col("wau_users")).alias("stickiness"),
+    )

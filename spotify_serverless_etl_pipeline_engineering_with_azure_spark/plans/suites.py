@@ -213,6 +213,7 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "streaming_tumbling_window": {"window_start": "t", "event_type": "v", "n_events": "v", "sum_value": "d"},
     "streaming_dedup_watermark": {"user_id": "v", "event_type": "v"},
     "dedup_prefix_filter_jaccard": {"doc_a": "v", "doc_b": "v", "n_common": "v", "n_union": "v", "jaccard": "d"},
+    "events_rolling_active_users": {"report_day": "t", "dau_users": "v", "wau_users": "v", "stickiness": "d"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -328,6 +329,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "events_markov_transitions", "events_rfm_segmentation",
         "events_point_in_time_enrich",
         "table_diff_snapshot", "events_anomaly_zscore",
+        "events_rolling_active_users",
     ),
 }
 

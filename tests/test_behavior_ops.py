@@ -158,3 +158,14 @@ def test_salted_agg_has_two_aggregation_phases(spark, sf_dir):
 def test_behavior_plans_have_no_cartesian(spark, sf_dir, name):
     plan = ALL[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_active_users_bounds(spark, sf_dir):
+    """WAU >= DAU everywhere, stickiness in (0, 1], and the max WAU
+    never exceeds the total user count."""
+    rows = ALL["events_rolling_active_users"].fn(spark, sf_dir).collect()
+    n_users = table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert rows, "at least one report day"
+    for r in rows:
+        assert r["dau_users"] <= r["wau_users"] <= n_users
+        assert 0.0 < r["stickiness"] <= 1.0

@@ -243,3 +243,54 @@ def table_diff_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.coalesce(F.col("old_price"), F.lit(0.0)), 2).alias("sum_old"),
         dsum(F.coalesce(F.col("new_price"), F.lit(0.0)), 2).alias("sum_new"),
     )
+
+
+@register(
+    "orders_seasonality_mom_yoy",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, revenue,
+       LAG(revenue) OVER w AS prev_month_revenue,
+       LAG(revenue, 12) OVER w AS prev_year_revenue,
+       ROUND(revenue / LAG(revenue) OVER w - 1.0, 6) AS mom_growth,
+       ROUND(revenue / LAG(revenue, 12) OVER w - 1.0, 6) AS yoy_growth
+FROM monthly
+WINDOW w AS (ORDER BY month)
+""",
+    tags=("timeseries", "seasonality", "reporting"),
+)
+def orders_seasonality_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month and year-over-year growth.
+
+    The reporting staple over the star schema: one aggregation to the
+    month grain (exact decimal revenue), then LAG(1)/LAG(12) offsets on
+    the months-sized frame. The window is unpartitioned by definition
+    (a global monthly series) but runs over |months| rows — constant at
+    any input scale; everything data-sized happens in the first keyed
+    aggregation. Growth ratios divide identical doubles (both engines
+    compute revenue from the same exact decimal sum), rounded 6dp.
+    """
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    prev_m = F.lag("revenue").over(w)
+    prev_y = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        prev_m.alias("prev_month_revenue"),
+        prev_y.alias("prev_year_revenue"),
+        F.round(F.col("revenue") / prev_m - 1.0, 6).alias("mom_growth"),
+        F.round(F.col("revenue") / prev_y - 1.0, 6).alias("yoy_growth"),
+    )

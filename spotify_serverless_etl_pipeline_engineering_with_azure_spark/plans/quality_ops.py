@@ -269,3 +269,53 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "event_type", "day", "n_events", zscore.alias("zscore"), flag.alias("is_anomaly")
     )
+
+
+@register(
+    "part_name_fingerprint_clusters",
+    oracle="""
+WITH keyed AS (
+  SELECT p_partkey, p_name,
+         ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(LOWER(p_name), ' '))), ' ') AS fkey
+  FROM part
+)
+SELECT fkey, COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_variants,
+       MIN(p_name) AS canonical_name,
+       CAST(MIN(p_partkey) AS BIGINT) AS canonical_key
+FROM keyed
+GROUP BY fkey
+HAVING COUNT(*) > 1
+""",
+    tags=("quality", "cleaning", "fingerprint"),
+)
+def part_name_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenRefine-style fingerprint clustering of messy names: rows
+    whose names normalize to the same key (lowercase, tokenize, dedupe,
+    sort) form collision clusters — duplicate entities to reconcile,
+    with n_variants counting distinct raw spellings inside each (1 =
+    exact duplicates, >1 = spelling/word-order variants).
+
+    The normalization is entirely row-local codegen (split, lower,
+    array_distinct, array_sort, array_join) so the only shuffle is the
+    groupBy on the fingerprint key; MIN picks the canonical
+    representative deterministically. The standard first pass of entity
+    resolution on a dimension table — at 100 TB the key cardinality is
+    ~|distinct names| and partial aggregation collapses duplicates
+    map-side.
+    """
+    part = table(spark, sf_dir, "part")
+    fkey = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower(F.col("p_name")), " "))), " "
+    )
+    return (
+        part.select("p_partkey", "p_name", fkey.alias("fkey"))
+        .groupBy("fkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("p_name").alias("n_variants"),
+            F.min("p_name").alias("canonical_name"),
+            F.min("p_partkey").alias("canonical_key"),
+        )
+        .filter(F.col("n_rows") > 1)
+    )

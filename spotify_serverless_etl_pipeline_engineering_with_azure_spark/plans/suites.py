@@ -214,6 +214,8 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "streaming_dedup_watermark": {"user_id": "v", "event_type": "v"},
     "dedup_prefix_filter_jaccard": {"doc_a": "v", "doc_b": "v", "n_common": "v", "n_union": "v", "jaccard": "d"},
     "events_rolling_active_users": {"report_day": "t", "dau_users": "v", "wau_users": "v", "stickiness": "d"},
+    "orders_seasonality_mom_yoy": {"month": "t", "n_orders": "v", "revenue": "d", "prev_month_revenue": "d", "prev_year_revenue": "d", "mom_growth": "d", "yoy_growth": "d"},
+    "part_name_fingerprint_clusters": {"fkey": "v", "n_rows": "v", "n_variants": "v", "canonical_name": "v", "canonical_key": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -330,6 +332,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "events_point_in_time_enrich",
         "table_diff_snapshot", "events_anomaly_zscore",
         "events_rolling_active_users",
+        "orders_seasonality_mom_yoy", "part_name_fingerprint_clusters",
     ),
 }
 

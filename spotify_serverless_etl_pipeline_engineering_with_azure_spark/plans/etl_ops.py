@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.exact import dsum
+from ..functions.exact import dec, dsum
 from ..registry import register
 
 
@@ -293,4 +293,64 @@ def orders_seasonality_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_y.alias("prev_year_revenue"),
         F.round(F.col("revenue") / prev_m - 1.0, 6).alias("mom_growth"),
         F.round(F.col("revenue") / prev_y - 1.0, 6).alias("yoy_growth"),
+    )
+
+
+@register(
+    "top_parts_pareto",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, revenue,
+         ROW_NUMBER() OVER w AS rnk,
+         SUM(revenue) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue,
+         SUM(revenue) OVER () AS total_revenue,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_parts
+  FROM per_part
+  WINDOW w AS (ORDER BY revenue DESC, l_partkey)
+)
+SELECT rnk, l_partkey, revenue,
+       ROUND(cum_revenue / total_revenue, 6) AS cum_share,
+       CAST(rnk AS DOUBLE) / n_parts <= 0.2 AS in_top20pct
+FROM ranked
+WHERE rnk <= 100
+""",
+    tags=("reporting", "pareto", "window"),
+)
+def top_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) revenue-concentration analysis: parts ranked by
+    revenue with cumulative share of total.
+
+    Data-sized work is ONE keyed aggregation (per-part exact decimal
+    revenue); the ranking/cumulative windows then run over the
+    |parts|-sized aggregate. cum_revenue sums the SAME doubles in the
+    SAME rank order in both engines (sequential running sum over an
+    identical total order — ties broken by key), so the cumulative
+    shares match bit-for-bit before the 6dp round. The top-100 limit
+    keeps the report bounded; in_top20pct flags the Pareto head.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec(F.col("l_extendedprice"), 2)).cast("double").alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    alldata = Window.partitionBy()
+    ranked = per_part.select(
+        F.row_number().over(w).alias("rnk"),
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(run).alias("cum_revenue"),
+        F.sum("revenue").over(alldata).alias("total_revenue"),
+        F.count(F.lit(1)).over(alldata).alias("n_parts"),
+    )
+    return ranked.filter(F.col("rnk") <= 100).select(
+        "rnk",
+        "l_partkey",
+        "revenue",
+        F.round(F.col("cum_revenue") / F.col("total_revenue"), 6).alias("cum_share"),
+        (F.col("rnk").cast("double") / F.col("n_parts") <= 0.2).alias("in_top20pct"),
     )

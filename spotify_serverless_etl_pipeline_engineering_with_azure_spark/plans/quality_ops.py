@@ -14,7 +14,7 @@ plans/sketches.py is its at-scale replacement).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -318,4 +318,65 @@ def part_name_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFram
             F.min("p_partkey").alias("canonical_key"),
         )
         .filter(F.col("n_rows") > 1)
+    )
+
+
+@register(
+    "events_error_budget_sli",
+    oracle="""
+WITH daily AS (
+  SELECT DATE_TRUNC('day', ts) AS day,
+         COUNT(*) AS n_total,
+         COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+  FROM events GROUP BY 1
+),
+rolled AS (
+  SELECT day, n_total, n_errors,
+         SUM(n_total) OVER w AS n_total_7d,
+         SUM(n_errors) OVER w AS n_errors_7d
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(day AS TIMESTAMP) AS day, n_total, n_errors,
+       ROUND(CAST(n_errors AS DOUBLE) / n_total, 6) AS error_rate,
+       ROUND(CAST(n_errors_7d AS DOUBLE) / n_total_7d, 6) AS error_rate_7d,
+       CAST(n_errors_7d AS DOUBLE) / n_total_7d > 0.25 AS budget_burned
+FROM rolled
+""",
+    tags=("quality", "sli", "event-time"),
+)
+def events_error_budget_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE-style SLI report: daily and rolling-7-day error rates with
+    an error-budget flag.
+
+    One keyed aggregation reduces raw events to the days-sized frame
+    (conditional count for errors rides the same pass); the 7-day
+    rolling sums are a ROWS window over that constant-size series —
+    counts sum as exact integers, so the rolling rates divide identical
+    longs in both engines, with the budget threshold decided on the
+    SAME division both engines compute (identical doubles, exact
+    comparison). At any input scale only the first aggregation touches
+    data; consecutive days make ROWS 6-PRECEDING ≡ a 7-day time range.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    rolled = daily.select(
+        "day",
+        "n_total",
+        "n_errors",
+        F.sum("n_total").over(w).alias("n_total_7d"),
+        F.sum("n_errors").over(w).alias("n_errors_7d"),
+    )
+    rate7 = F.col("n_errors_7d").cast("double") / F.col("n_total_7d")
+    return rolled.select(
+        "day",
+        "n_total",
+        "n_errors",
+        F.round(F.col("n_errors").cast("double") / F.col("n_total"), 6).alias("error_rate"),
+        F.round(rate7, 6).alias("error_rate_7d"),
+        (rate7 > 0.25).alias("budget_burned"),
     )

@@ -216,6 +216,8 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "events_rolling_active_users": {"report_day": "t", "dau_users": "v", "wau_users": "v", "stickiness": "d"},
     "orders_seasonality_mom_yoy": {"month": "t", "n_orders": "v", "revenue": "d", "prev_month_revenue": "d", "prev_year_revenue": "d", "mom_growth": "d", "yoy_growth": "d"},
     "part_name_fingerprint_clusters": {"fkey": "v", "n_rows": "v", "n_variants": "v", "canonical_name": "v", "canonical_key": "v"},
+    "top_parts_pareto": {"rnk": "v", "l_partkey": "v", "revenue": "d", "cum_share": "d", "in_top20pct": "v"},
+    "events_error_budget_sli": {"day": "t", "n_total": "v", "n_errors": "v", "error_rate": "d", "error_rate_7d": "d", "budget_burned": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -333,6 +335,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "table_diff_snapshot", "events_anomaly_zscore",
         "events_rolling_active_users",
         "orders_seasonality_mom_yoy", "part_name_fingerprint_clusters",
+        "top_parts_pareto", "events_error_budget_sli",
     ),
 }
 

@@ -51,6 +51,7 @@ from ..registry import REGISTRY, register
 # their oracles; importing the defining modules here (self-registering,
 # idempotent) makes this module import-order-independent.
 from ..multimodal import media  # noqa: F401  (multimodal_binary_meta)
+from ..operators import spotify_queries  # noqa: F401  (reference_pipeline_suite)
 from . import (  # noqa: F401
     advanced_ops,
     analytics,
@@ -218,6 +219,10 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "part_name_fingerprint_clusters": {"fkey": "v", "n_rows": "v", "n_variants": "v", "canonical_name": "v", "canonical_key": "v"},
     "top_parts_pareto": {"rnk": "v", "l_partkey": "v", "revenue": "d", "cum_share": "d", "in_top20pct": "v"},
     "events_error_budget_sli": {"day": "t", "n_total": "v", "n_errors": "v", "error_rate": "d", "error_rate_7d": "d", "budget_burned": "v"},
+    "spotify_songs": {"song_id": "v", "name": "v", "duration_ms": "v", "url": "v", "popularity": "v", "added_date": "t", "album_id": "v", "artist_id": "v"},
+    "spotify_artists": {"artist_id": "v", "name": "v", "url": "v"},
+    "spotify_albums": {"album_id": "v", "name": "v", "release_date": "v", "total_tracks": "v", "url": "v"},
+    "spotify_artists_exploded": {"page": "v", "pos": "v", "artist_pos": "v", "artist_id": "v", "name": "v", "url": "v"},
 }
 
 # Suite membership. Every member is an oracle-backed registered query;
@@ -322,6 +327,15 @@ SUITES: dict[str, tuple[str, ...]] = {
         "observe_pipeline_metrics", "compact_small_files",
         "dedup_incremental_delta", "corpus_end_to_end_accounting",
         "dedup_prefix_filter_jaccard",
+    ),
+    # The full reference star-schema pipeline over the staged seed-42
+    # raw-zone JSON (S4+S5 + P1/P2/P3 + C1/C2 + D1/D2): one digest row
+    # per output table, hash-compared against DuckDB read_json over the
+    # identical bytes — the last reference operators to gain hash-level
+    # driver certification.
+    "reference_pipeline_suite": (
+        "spotify_songs", "spotify_artists", "spotify_albums",
+        "spotify_artists_exploded",
     ),
     # User-behavior analytics + warehouse-audit operators (split from
     # etl_misc_suite to keep each digest row's wall time bounded: a

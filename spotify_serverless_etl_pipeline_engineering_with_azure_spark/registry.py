@@ -152,7 +152,6 @@ PRIORITY: tuple[str, ...] = (
     "json_sink_roundtrip",
     "csv_sink_roundtrip",
     "streaming_csv_sink_roundtrip",
-    "streaming_tumbling_window",
     "json_extract_events",
     "ref_s5_explode_tokens",
     "ref_p2_array_head",
@@ -162,6 +161,9 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "ref_x1_count",
     "ref_x4_path_basename",
+    # the full star-schema pipeline (P1/P2/P3 + C1/C2 + D1/D2 over the
+    # staged raw zone) as one digest row per output table
+    "reference_pipeline_suite",
     # analytical surface, one representative (or suite) per category
     "filter_predicates",
     "join_suite",
@@ -181,10 +183,11 @@ PRIORITY: tuple[str, ...] = (
     "array_ops_embeddings",
     "udf_surface_suite",
     "variant_semistructured",
-    # streaming_tumbling_window and streaming_dedup_watermark, formerly
-    # individual slots here, are members of streaming_suite; their two
-    # slots fund the etl_misc/advanced_misc split (digest wall-time
-    # bounding) and keep events_sessionization's individual row.
+    # All streaming variants (tumbling window, watermark dedup,
+    # sliding, stream-stream join, stateful, session windows,
+    # foreachBatch) are certified as streaming_suite members; none
+    # holds an individual slot. The freed slots fund the
+    # etl_misc/advanced_misc split and reference_pipeline_suite.
     "streaming_suite",
     "etl_misc_suite",
     "advanced_misc_suite",

@@ -350,72 +350,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup
+# Embedding-cosine near-dup (candidate-guarded exact verification)
 # ---------------------------------------------------------------------------
-@register(
-    "dedup_embedding_cosine",
-    oracle="""
-WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-FROM sub a JOIN sub b ON a.vec_id < b.vec_id
-WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.6
-""",
-    tags=("dedup", "embedding"),
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs over a bounded probe subset.
-
-    At scale the pair generation goes through LSH buckets
-    (sim_ann_lsh_bucketed); this exact variant is the verification path.
-    Norms are folded once per vector before the pair join (identical
-    doubles → bit-identical cosine), so each pair pays one dot fold.
-    """
-    from ..functions.vectors import dot, norm
-
-    sub = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
-    a = sub.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        norm(F.col("embedding")).alias("nrm_a"),
-    )
-    b = sub.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        norm(F.col("embedding")).alias("nrm_b"),
-    )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.6)
-    )
-
-
-# ---------------------------------------------------------------------------
-# SemDeDup: cluster-bucketed semantic dedup (the embedding-cosine scale path)
-# ---------------------------------------------------------------------------
+# τ picked so the synthetic near-orthogonal corpus yields a non-empty
+# pair set at test SFs (top within-cell cosines ≈ 0.49) — an empty
+# result would make the parity row a vacuous check.
+EMB_COSINE_TAU = 0.4
 SEMDEDUP_K = 8  # codebook size; production: K ~ sqrt(N) keeps cells bounded
 SEMDEDUP_TAU = 0.5  # drop a vector whose max cosine to a lower-id cellmate ≥ τ
 
 
-def _semdedup_oracle() -> str:
-    cos = (
-        "ROUND(LIST_COSINE_SIMILARITY(CAST({a} AS DOUBLE[]), "
-        "CAST({b} AS DOUBLE[])), 6)"
+def _semdedup_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster): broadcast-codebook nearest-centroid assignment
+    — O(N·K) map-side literal arithmetic, no shuffle."""
+    from ..functions.vectors import norm
+
+    from .advanced_ops import load_centroids, ranked_centroids_expr
+
+    emb = scatter(table(spark, sf_dir, "embeddings"))
+    ranked = ranked_centroids_expr(load_centroids(spark, sf_dir, SEMDEDUP_K))
+    return emb.withColumn("nrm", norm(F.col("embedding"))).select(
+        "vec_id",
+        F.element_at(ranked, 1).getField("cid").cast("long").alias("cluster"),
     )
-    asim = cos.format(a="e.embedding", b="c.cemb")
-    psim = cos.format(a="ea.embedding", b="eb.embedding")
+
+
+def _cell_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-cell candidate pairs: (va, vb) with va < vb, same cell.
+
+    The shared candidate generator for exact-cosine work: cells
+    collected per cluster, in-cell pair expansion — cost O(Σ cell²),
+    never O(N²).
+    """
+    cells = (
+        _semdedup_member(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return _bucket_pairs(cells).select(
+        F.col("doc_a").alias("va"), F.col("doc_b").alias("vb")
+    )
+
+
+def _member_cte() -> str:
+    """DuckDB mirror of the broadcast-codebook cell assignment (the
+    cent/assign/member CTE bodies shared by the SemDeDup-family
+    oracles)."""
+    asim = (
+        "ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(c.cemb AS DOUBLE[])), 6)"
+    )
     return f"""
-WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-              WHERE vec_id < {SEMDEDUP_K}),
+cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+         WHERE vec_id < {SEMDEDUP_K}),
 assign AS (
   SELECT e.vec_id,
          c.cid,
@@ -423,7 +411,81 @@ assign AS (
                             ORDER BY {asim} DESC, c.cid) AS rn
   FROM embeddings e CROSS JOIN cent c
 ),
-member AS (SELECT vec_id, cid AS cluster FROM assign WHERE rn = 1),
+member AS (SELECT vec_id, cid AS cluster FROM assign WHERE rn = 1)
+"""
+
+
+def _emb_cosine_oracle() -> str:
+    cos = (
+        "ROUND(LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]), "
+        "CAST(eb.embedding AS DOUBLE[])), 6)"
+    )
+    return f"""
+WITH {_member_cte()},
+pairs AS (
+  SELECT ma.vec_id AS va, mb.vec_id AS vb
+  FROM member ma
+  JOIN member mb ON ma.cluster = mb.cluster AND ma.vec_id < mb.vec_id
+)
+SELECT p.va AS vec_a, p.vb AS vec_b, {cos} AS cos_sim
+FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.va
+JOIN embeddings eb ON eb.vec_id = p.vb
+WHERE {cos} >= {EMB_COSINE_TAU}
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_emb_cosine_oracle(), tags=("dedup", "embedding"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, candidate-guarded.
+
+    Exact cosine is evaluated ONLY on SemDeDup-cell candidate pairs
+    (broadcast-codebook assignment → in-cell pair expansion), never
+    all-pairs: pointed at a full corpus the cost is proportional to the
+    candidate count, O(Σ cell²) with K sized ~sqrt(N). The pair set is
+    attached to its vectors by two vec_id equi-joins; norms are folded
+    once per vector before the join (identical doubles → bit-identical
+    cosine), so each candidate pays one dot fold.
+    """
+    from ..functions.vectors import dot, norm
+
+    pairs = _cell_candidate_pairs(spark, sf_dir)
+    ea = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("emb_a"),
+        norm(F.col("embedding")).alias("nrm_a"),
+    )
+    eb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("emb_b"),
+        norm(F.col("embedding")).alias("nrm_b"),
+    )
+    cs = F.round(
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+    )
+    return (
+        pairs.join(ea, F.col("a_id") == F.col("va"))
+        .join(eb, F.col("b_id") == F.col("vb"))
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            cs.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= EMB_COSINE_TAU)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bucketed semantic dedup (the embedding-cosine scale path)
+# ---------------------------------------------------------------------------
+def _semdedup_oracle() -> str:
+    cos = (
+        "ROUND(LIST_COSINE_SIMILARITY(CAST({a} AS DOUBLE[]), "
+        "CAST({b} AS DOUBLE[])), 6)"
+    )
+    psim = cos.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+WITH {_member_cte()},
 pairs AS (
   SELECT mb.vec_id AS vb, {psim} AS cs
   FROM member ma
@@ -461,22 +523,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.vectors import dot, norm
 
-    from .advanced_ops import load_centroids, ranked_centroids_expr
-
-    emb = scatter(table(spark, sf_dir, "embeddings"))
-    ranked = ranked_centroids_expr(load_centroids(spark, sf_dir, SEMDEDUP_K))
-    member = emb.withColumn("nrm", norm(F.col("embedding"))).select(
-        "vec_id",
-        F.element_at(ranked, 1).getField("cid").cast("long").alias("cluster"),
-    )
-    cells = (
-        member.groupBy("cluster")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = _bucket_pairs(cells).select(
-        F.col("doc_a").alias("va"), F.col("doc_b").alias("vb")
-    )
+    member = _semdedup_member(spark, sf_dir)
+    pairs = _cell_candidate_pairs(spark, sf_dir)
     # Norms folded once per vector before the pair join; each candidate
     # pair pays a single dot fold. The embeddings side is keyed by
     # vec_id, so both attach joins shuffle on the key (broadcast at

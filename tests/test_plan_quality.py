@@ -82,6 +82,18 @@ def test_no_cartesian_product_anywhere(spark, name):
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
+def test_embedding_cosine_is_candidate_guarded(spark):
+    """Exact cosine must run on SemDeDup-cell candidate pairs attached
+    by vec_id equi-joins — the all-pairs theta-join form (a
+    BroadcastNestedLoopJoin, quadratic on a full corpus) must not
+    come back."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"dedup_embedding_cosine regressed to all-pairs:\n{plan}"
+    )
+    assert "CartesianProduct" not in plan
+
+
 def test_stratified_sample_is_pure_scan_filter(spark):
     """Hash-mod sampling must stay map-side: no shuffle anywhere, and
     only the three output columns (plus lang for the rate) scanned."""

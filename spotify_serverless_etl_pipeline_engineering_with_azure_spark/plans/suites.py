@@ -393,8 +393,30 @@ def _canon_sql(name: str, cls: str) -> str:
     return f"COALESCE({base}, '{_NULL}')"
 
 
+def dtype_signature(df: DataFrame) -> str:
+    """Canonical 'col:dtype,col:dtype' string (columns sorted by name)."""
+    actual = dict(df.dtypes)
+    return ",".join(f"{c}:{actual[c]}" for c in sorted(actual))
+
+
+def _sig_hash(sig: str) -> int:
+    """Python-side md5-int48 fold of a dtype signature — the same
+    folding as the row hashes, computed driver-side (the signature is a
+    plan property, not data)."""
+    import hashlib
+
+    return int(hashlib.md5(sig.encode("utf-8")).hexdigest()[:12], 16) % MERSENNE31
+
+
 def digest_spark(df: DataFrame, qname: str) -> DataFrame:
-    """Reduce a member query's result to its (qname, n_rows, h1, h2) digest."""
+    """Reduce a member query's result to its (qname, n_rows, h1, h2, h3)
+    digest. h3 pins the member's EXACT dtype signature: the Spark side
+    hashes the actual df.dtypes, the SQL side hashes the pinned
+    signature from plans/member_dtypes.py — so an int→bigint or
+    decimal-precision drift flips the row even though its
+    canonicalization class ('v'/'d'/'t') is unchanged."""
+    from .member_dtypes import MEMBER_DTYPES
+
     kinds = MEMBER_KINDS[qname]
     cols = sorted(kinds)
     actual = dict(df.dtypes)
@@ -409,6 +431,10 @@ def digest_spark(df: DataFrame, qname: str) -> DataFrame:
                 f"{qname}.{c}: spark dtype {actual[c]} maps to class {got!r}, "
                 f"oracle schema says {kinds[c]!r}"
             )
+    assert qname in MEMBER_DTYPES, (
+        f"{qname} missing from plans/member_dtypes.py — "
+        "run scripts/gen_member_dtypes.py"
+    )
     row = F.concat_ws(_SEP, *[_canon_spark(c, kinds[c]) for c in cols])
     h = md5_int48(row) % MERSENNE31
     return (
@@ -420,19 +446,33 @@ def digest_spark(df: DataFrame, qname: str) -> DataFrame:
             .cast("long")
             .alias("h2"),
         )
-        .select(F.lit(qname).alias("qname"), "n_rows", "h1", "h2")
+        .select(
+            F.lit(qname).alias("qname"),
+            "n_rows",
+            "h1",
+            "h2",
+            F.lit(_sig_hash(dtype_signature(df))).cast("long").alias("h3"),
+        )
     )
 
 
 def digest_sql(qname: str, oracle: str) -> str:
+    from .member_dtypes import MEMBER_DTYPES
+
     kinds = MEMBER_KINDS[qname]
     cols = sorted(kinds)
     row = "CONCAT_WS(CHR(31), " + ", ".join(_canon_sql(c, kinds[c]) for c in cols) + ")"
+    # .get: during scripts/gen_member_dtypes.py bootstrap the pin may
+    # not exist yet; an unpinned member hashes '' here, which can never
+    # equal the Spark side's actual-signature hash — fail-loud, not
+    # fail-open.
+    h3 = _sig_hash(MEMBER_DTYPES.get(qname, ""))
     return f"""
 SELECT '{qname}' AS qname,
        COUNT(*) AS n_rows,
        COALESCE(CAST(SUM(h) AS BIGINT), 0) AS h1,
-       COALESCE(CAST(SUM((h * 31 + 7) % {MERSENNE31}) AS BIGINT), 0) AS h2
+       COALESCE(CAST(SUM((h * 31 + 7) % {MERSENNE31}) AS BIGINT), 0) AS h2,
+       CAST({h3} AS BIGINT) AS h3
 FROM (
   SELECT {sql_md5_int48(row)} % {MERSENNE31} AS h
   FROM ({oracle}) member_result

@@ -81,6 +81,51 @@ def test_digest_rejects_schema_drift(spark):
         digest_spark(df, "udf_pandas_scalar")
 
 
+def test_digest_flips_on_same_class_dtype_drift(spark):
+    """int→bigint stays inside canonicalization class 'v', so h1/h2 and
+    the class check cannot see it — h3 (exact dtype signature vs the
+    pinned plans/member_dtypes.py entry) must flip the row."""
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.member_dtypes import (
+        MEMBER_DTYPES,
+    )
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.suites import (
+        _sig_hash,
+        dtype_signature,
+    )
+
+    load_all()
+    good = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).cast("int").alias("n_tokens")
+    )
+    assert dtype_signature(good) == MEMBER_DTYPES["udf_pandas_scalar"]
+    pinned_h3 = _sig_hash(MEMBER_DTYPES["udf_pandas_scalar"])
+    assert digest_spark(good, "udf_pandas_scalar").collect()[0].h3 == pinned_h3
+
+    drifted = good.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
+    row = digest_spark(drifted, "udf_pandas_scalar").collect()[0]
+    assert row.h3 != pinned_h3, "same-class dtype drift must flip h3"
+
+
+def test_member_dtypes_pins_complete():
+    """Every suite member has a pinned exact-dtype signature consistent
+    with its MEMBER_KINDS classes."""
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.member_dtypes import (
+        MEMBER_DTYPES,
+    )
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.suites import (
+        _spark_class,
+    )
+
+    members = {m for ms in SUITES.values() for m in ms}
+    missing = sorted(members - set(MEMBER_DTYPES))
+    assert not missing, f"run scripts/gen_member_dtypes.py: {missing}"
+    for m in sorted(members):
+        pinned = dict(kv.split(":", 1) for kv in MEMBER_DTYPES[m].split(","))
+        assert sorted(pinned) == sorted(MEMBER_KINDS[m]), m
+        for c, dt in pinned.items():
+            assert _spark_class(dt) == MEMBER_KINDS[m][c], (m, c, dt)
+
+
 @pytest.mark.parametrize("suite", sorted(SUITES))
 def test_suites_match_oracle_at_smoke_scale(spark, suite):
     from .oracle_mirror import compare, duckdb_conn, run_query_pair

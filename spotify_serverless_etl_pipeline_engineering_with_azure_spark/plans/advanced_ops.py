@@ -711,6 +711,17 @@ def streaming_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     if q.isActive:
         q.stop()
         raise TimeoutError(f"stream {name} did not drain")
+    # Oracle equality DEPENDS on the whole bounded stream draining in
+    # ONE data micro-batch: the monotone machine drops out-of-order
+    # transitions, so a multi-batch drain (multi-file staging, a
+    # maxFilesPerTrigger) could fall below the batch funnel with no
+    # error. _staged_dir stages a single symlinked file and no trigger
+    # limit is set — assert that contract instead of trusting it.
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) == 1, (
+        f"stateful funnel expects a single-batch drain, got "
+        f"{[(p['batchId'], p['numInputRows']) for p in q.recentProgress]}"
+    )
     # update mode re-emits a user's row each micro-batch; the machine is
     # monotone, so the deepest step is the MAX per user. A user at step
     # k counts in every funnel level <= k (cumulative funnel).

@@ -225,8 +225,10 @@ scored AS (
   FROM daily d JOIN stats st ON d.event_type = st.event_type
 )
 SELECT event_type, CAST(day AS TIMESTAMP) AS day, n_events,
-       ROUND(CAST(nx_minus_s AS DOUBLE) * SQRT(CAST(n - 1 AS DOUBLE))
-             / SQRT(CAST(n AS DOUBLE) * CAST(n * ss - s * s AS DOUBLE)), 6) AS zscore,
+       CASE WHEN n > 1 AND n * ss - s * s > 0 THEN
+         ROUND(CAST(nx_minus_s AS DOUBLE) * SQRT(CAST(n - 1 AS DOUBLE))
+               / SQRT(CAST(n AS DOUBLE) * CAST(n * ss - s * s AS DOUBLE)), 6)
+       END AS zscore,
        (n - 1) * nx_minus_s * nx_minus_s > 4 * n * (n * ss - s * s) AS is_anomaly
 FROM scored
 """,
@@ -259,11 +261,17 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nx_minus_s", F.col("n") * F.col("n_events") - F.col("s")
     )
     var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
-    zscore = F.round(
-        F.col("nx_minus_s").cast("double")
-        * F.sqrt((F.col("n") - 1).cast("double"))
-        / F.sqrt(F.col("n").cast("double") * var_num.cast("double")),
-        6,
+    # Degenerate guard: a type observed on one day (n=1) or with zero
+    # variance hits 0/0 → NaN, whose round-trip rendering differs
+    # between engines — emit NULL on both instead.
+    zscore = F.when(
+        (F.col("n") > 1) & (var_num > 0),
+        F.round(
+            F.col("nx_minus_s").cast("double")
+            * F.sqrt((F.col("n") - 1).cast("double"))
+            / F.sqrt(F.col("n").cast("double") * var_num.cast("double")),
+            6,
+        ),
     )
     flag = (F.col("n") - 1) * F.col("nx_minus_s") * F.col("nx_minus_s") > 4 * F.col("n") * var_num
     return scored.select(

@@ -244,7 +244,8 @@ SELECT event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
        COUNT(DISTINCT user_id) AS n_users,
-       COUNT(DISTINCT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))) AS n_hours
+       COUNT(DISTINCT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))) AS n_hours,
+       CAST(2 AS BIGINT) AS n_archived_files
 FROM events
 GROUP BY event_type
 """,
@@ -264,6 +265,14 @@ def streaming_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is idempotent. maxFilesPerTrigger=1 over a 3-file source forces
     real multi-batch behavior: earlier batches' sources are archived
     while the stream is still running.
+
+    M1 sits INSIDE the driver hash: n_archived_files counts the source
+    files the engine moved to sourceArchiveDir. Spark's cleaner archives
+    batch N's file as batch N+1 runs (and asynchronously), so with 3
+    single-file batches exactly 2 are archived by drain — the last file
+    deterministically trails (documented divergence from the reference's
+    eager copy+delete). Archival silently failing would leave the count
+    at 0 and flip the row red.
     """
     import hashlib
     import shutil
@@ -337,7 +346,26 @@ def streaming_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_times = times.groupBy("event_type").agg(
         F.countDistinct(F.expr("ts_us div 3600000000")).alias("n_hours")
     )
-    return agg_typed.join(agg_users, "event_type").join(agg_times, "event_type")
+
+    # M1 evidence: the archived-source-file count (bounded poll — the
+    # cleaner thread is asynchronous). Expected exactly 2 of 3: the
+    # last single-file batch has no successor batch to trigger its
+    # archival.
+    import glob as _glob
+    import time as _time
+
+    n_archived = 0
+    for _ in range(20):
+        n_archived = len(_glob.glob(f"{archive}/**/*.parquet", recursive=True))
+        if n_archived >= 2:
+            break
+        _time.sleep(1)
+
+    return (
+        agg_typed.join(agg_users, "event_type")
+        .join(agg_times, "event_type")
+        .withColumn("n_archived_files", F.lit(n_archived).cast("long"))
+    )
 
 
 @register(

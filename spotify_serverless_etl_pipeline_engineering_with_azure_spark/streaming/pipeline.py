@@ -94,7 +94,13 @@ def run_spotify_pipeline(
 
 def _staged_dir(sf_dir: str, name: str) -> str:
     """The streaming file source wants a DIRECTORY; the test tables are
-    single files. Stage a symlink dir under /tmp (no data copy)."""
+    single files. Stage a symlink dir under /tmp (no data copy).
+
+    CONTRACT: exactly ONE file, so an availableNow drain with no
+    maxFilesPerTrigger is a single micro-batch. streaming_stateful_funnel's
+    oracle equality (monotone state machine vs batch SQL) relies on
+    this and asserts it; staging multiple files here would silently
+    under-count funnels that span batches out of order."""
     import hashlib
     import os
 

@@ -199,39 +199,47 @@ def test_length_band_filter_never_shuffles_text(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
-# Shuffle budget per headline bench query (measured at the current best
-# plans; "simple" explain Exchange count). A regression that ADDS an
-# exchange to any of these fails loudly — at 100 TB one extra shuffle
-# on lineitem dwarfs every other plan change. Bounds are exact counts,
-# not <=: losing an exchange is also a semantic change worth reviewing.
+# Shuffle budget per headline bench query: exact (shuffle, broadcast)
+# exchange counts, measured at the current best plans under Spark
+# 4.1.2 "simple" explain. Shuffle and broadcast nodes are counted by
+# their distinct physical operator spellings (not a bare 'Exchange'
+# substring, which conflated the two and would break on explain-format
+# drift); ReusedExchange is an optimization artifact and deliberately
+# uncounted. A regression that ADDS a shuffle fails loudly — at 100 TB
+# one extra shuffle on lineitem dwarfs every other plan change. Bounds
+# are exact, not <=: losing an exchange is also a semantic change worth
+# reviewing.
+_SHUFFLE_NODE = re.compile(
+    r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)"
+)
 HEADLINE_EXCHANGE_BUDGET = {
-    "q1_pricing_summary": 2,
-    "q3_shipping_priority": 3,
-    "q5_local_supplier_volume": 6,
-    "q6_forecast_revenue": 1,
-    "q9_product_profit": 5,
-    "q13_customer_distribution": 3,
-    "q18_large_volume_customers": 5,
-    "top_customers_by_revenue": 5,
-    "join_broadcast_enrich": 3,
-    "window_rank_topn": 1,
-    "window_running_lag": 1,
-    "events_tumbling_window": 2,
-    "events_sessionization": 1,
-    "json_extract_events": 2,
-    "dedup_exact": 1,
-    "dedup_minhash_lsh": 4,
-    "dedup_simhash": 2,
-    "dedup_ngram_jaccard": 5,
-    "text_fingerprint": 0,
-    "text_quality_score": 0,
-    "sim_cosine_topk_bruteforce": 2,
-    "sim_ann_lsh_bucketed": 3,
-    "sim_ann_ivf": 5,
-    "asof_join_events": 1,
-    "range_join_close_events": 2,
-    "merge_upsert_orders": 3,
-    "events_multires_rollup": 1,
+    "q1_pricing_summary": (2, 0),
+    "q3_shipping_priority": (1, 2),
+    "q5_local_supplier_volume": (1, 5),
+    "q6_forecast_revenue": (1, 0),
+    "q9_product_profit": (1, 4),
+    "q13_customer_distribution": (2, 1),
+    "q18_large_volume_customers": (2, 3),
+    "top_customers_by_revenue": (1, 4),
+    "join_broadcast_enrich": (1, 2),
+    "window_rank_topn": (1, 0),
+    "window_running_lag": (1, 0),
+    "events_tumbling_window": (2, 0),
+    "events_sessionization": (1, 0),
+    "json_extract_events": (2, 0),
+    "dedup_exact": (1, 0),
+    "dedup_minhash_lsh": (4, 0),
+    "dedup_simhash": (2, 0),
+    "dedup_ngram_jaccard": (3, 2),
+    "text_fingerprint": (0, 0),
+    "text_quality_score": (0, 0),
+    "sim_cosine_topk_bruteforce": (1, 1),
+    "sim_ann_lsh_bucketed": (2, 1),
+    "sim_ann_ivf": (2, 3),
+    "asof_join_events": (1, 0),
+    "range_join_close_events": (1, 1),
+    "merge_upsert_orders": (3, 0),
+    "events_multires_rollup": (1, 0),
 }
 
 
@@ -240,9 +248,10 @@ def test_headline_shuffle_budget(spark, name):
     df = registry.queries()[name](spark, SF_SMOKE)
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     plan = df._jdf.queryExecution().explainString(jmode)
-    got = plan.count("Exchange")
+    got = (len(_SHUFFLE_NODE.findall(plan)), plan.count("BroadcastExchange"))
     want = HEADLINE_EXCHANGE_BUDGET[name]
     assert got == want, (
-        f"{name}: plan has {got} exchanges, budget is {want} — a new shuffle "
-        f"appeared (or one vanished); re-audit the plan before re-pinning"
+        f"{name}: plan has {got[0]} shuffle / {got[1]} broadcast exchanges, "
+        f"budget is {want} — a new shuffle appeared (or one vanished); "
+        f"re-audit the plan before re-pinning"
     )

@@ -51,6 +51,56 @@ def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_x2_runid_sink",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       TRUE AS run_id_ok,
+       CAST(14 AS INTEGER) AS run_id_len
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("reference", "sink", "runid"),
+)
+def ref_x2_runid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+X3 made verifiable: a wall-clock run id
+    (date_format(current_timestamp(), 'yyyyMMddHHmmss') — the
+    reference's spotify_raw_<ts> naming, spotifyextract.py:92 /
+    spotifytransform.py:101-105) names a run-scoped output directory
+    via run_output_dir; the aggregate is written there, read back
+    through the run_id=* partition glob, and the recovered partition
+    value is validated against the 14-digit pattern INSIDE the hashed
+    result. The timestamp itself can't be in a deterministic oracle —
+    its shape and the data round-trip are.
+    """
+    import shutil
+
+    from ..operators.sinks import run_output_dir
+
+    run_id = spark.range(1).select(
+        F.date_format(F.current_timestamp(), "yyyyMMddHHmmss").alias("rid")
+    ).first()[0]
+    base = f"/tmp/sse_runid_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(base, ignore_errors=True)
+    out = run_output_dir(base, "orders", run_id)
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg.write.mode("overwrite").parquet(out)
+    back = spark.read.option("basePath", f"{base}/transformed_data/orders_data").parquet(
+        f"{base}/transformed_data/orders_data/run_id=*"
+    )
+    rid = F.col("run_id").cast("string")
+    return back.select(
+        "o_orderpriority",
+        "n",
+        rid.rlike(r"^\d{14}$").alias("run_id_ok"),
+        F.length(rid).alias("run_id_len"),
+    )
+
+
+@register(
     "orc_sink_roundtrip",
     oracle="""
 SELECT l_returnflag, COUNT(*) AS n,

@@ -219,6 +219,7 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "part_name_fingerprint_clusters": {"fkey": "v", "n_rows": "v", "n_variants": "v", "canonical_name": "v", "canonical_key": "v"},
     "top_parts_pareto": {"rnk": "v", "l_partkey": "v", "revenue": "d", "cum_share": "d", "in_top20pct": "v"},
     "events_error_budget_sli": {"day": "t", "n_total": "v", "n_errors": "v", "error_rate": "d", "error_rate_7d": "d", "budget_burned": "v"},
+    "ref_x2_runid_sink": {"o_orderpriority": "v", "n": "v", "run_id_ok": "v", "run_id_len": "v"},
     "spotify_songs": {"song_id": "v", "name": "v", "duration_ms": "v", "url": "v", "popularity": "v", "added_date": "t", "album_id": "v", "artist_id": "v"},
     "spotify_artists": {"artist_id": "v", "name": "v", "url": "v"},
     "spotify_albums": {"album_id": "v", "name": "v", "release_date": "v", "total_tracks": "v", "url": "v"},
@@ -312,7 +313,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "events_multires_rollup", "timeseries_gap_fill",
         "scd2_user_value_history", "fuzzy_match_part_names",
         "dq_referential_integrity", "dq_profile_orders",
-        "orc_sink_roundtrip",
+        "orc_sink_roundtrip", "ref_x2_runid_sink",
     ),
     # Heavier members split out of etl_misc_suite: iterative operators
     # (pagerank, k-means, SemDeDup) run eager driver-side jobs during

@@ -14,6 +14,42 @@ import os
 from pyspark.sql import SparkSession
 
 
+def session_confs(
+    *,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    env: dict[str, str] | None = None,
+) -> tuple[str, dict[str, str]]:
+    """O3 (config from env, spotifyextract.py:15-20 os.environ reads):
+    resolve (master, confs) from the environment. Pure — the
+    driver-contract test asserts the mapping without booting a JVM.
+
+    SPARK_GRAFT_CPUS sizes both local parallelism and shuffle
+    partitions; SPARK_GRAFT_MASTER overrides the master URL (cluster
+    posture); SPARK_GRAFT_DRIVER_MEM sizes the driver heap.
+    """
+    e = os.environ if env is None else env
+    cpus = e.get("SPARK_GRAFT_CPUS", "32")
+    master = e.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    confs = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.driver.memory": driver_memory or e.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.parquet.filterPushdown": "true",
+        # Naive parquet timestamps (isAdjustedToUTC=false) are instants
+        # in this data model — read them as TIMESTAMP_LTZ, not NTZ, so
+        # unix_micros/window/watermark apply uniformly. catalog.table()
+        # re-pins this per call for driver-constructed sessions.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    }
+    return master, confs
+
+
 def get_spark(
     app_name: str = "sse_spark",
     *,
@@ -21,27 +57,11 @@ def get_spark(
     driver_memory: str | None = None,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
-    builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.parquet.filterPushdown", "true")
-        # Naive parquet timestamps (isAdjustedToUTC=false) are instants
-        # in this data model — read them as TIMESTAMP_LTZ, not NTZ, so
-        # unix_micros/window/watermark apply uniformly. catalog.table()
-        # re-pins this per call for driver-constructed sessions.
-        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    master, confs = session_confs(
+        shuffle_partitions=shuffle_partitions, driver_memory=driver_memory
     )
-    for k, v in (extra or {}).items():
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in {**confs, **(extra or {})}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -82,3 +82,100 @@ print("TZ_CONTRACT_OK")
     assert "TZ_CONTRACT_OK" in proc.stdout, (
         f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
     )
+
+
+def test_o3_session_config_from_env():
+    """O3 (spotifyextract.py:15-20): the session factory resolves
+    master/parallelism/memory from the environment. Pure mapping — no
+    JVM boot; the live-session integration half is the UTC timezone
+    every oracle-parity test already exercises."""
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.session import (
+        session_confs,
+    )
+
+    master, confs = session_confs(env={})
+    assert master == "local[32]"
+    assert confs["spark.sql.shuffle.partitions"] == "32"
+    assert confs["spark.driver.memory"] == "12g"
+    assert confs["spark.sql.session.timeZone"] == "UTC"
+
+    master, confs = session_confs(
+        env={"SPARK_GRAFT_CPUS": "8", "SPARK_GRAFT_DRIVER_MEM": "4g"}
+    )
+    assert master == "local[8]"
+    assert confs["spark.sql.shuffle.partitions"] == "8"
+    assert confs["spark.driver.memory"] == "4g"
+
+    master, confs = session_confs(
+        env={"SPARK_GRAFT_MASTER": "spark://host:7077", "SPARK_GRAFT_CPUS": "4"},
+        shuffle_partitions=256,
+    )
+    assert master == "spark://host:7077"
+    assert confs["spark.sql.shuffle.partitions"] == "256"
+
+
+def test_o4_checkpoint_kill_and_resume(spark, tmp_path):
+    """O4 (error handling, spotifytransform.py:131-158 swallowed-error
+    copy+delete → checkpoint replay): kill a draining stream after its
+    first micro-batch, restart from the SAME checkpoint, and prove
+    exactly-once end-to-end — no batch lost, no batch duplicated.
+    """
+    import glob
+    import time
+
+    from pyspark.sql import functions as F
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.catalog import (
+        table,
+    )
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.streaming.pipeline import (
+        narrow_state_partitions,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def sink(batch_df, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+        with narrow_state_partitions(spark):
+            return (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+    # First run: kill as soon as one data batch has committed.
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress) or not q.isActive:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    done_first = len(glob.glob(f"{out}/batch_id=*"))
+    assert done_first >= 1, "first run committed no batch before the kill"
+
+    # Resume from the same checkpoint: replays/continues to completion.
+    q2 = start()
+    q2.awaitTermination(240)
+    assert not q2.isActive
+
+    back = spark.read.option("basePath", out).parquet(f"{out}/batch_id=*")
+    assert back.count() == ev.count(), "lost or duplicated rows across the kill"
+    assert back.select("event_id").distinct().count() == ev.count()
+    got = back.agg(F.sum("value")).first()[0]
+    want = ev.agg(F.sum("value")).first()[0]
+    assert abs(got - want) < 1e-6

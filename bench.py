@@ -65,12 +65,14 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Two measured passes, report the per-query minimum: single-shot
+    # Three measured passes, report the per-query minimum: single-shot
     # timings of sub-second queries on a 32-thread local JVM carry
     # multi-hundred-ms scheduler/GC noise, and the steady-state floor is
-    # the quantity that extrapolates to cluster scale.
+    # the quantity that extrapolates to cluster scale. n=3 exists to
+    # kill run-to-run ambiguity: round 2 flagged two apparent
+    # regressions that were single-run noise at n=2.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)

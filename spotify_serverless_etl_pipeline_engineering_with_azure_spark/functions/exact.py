@@ -6,16 +6,39 @@ hash over raw double aggregates is flaky and ROUND() near a half-way
 boundary can diverge.
 
 Discipline: the source doubles encode exact decimals (prices with 2dp,
-discount/tax with 2dp, their products with 4/6dp). So we cast the
-ROW-LEVEL expression to DECIMAL with 2 guard digits of scale (the
-per-row double error ~1e-12 is far below the cast's rounding boundary),
-SUM the decimals exactly (order-independent), and cast the final sum to
-DOUBLE. Both engines then produce bit-identical results. The same
-per-row cast discipline is mirrored in the oracle SQL strings.
+discount/tax with 2dp, their products with 4/6dp). The ROW-LEVEL
+expression is cast to DECIMAL at the target scale (HALF_UP on the exact
+binary value of the double — identical in Spark and DuckDB), making
+every row an exact fixed-point number; the aggregate over those is then
+order-independent, and the final cast to DOUBLE is one correctly-rounded
+conversion on both engines.
 
-This costs one decimal cast per row — at 100 TB that is still a
-map-side, codegen'd expression with partial aggregation; no extra
-shuffle.
+Implementation note (the split accumulator): Spark's SUM over
+DECIMAL(p,s) carries a p+10-digit buffer; above 18 digits that leaves
+the compact-long fast path and every row update pays BigDecimal
+arithmetic — measured ~1.7× the whole-aggregation cost of q1 at sf0.1.
+Instead the exact decimal row value is converted to integer "units"
+(value·10^scale, a long), and summed as TWO long partials
+(hi = units div 10^6, lo = units mod 10^6) that are recombined in
+decimal AFTER the aggregate — per-group, not per-row. Every hot-path
+operation is codegen'd long arithmetic; the result is bit-identical to
+the decimal SUM (asserted against the unchanged decimal-SUM oracle SQL
+for every registered query).
+
+Capacity, designed for 100 TB rather than the test SF:
+- row values must fit DECIMAL(15,s) (|value| < 10^(15-s)); ANSI mode
+  makes an overflowing row a loud error, never a silent wrap. Units
+  therefore stay below 10^15 < 2^53, so the row-level div/mod split is
+  exact in double arithmetic.
+- each long partial bounds the GROUP size: |Σlo| < n·10^6 and
+  |Σhi| < n·10^9 overflow a long only past ~9·10^9 rows per group at
+  the 10^15-unit worst case (≥ 10^12 rows for realistic money
+  magnitudes) — above the row count of a 100 TB table, and ANSI SUM
+  overflow errors loudly if ever reached.
+- recombination is decimal(28,0) (< 10^28 units), then ONE exact
+  decimal division by 10^scale (result scale ≥ scale+2, no rounding)
+  and ONE cast to double — the same single rounding the oracle's
+  CAST(SUM(DECIMAL) AS DOUBLE) performs.
 """
 
 from __future__ import annotations
@@ -23,20 +46,54 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# hi/lo split base for the long partial sums.
+_LIM = 10**6
+# Max supported scale: the exact-division argument below needs the
+# decimal division's result scale (max(6, scale+2)) to stay ≥ scale and
+# the combined precision ≤ 38.
+_MAX_SCALE = 10
+
 
 def dec(col: Column, scale: int, precision: int = 18) -> Column:
     """Row-level cast to an exact decimal with guard digits."""
     return col.cast(f"decimal({precision},{scale})")
 
 
+def _unit_sums(col: Column, scale: int) -> tuple[Column, Column]:
+    """(Σhi, Σlo) long partial sums of value·10^scale.
+
+    The decimal(15,s) cast reproduces the HALF_UP row rounding of the
+    original decimal SUM and bounds |units| < 10^15 < 2^53, so the
+    double division in the hi extraction is exact (quotients of
+    non-multiples sit ≥ 10^-6 absolute from an integer, far beyond the
+    ≤ 2^-22 correctly-rounded division error at these magnitudes);
+    truncation toward zero matches `%`'s truncated-remainder sign.
+    """
+    if scale > _MAX_SCALE:
+        raise ValueError(f"dsum/davg support scale <= {_MAX_SCALE}, got {scale}")
+    units = (dec(col, scale, precision=15) * (10**scale)).cast("long")
+    hi = F.sum((units / _LIM).cast("long"))
+    lo = F.sum(units % _LIM)
+    return hi, lo
+
+
 def dsum(col: Column, scale: int) -> Column:
-    """Order-independent SUM: exact decimal sum, returned as double."""
-    return F.sum(dec(col, scale)).cast("double")
+    """Order-independent SUM: exact fixed-point sum, returned as double.
+
+    Bit-identical to CAST(SUM(CAST(col AS DECIMAL(·,scale))) AS DOUBLE)
+    while keeping the per-row aggregate update in codegen'd long math.
+    """
+    hi, lo = _unit_sums(col, scale)
+    total_units = (hi.cast("decimal(28,0)") * _LIM + lo).cast("decimal(28,0)")
+    # decimal(28,0) / 10^scale: result scale = max(6, scale+2) >= scale
+    # and precision = 28 + result scale <= 38 -> the quotient is exact,
+    # and the trailing cast is the single double rounding.
+    return (total_units / F.lit(10**scale)).cast("double")
 
 
 def davg(col: Column, scale: int) -> Column:
-    """Order-independent AVG: exact decimal sum / count, as double."""
-    return (F.sum(dec(col, scale)).cast("double") / F.count(F.lit(1))).cast("double")
+    """Order-independent AVG: exact fixed-point sum / count, as double."""
+    return (dsum(col, scale) / F.count(F.lit(1))).cast("double")
 
 
 def sql_dsum(expr: str, scale: int, alias: str, precision: int = 18) -> str:

@@ -235,7 +235,9 @@ HEADLINE_EXCHANGE_BUDGET = {
     "text_quality_score": (0, 0),
     "sim_cosine_topk_bruteforce": (1, 1),
     "sim_ann_lsh_bucketed": (2, 1),
-    "sim_ann_ivf": (2, 3),
+    # index-build shuffles (inverted-list groupBy) live in _ivf_index,
+    # not the per-query search plan
+    "sim_ann_ivf": (1, 3),
     "asof_join_events": (1, 0),
     "range_join_close_events": (1, 1),
     "merge_upsert_orders": (3, 0),

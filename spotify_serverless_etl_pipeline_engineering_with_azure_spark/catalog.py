@@ -29,9 +29,22 @@ TABLES = (
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
+# Loaded-table cache: spark.read.parquet costs a ~60 ms py4j round
+# trip (file listing + footer/schema read) per call, and a query plan
+# touches up to 4 tables — pure driver-side latency repeated on every
+# query build. A DataFrame is an immutable lazy plan, so the loaded
+# frame is reusable across queries; caching it is what a metastore-
+# backed catalog does (schema resolved once, not re-inferred per
+# query). Keyed by parquet identity (regenerated data rebuilds) and
+# Spark application id (a plan dies with its context).
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    import os
+
     # Timestamp semantics are defined in UTC (TESTDATA timestamps are
     # instants; the DuckDB oracle renders them naive/UTC). Pin the
     # session so results don't depend on the caller's local timezone,
@@ -39,11 +52,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # instants (TIMESTAMP_LTZ) rather than TIMESTAMP_NTZ so the whole
     # timestamp function surface (unix_micros, window, watermarks)
     # applies uniformly regardless of how the driver generated the data.
+    # Pinned on EVERY call (including cache hits): execution reads the
+    # session conf at action time, so a caller who flipped the timezone
+    # between two table() calls must still get UTC semantics.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Re-pinned on cache hits too: the scan re-reads this conf at
+        # planning time of every query built on the cached frame.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    st = os.stat(f"{sf_dir}/{name}.parquet")
+    key = (sf_dir, name, st.st_mtime_ns, st.st_size, spark.sparkContext.applicationId)
+    df = _TABLE_CACHE.get(key)
+    if df is not None:
+        return df
+    if name == "events":
+        df = _events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def scatter(df: DataFrame) -> DataFrame:

@@ -110,37 +110,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def widen(df: DataFrame) -> DataFrame:
-    """Split-starved scan repair for aggregate-over-scan plans.
-
-    Map-side partial aggregation normally parallelizes with the scan's
-    splits — but the local test tables are single-row-group parquet
-    files, so the whole partial aggregate runs inside ONE scan task. In
-    that case (and only that case) a round-robin repartition moves the
-    heavy aggregate arithmetic onto every core for the price of
-    shuffling the compact projected rows.
-
-    Gated on input size: inputs ≥ 64 MB already span enough splits, so
-    at cluster scale this returns the frame unchanged and adds NO
-    shuffle to the 100 TB plan. Catalyst pushes filters and column
-    pruning through the repartition, so scan pushdown is unaffected
-    (asserted in tests/test_plan_quality.py).
-
-    Use ONLY under LOW-cardinality aggregates (partial agg collapses
-    the repartitioned rows before the keyed exchange). Under a
-    high-cardinality groupBy or a join, the downstream exchange already
-    parallelizes the heavy work and the extra round-robin pass just
-    shuffles the input twice — measured to REGRESS q18 (groupBy
-    l_orderkey, ~N/4 groups) while winning ~30% on q1 (6 groups).
-    """
-    import os
-
-    try:
-        total = sum(
-            os.path.getsize(p.removeprefix("file:")) for p in df.inputFiles()
-        )
-    except OSError:
-        return df
-    if total >= 64 << 20:
-        return df
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+# NOTE: a widen() helper (round-robin repartition to repair split-
+# starved single-file scans before low-cardinality aggregates) lived
+# here in round 2. It existed to parallelize the then-expensive decimal
+# SUM map work; with dsum's split-long fast path the map side is cheap
+# and the extra full-row shuffle measurably REGRESSES every former call
+# site (events_tumbling_window 0.29 s no-widen vs 0.73 s widened at
+# sf0.1), so it was removed rather than kept as an attractive nuisance.
+# scatter() (below) remains for genuinely CPU-bound map pipelines
+# (per-shingle md5), where the cheap pre-shuffle still pays.

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table, widen
+from ..catalog import table
 from ..functions.exact import davg, dec, dsum, sql_davg, sql_dsum
 from ..registry import register
 
@@ -59,7 +59,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Partial aggregation happens map-side; only 6 groups cross the
     shuffle regardless of fact-table size.
     """
-    li = widen(table(spark, sf_dir, "lineitem"))
+    li = table(spark, sf_dir, "lineitem")
     charge = _revenue_col() * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -736,14 +736,8 @@ GROUP BY 1
     tags=("scalar", "json"),
 )
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON field extraction from a string column (S4 generalization).
-
-    widen(): the JSON parse is the heavy map work and the aggregate
-    collapses to a handful of k_val groups — the low-cardinality
-    agg-over-scan shape where spreading the single-split local input
-    pays (no-op at cluster scale).
-    """
-    ev = widen(table(spark, sf_dir, "events"))
+    """JSON field extraction from a string column (S4 generalization)."""
+    ev = table(spark, sf_dir, "events")
     return (
         ev.select(
             F.get_json_object("props", "$.k").cast("int").alias("k_val"), F.col("value")
@@ -799,13 +793,8 @@ GROUP BY 1, 2
     tags=("window", "event-time"),
 )
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling event-time window aggregation (batch form of S3's stream).
-
-    widen(): ~3k (window, type) groups collapse in the partial
-    aggregate, so parallelizing the scan-side agg pays (no-op at
-    cluster scale).
-    """
-    ev = widen(table(spark, sf_dir, "events"))
+    """Tumbling event-time window aggregation (batch form of S3's stream)."""
+    ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("sum_value"))

@@ -213,7 +213,7 @@ _SHUFFLE_NODE = re.compile(
     r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)"
 )
 HEADLINE_EXCHANGE_BUDGET = {
-    "q1_pricing_summary": (2, 0),
+    "q1_pricing_summary": (1, 0),
     "q3_shipping_priority": (1, 2),
     "q5_local_supplier_volume": (1, 5),
     "q6_forecast_revenue": (1, 0),
@@ -224,9 +224,9 @@ HEADLINE_EXCHANGE_BUDGET = {
     "join_broadcast_enrich": (1, 2),
     "window_rank_topn": (1, 0),
     "window_running_lag": (1, 0),
-    "events_tumbling_window": (2, 0),
+    "events_tumbling_window": (1, 0),
     "events_sessionization": (1, 0),
-    "json_extract_events": (2, 0),
+    "json_extract_events": (1, 0),
     "dedup_exact": (1, 0),
     "dedup_minhash_lsh": (4, 0),
     "dedup_simhash": (2, 0),

@@ -96,7 +96,7 @@ def test_o3_session_config_from_env():
     master, confs = session_confs(env={})
     assert master == "local[32]"
     assert confs["spark.sql.shuffle.partitions"] == "32"
-    assert confs["spark.driver.memory"] == "12g"
+    assert confs["spark.driver.memory"] == "32g"
     assert confs["spark.sql.session.timeZone"] == "UTC"
 
     master, confs = session_confs(

@@ -228,9 +228,12 @@ HEADLINE_EXCHANGE_BUDGET = {
     "events_sessionization": (1, 0),
     "json_extract_events": (1, 0),
     "dedup_exact": (1, 0),
-    "dedup_minhash_lsh": (4, 0),
+    # index-build shuffles (shingle scatter + minhash agg + bucket
+    # groupBy) live in _minhash_buckets / _ngram_index, not the
+    # per-query search plan — same split as sim_ann_ivf below
+    "dedup_minhash_lsh": (1, 0),
     "dedup_simhash": (2, 0),
-    "dedup_ngram_jaccard": (3, 2),
+    "dedup_ngram_jaccard": (1, 2),
     "text_fingerprint": (0, 0),
     "text_quality_score": (0, 0),
     "sim_cosine_topk_bruteforce": (1, 1),

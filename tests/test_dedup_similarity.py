@@ -208,3 +208,38 @@ SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id
 WHERE CAST(c AS DOUBLE) / (sa.m + sb.m - c) >= {PF_JACCARD_T}
 """).fetchall()
     assert got == {(a, b) for a, b in brute}
+
+
+def test_index_caches_reuse_and_invalidate(spark, sf_dir, tmp_path):
+    """The per-dataset index caches (_minhash_buckets, _ngram_index) must
+    serve the SAME checkpointed frame for an unchanged corpus snapshot
+    and rebuild when the underlying parquet changes — a stale hit would
+    silently answer dedup queries from a superseded corpus."""
+    import shutil
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans import dedup
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", ds / "documents.parquet")
+
+    b1 = dedup._minhash_buckets(spark, str(ds))
+    assert dedup._minhash_buckets(spark, str(ds)) is b1, "unchanged snapshot must hit"
+    k1, s1 = dedup._ngram_index(spark, str(ds))
+    assert dedup._ngram_index(spark, str(ds))[0] is k1
+
+    # Regenerate the corpus (half the docs) — identity key must miss.
+    import duckdb
+
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id % 2 = 0) TO '{ds}/documents.parquet' (FORMAT PARQUET)"
+    )
+    b2 = dedup._minhash_buckets(spark, str(ds))
+    assert b2 is not b1, "regenerated corpus must rebuild the LSH index"
+    k2, s2 = dedup._ngram_index(spark, str(ds))
+    assert k2 is not k1
+    # Rebuilt index reflects the new corpus: no odd doc_id anywhere.
+    odd = b2.select(F.explode("ids").alias("d")).filter(F.col("d") % 2 == 1).count()
+    assert odd == 0
+    assert s2.filter(F.col("doc_id") % 2 == 1).count() == 0

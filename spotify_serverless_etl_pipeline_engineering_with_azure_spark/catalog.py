@@ -40,11 +40,45 @@ ALWAYS_BROADCAST = {"region", "nation"}
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def dataset_cached(cache: dict, spark: SparkSession, sf_dir: str,
+                   files: tuple[str, ...], build, params: tuple = ()):
+    """Memoize a per-dataset artifact (a loaded table, a checkpointed
+    index) and EVICT the superseded snapshot on regeneration.
+
+    One identity scheme for every dataset-keyed cache in the engine
+    (loaded tables here; the MinHash-LSH buckets, n-gram posting lists,
+    sign-LSH and IVF indexes in plans/): identity = (sf_dir, files,
+    params, applicationId), freshness = each file's (mtime_ns, size).
+    A fresh stat → cache hit. A stale one → the old entry is DELETED
+    before build() runs, so a long-lived session that regenerates its
+    data repeatedly holds at most one artifact per identity — dropping
+    the last driver reference is the release mechanism for checkpointed
+    frames (Spark's ContextCleaner unpersists an RDD's blocks once the
+    driver-side handle is garbage-collected; an append-only dict would
+    pin every superseded index in block-manager storage for the life of
+    the application). applicationId is in the identity because a
+    checkpointed RDD dies with its SparkContext.
+    """
+    import os
+
+    stats = tuple(
+        (st := os.stat(os.path.join(sf_dir, f)), (st.st_mtime_ns, st.st_size))[1]
+        for f in files
+    )
+    ident = (sf_dir, files, params, spark.sparkContext.applicationId)
+    key = (ident, stats)
+    val = cache.get(key)
+    if val is None:
+        for stale in [k for k in cache if k[0] == ident and k != key]:
+            del cache[stale]
+        val = build()
+        cache[key] = val
+    return val
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    import os
-
     # Timestamp semantics are defined in UTC (TESTDATA timestamps are
     # instants; the DuckDB oracle renders them naive/UTC). Pin the
     # session so results don't depend on the caller's local timezone,
@@ -61,17 +95,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Re-pinned on cache hits too: the scan re-reads this conf at
         # planning time of every query built on the cached frame.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    st = os.stat(f"{sf_dir}/{name}.parquet")
-    key = (sf_dir, name, st.st_mtime_ns, st.st_size, spark.sparkContext.applicationId)
-    df = _TABLE_CACHE.get(key)
-    if df is not None:
-        return df
-    if name == "events":
-        df = _events(spark, sf_dir)
-    else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    _TABLE_CACHE[key] = df
-    return df
+
+    def build() -> DataFrame:
+        if name == "events":
+            return _events(spark, sf_dir)
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    return dataset_cached(_TABLE_CACHE, spark, sf_dir, (f"{name}.parquet",), build)
 
 
 def scatter(df: DataFrame) -> DataFrame:

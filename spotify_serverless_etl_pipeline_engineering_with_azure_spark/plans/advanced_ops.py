@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import scatter, table
+from ..catalog import dataset_cached, scatter, table
 from ..functions.exact import dsum
 from ..registry import register
 
@@ -228,25 +228,13 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
     only. This is the real IVF architecture (FAISS et al. separate
     index BUILD from SEARCH; an index is built once and queried many
     times); at cluster scale these frames are materialized index
-    tables. Cache key includes the parquet identity (rebuilds on data
-    regeneration) and the Spark application id (a checkpointed RDD
-    dies with its context).
+    tables. Identity/eviction semantics are catalog.dataset_cached's
+    (the K/nprobe hyperparameters join the identity via params; a
+    checkpointed RDD dies with its context).
     """
-    import os
-
     from ..functions.vectors import norm
 
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    key = (
-        sf_dir,
-        st.st_mtime_ns,
-        st.st_size,
-        _N_CENTROIDS,
-        _N_PROBE_CLUSTERS,
-        spark.sparkContext.applicationId,
-    )
-    idx = _IVF_INDEX_CACHE.get(key)
-    if idx is None:
+    def build() -> dict:
         emb = scatter(table(spark, sf_dir, "embeddings"))
         ranked = ranked_centroids_expr(load_centroids(spark, sf_dir, _N_CENTROIDS))
         emb_n = emb.withColumn("nrm", norm(F.col("embedding")))
@@ -269,9 +257,16 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
         vectors = table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
         ).localCheckpoint(eager=True)
-        idx = {"assigned": assigned, "cells": cells, "vectors": vectors}
-        _IVF_INDEX_CACHE[key] = idx
-    return idx
+        return {"assigned": assigned, "cells": cells, "vectors": vectors}
+
+    return dataset_cached(
+        _IVF_INDEX_CACHE,
+        spark,
+        sf_dir,
+        ("embeddings.parquet",),
+        build,
+        params=(_N_CENTROIDS, _N_PROBE_CLUSTERS),
+    )
 
 
 @register("sim_ann_ivf", oracle=_ivf_oracle(), tags=("similarity", "ann", "ivf"))

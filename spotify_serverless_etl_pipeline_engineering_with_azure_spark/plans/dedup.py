@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import scatter, table
+from ..catalog import dataset_cached, scatter, table
 from ..functions.hashing import (
     HEX_CHARS,
     MERSENNE31,
@@ -189,23 +189,23 @@ def _minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta dedup) pays only pair expansion. At cluster scale this frame
     is a materialized signature table — the standard shape for corpus
     dedup, where signatures are computed once per snapshot and reused
-    across dedup, clustering, and incremental joins.
+    across dedup, clustering, and incremental joins. Identity/eviction
+    semantics are catalog.dataset_cached's (supersession releases the
+    old checkpoint).
     """
-    import os
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = (sf_dir, st.st_mtime_ns, st.st_size, spark.sparkContext.applicationId)
-    idx = _MINHASH_INDEX_CACHE.get(key)
-    if idx is None:
+    def build() -> DataFrame:
         bands = _band_signatures(table(spark, sf_dir, "documents"))
-        idx = (
+        return (
             bands.groupBy("band", "sig")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
             .filter(F.size("ids") > 1)
             .localCheckpoint(eager=True)
         )
-        _MINHASH_INDEX_CACHE[key] = idx
-    return idx
+
+    return dataset_cached(
+        _MINHASH_INDEX_CACHE, spark, sf_dir, ("documents.parquet",), build
+    )
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
@@ -327,13 +327,10 @@ def _ngram_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     pass, and the query plan never recomputes them (Spark does not
     share subplans, so two broadcast consumers would otherwise shuffle
     twice). At cluster scale these are materialized posting-list /
-    doc-stat tables keyed on the corpus snapshot."""
-    import os
+    doc-stat tables keyed on the corpus snapshot. Identity/eviction
+    semantics are catalog.dataset_cached's."""
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = (sf_dir, st.st_mtime_ns, st.st_size, spark.sparkContext.applicationId)
-    idx = _NGRAM_INDEX_CACHE.get(key)
-    if idx is None:
+    def build() -> tuple[DataFrame, DataFrame]:
         docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
         index = _shingles(docs).groupBy("sh").agg(
             F.sort_array(F.collect_list("doc_id")).alias("ids")
@@ -345,9 +342,11 @@ def _ngram_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
             .agg(F.count(F.lit(1)).alias("sz"))
             .localCheckpoint(eager=True)
         )
-        idx = (kept, sizes)
-        _NGRAM_INDEX_CACHE[key] = idx
-    return idx
+        return (kept, sizes)
+
+    return dataset_cached(
+        _NGRAM_INDEX_CACHE, spark, sf_dir, ("documents.parquet",), build
+    )
 
 
 @register(
@@ -564,8 +563,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Assign every vector to its nearest of K codebook centroids, then
     compare ONLY within a cell: a vector is dropped when its max cosine
     to a lower-id cellmate reaches SEMDEDUP_TAU. This is the scale path
-    that `dedup_embedding_cosine` (exact all-pairs verification) is the
-    spot-check for: cell assignment is O(N·K) map-side literal
+    that `dedup_embedding_cosine` (exact pair-level cosine over the same
+    cell candidates) is the spot-check for: cell assignment is O(N·K) map-side literal
     arithmetic against a driver-resident codebook (no shuffle — the
     same broadcast-quantizer pattern as sim_ann_ivf), pair expansion is
     O(Σ cell²) instead of O(N²), bounded by choosing K ~ sqrt(N) so

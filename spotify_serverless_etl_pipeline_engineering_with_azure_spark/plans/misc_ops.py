@@ -72,15 +72,23 @@ def ref_x2_runid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     result. The timestamp itself can't be in a deterministic oracle —
     its shape and the data round-trip are.
     """
-    import shutil
+    import uuid
 
     from ..operators.sinks import run_output_dir
 
     run_id = spark.range(1).select(
         F.date_format(F.current_timestamp(), "yyyyMMddHHmmss").alias("rid")
     ).first()[0]
-    base = f"/tmp/sse_runid_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    shutil.rmtree(base, ignore_errors=True)
+    # Fresh base per invocation (NOT a fixed dir wiped with rmtree): a
+    # registry builder must never destroy the files backing a DataFrame
+    # it returned earlier — a harness that builds several queries before
+    # executing them would hit FileNotFound on the first one. The uuid
+    # also keeps the run_id=* glob scoped to exactly this run; the few-KB
+    # leftovers live under /tmp with ordinary tmpdir lifetime.
+    base = (
+        f"/tmp/sse_runid_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"_{uuid.uuid4().hex[:8]}"
+    )
     out = run_output_dir(base, "orders", run_id)
     agg = (
         table(spark, sf_dir, "orders")

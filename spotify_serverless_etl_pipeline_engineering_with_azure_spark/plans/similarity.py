@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import scatter, table
+from ..catalog import dataset_cached, scatter, table
 from ..functions.vectors import LSH_TABLES, dot, lsh_bucket, norm, sql_lsh_bucket
 from ..registry import register
 
@@ -84,17 +84,19 @@ def _lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     a serving ANN system does it — the hyperplane projections run once
     per vector at build time; queries pay only the candidate join and
     exact re-rank. At cluster scale this frame is a materialized index
-    table (ideally bucketed on (table, bucket) on disk)."""
-    import os
+    table (ideally bucketed on (table, bucket) on disk). The embedding
+    and its norm are deliberately DENORMALIZED into each of the
+    LSH_TABLES rows (a slim (vec_id, t, bucket) table plus a separate
+    vector store — the _ivf_index shape — would be ~LSH_TABLES× smaller
+    but adds a per-query attach join; at LSH_TABLES=2 the space cost is
+    bounded and the search stays one equi-join). Identity/eviction
+    semantics are catalog.dataset_cached's."""
 
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    key = (sf_dir, st.st_mtime_ns, st.st_size, spark.sparkContext.applicationId)
-    idx = _LSH_INDEX_CACHE.get(key)
-    if idx is None:
+    def build() -> DataFrame:
         emb = table(spark, sf_dir, "embeddings").withColumn(
             "nrm", norm(F.col("embedding"))
         )
-        idx = emb.select(
+        return emb.select(
             "vec_id",
             "embedding",
             "nrm",
@@ -102,8 +104,10 @@ def _lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(*[lsh_bucket(F.col("embedding"), t) for t in range(LSH_TABLES)])
             ).alias("t", "bucket"),
         ).localCheckpoint(eager=True)
-        _LSH_INDEX_CACHE[key] = idx
-    return idx
+
+    return dataset_cached(
+        _LSH_INDEX_CACHE, spark, sf_dir, ("embeddings.parquet",), build
+    )
 
 
 def _lsh_scored_sql(t: int) -> str:

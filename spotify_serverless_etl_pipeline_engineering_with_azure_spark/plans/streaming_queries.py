@@ -245,7 +245,7 @@ SELECT event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
        COUNT(DISTINCT user_id) AS n_users,
        COUNT(DISTINCT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))) AS n_hours,
-       CAST(2 AS BIGINT) AS n_archived_files
+       TRUE AS archival_ok
 FROM events
 GROUP BY event_type
 """,
@@ -266,13 +266,16 @@ def streaming_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     real multi-batch behavior: earlier batches' sources are archived
     while the stream is still running.
 
-    M1 sits INSIDE the driver hash: n_archived_files counts the source
-    files the engine moved to sourceArchiveDir. Spark's cleaner archives
-    batch N's file as batch N+1 runs (and asynchronously), so with 3
-    single-file batches exactly 2 are archived by drain — the last file
-    deterministically trails (documented divergence from the reference's
-    eager copy+delete). Archival silently failing would leave the count
-    at 0 and flip the row red.
+    M1 sits INSIDE the driver hash: archival_ok is true iff the engine
+    moved ≥2 of the 3 source files to sourceArchiveDir by poll timeout.
+    Spark's cleaner archives batch N's file as batch N+1 runs (and
+    asynchronously), so with 3 single-file batches at least 2 are
+    archived by drain; whether the LAST file trails or not is
+    engine-internal timing, so the hashed value is the ≥2 verdict, not
+    an exact count (an exact pin would flip red on cleaner-thread
+    behavior changes with no correctness defect). Archival silently
+    failing leaves 0 files archived after the 60 s bounded poll and
+    flips the row red.
     """
     import hashlib
     import shutil
@@ -347,15 +350,15 @@ def streaming_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.expr("ts_us div 3600000000")).alias("n_hours")
     )
 
-    # M1 evidence: the archived-source-file count (bounded poll — the
-    # cleaner thread is asynchronous). Expected exactly 2 of 3: the
-    # last single-file batch has no successor batch to trigger its
-    # archival.
+    # M1 evidence: ≥2 of the 3 source files archived (bounded poll —
+    # the cleaner thread is asynchronous; 60 s is insurance against a
+    # loaded host, paid only on the failure path because the poll exits
+    # the moment the threshold is met).
     import glob as _glob
     import time as _time
 
     n_archived = 0
-    for _ in range(20):
+    for _ in range(60):
         n_archived = len(_glob.glob(f"{archive}/**/*.parquet", recursive=True))
         if n_archived >= 2:
             break
@@ -364,7 +367,7 @@ def streaming_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg_typed.join(agg_users, "event_type")
         .join(agg_times, "event_type")
-        .withColumn("n_archived_files", F.lit(n_archived).cast("long"))
+        .withColumn("archival_ok", F.lit(n_archived >= 2))
     )
 
 

@@ -395,9 +395,16 @@ def _canon_sql(name: str, cls: str) -> str:
 
 
 def dtype_signature(df: DataFrame) -> str:
-    """Canonical 'col:dtype,col:dtype' string (columns sorted by name)."""
+    """Canonical 'col:dtype;col:dtype' string (columns sorted by name).
+
+    ';' separates pairs because Spark dtype strings themselves contain
+    ',' (decimal(18,2), struct<a:int,b:string>) — a ','-separated
+    signature would be unsplittable for exactly the precision-drift
+    dtypes the h3 pin exists to catch. ':' is safe as the col/dtype
+    separator when split on the FIRST occurrence (column names cannot
+    contain ':'; struct dtypes can, to the right)."""
     actual = dict(df.dtypes)
-    return ",".join(f"{c}:{actual[c]}" for c in sorted(actual))
+    return ";".join(f"{c}:{actual[c]}" for c in sorted(actual))
 
 
 def _sig_hash(sig: str) -> int:

@@ -239,6 +239,10 @@ def test_index_caches_reuse_and_invalidate(spark, sf_dir, tmp_path):
     assert b2 is not b1, "regenerated corpus must rebuild the LSH index"
     k2, s2 = dedup._ngram_index(spark, str(ds))
     assert k2 is not k1
+    # Supersession EVICTS the stale entry (an append-only cache would
+    # pin every superseded checkpointed index for the app's lifetime).
+    for cache in (dedup._MINHASH_INDEX_CACHE, dedup._NGRAM_INDEX_CACHE):
+        assert sum(1 for k in cache if k[0][0] == str(ds)) == 1
     # Rebuilt index reflects the new corpus: no odd doc_id anywhere.
     odd = b2.select(F.explode("ids").alias("d")).filter(F.col("d") % 2 == 1).count()
     assert odd == 0

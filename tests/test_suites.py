@@ -120,7 +120,7 @@ def test_member_dtypes_pins_complete():
     missing = sorted(members - set(MEMBER_DTYPES))
     assert not missing, f"run scripts/gen_member_dtypes.py: {missing}"
     for m in sorted(members):
-        pinned = dict(kv.split(":", 1) for kv in MEMBER_DTYPES[m].split(","))
+        pinned = dict(kv.split(":", 1) for kv in MEMBER_DTYPES[m].split(";"))
         assert sorted(pinned) == sorted(MEMBER_KINDS[m]), m
         for c, dt in pinned.items():
             assert _spark_class(dt) == MEMBER_KINDS[m][c], (m, c, dt)

@@ -27,6 +27,7 @@ from ..catalog import dataset_cached, scatter, table
 from ..functions.hashing import (
     HEX_CHARS,
     MERSENNE31,
+    MINHASH_N_BANDS as N_BANDS,
     MINHASH_PARAMS,
     MINHASH_ROWS_PER_BAND,
     md5_int48,
@@ -34,7 +35,6 @@ from ..functions.hashing import (
 )
 from ..registry import register
 
-N_BANDS = len(MINHASH_PARAMS) // MINHASH_ROWS_PER_BAND
 SIMHASH_BITS = 48
 
 
@@ -71,8 +71,8 @@ _SQL_SHINGLES = """
 """
 
 
-def _bucket_pairs(grouped: DataFrame, *keys: str) -> DataFrame:
-    """Expand each bucket (grouped on *keys*) into ordered doc pairs.
+def _bucket_pairs(grouped: DataFrame) -> DataFrame:
+    """Expand each bucket row into ordered doc pairs.
 
     grouped must carry an ascending-sorted ``ids`` array column. Emits
     one row per (doc_a < doc_b) pair within a bucket. This replaces the
@@ -415,18 +415,42 @@ SEMDEDUP_K = 8  # codebook size; production: K ~ sqrt(N) keeps cells bounded
 SEMDEDUP_TAU = 0.5  # drop a vector whose max cosine to a lower-id cellmate ≥ τ
 
 
+_SEMDEDUP_MEMBER_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _semdedup_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster): broadcast-codebook nearest-centroid assignment
-    — O(N·K) map-side literal arithmetic, no shuffle."""
-    from ..functions.vectors import norm
+    — O(N·K) map-side literal arithmetic, no shuffle. Checkpointed once
+    per dataset (catalog.dataset_cached): Spark does not share subplans,
+    so the two consumers inside one SemDeDup query (cell grouping and
+    the per-vector verdict join) — plus dedup_embedding_cosine's pair
+    generation — would otherwise each re-run the O(N·K) codebook fold
+    over the corpus. At cluster scale this is the materialized
+    assignment table every SemDeDup pipeline persists."""
 
-    from .advanced_ops import load_centroids, ranked_centroids_expr
+    def build() -> DataFrame:
+        from ..functions.vectors import norm
 
-    emb = scatter(table(spark, sf_dir, "embeddings"))
-    ranked = ranked_centroids_expr(load_centroids(spark, sf_dir, SEMDEDUP_K))
-    return emb.withColumn("nrm", norm(F.col("embedding"))).select(
-        "vec_id",
-        F.element_at(ranked, 1).getField("cid").cast("long").alias("cluster"),
+        from .advanced_ops import load_centroids, ranked_centroids_expr
+
+        emb = scatter(table(spark, sf_dir, "embeddings"))
+        ranked = ranked_centroids_expr(load_centroids(spark, sf_dir, SEMDEDUP_K))
+        return (
+            emb.withColumn("nrm", norm(F.col("embedding")))
+            .select(
+                "vec_id",
+                F.element_at(ranked, 1).getField("cid").cast("long").alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return dataset_cached(
+        _SEMDEDUP_MEMBER_CACHE,
+        spark,
+        sf_dir,
+        ("embeddings.parquet",),
+        build,
+        params=(SEMDEDUP_K,),
     )
 
 
@@ -1026,12 +1050,20 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rare shingles rank first). Verification computes exact Jaccard on
     candidates with one aggregation over the shared-shingle join.
     Shuffles: df agg (vocab-sized, broadcast back), per-doc window,
-    prefix equi-join, candidate verification — all keyed, none
+    prefix bucket groupBy, candidate verification — all keyed, none
     quadratic. Integer-over-integer division makes the threshold
     decision engine-exact.
+
+    The shingle stream is lazily localCheckpoint'd: Spark does not
+    share subplans, so its four consumers (df counts, the prefix
+    window, both verification sides + sizes) would otherwise each
+    re-run the scatter+explode pipeline. Candidates come from
+    _bucket_pairs over per-shingle prefix buckets, not a prefix
+    self-join (which would evaluate the window pipeline once per join
+    side).
     """
     docs = table(spark, sf_dir, "documents")
-    toks = _shingles(docs)
+    toks = _shingles(docs).localCheckpoint(eager=False)
     dfreq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
     w_doc = Window.partitionBy("doc_id").orderBy("dfc", "sh")
     w_m = Window.partitionBy("doc_id")
@@ -1043,15 +1075,11 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ordered.filter(
         F.col("i") <= F.col("m") - F.ceil(F.lit(PF_JACCARD_T) * F.col("m")) + 1
     ).select("doc_id", "sh")
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _bucket_pairs(
+        prefix.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    ).distinct()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
     shared = (
         cand.join(toks.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")

@@ -376,7 +376,7 @@ def streaming_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH flagged AS (
   SELECT user_id, ts, event_id,
-         CASE WHEN EPOCH(CAST(ts AS TIMESTAMP)) - EPOCH(CAST(LAG(ts) OVER w AS TIMESTAMP)) > 1800
+         CASE WHEN EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(LAG(ts) OVER w AS TIMESTAMP)) > 1800000000
               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -118,20 +118,47 @@ def scatter(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts arrives in one of two driver-generated encodings:
-    TIMESTAMP(NANOS), which Spark 4's reader rejects outright — read it
-    as a long (legacy conf) and convert with integer `div` (not double
-    /; ns epoch values exceed 2^53) — or naive TIMESTAMP(MICROS), which
-    the inferTimestampNTZ=false pin in table() reads directly as an
-    instant. Both are lossless and match DuckDB's naive/UTC reading."""
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """The ONE ts-normalization rule for events, shared by the batch
+    loader (_events) and the streaming source (streaming.pipeline.
+    events_stream): events.ts arrives in one of two driver-generated
+    encodings — TIMESTAMP(NANOS), which Spark 4's reader rejects
+    outright, so it is read as a long (legacy nanosAsLong conf) and
+    converted with integer `div` (not double /; ns epoch values exceed
+    2^53) — or naive TIMESTAMP(MICROS), which the
+    inferTimestampNTZ=false pin reads directly as an instant. Both are
+    lossless and match DuckDB's naive/UTC reading. Keeping the rule in
+    one function is load-bearing: the batch side is what every
+    oracle-parity test compares against, so a streaming-only edit would
+    silently diverge the two paths."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+_RAW_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def raw_schema(spark: SparkSession, sf_dir: str, name: str):
+    """The file's on-disk schema (pre-normalization), cached per dataset
+    identity — readStream needs an explicit schema and the batch footer
+    read behind it costs the same ~60 ms round trip _TABLE_CACHE
+    amortizes for loaded tables."""
+    return dataset_cached(
+        _RAW_SCHEMA_CACHE,
+        spark,
+        sf_dir,
+        (f"{name}.parquet",),
+        lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet").schema,
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch events loader: raw read + the shared ts normalization."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -62,12 +62,23 @@ FROM ({_DS_ITEMS}) u
 
 def _ensure_ds_fixture() -> str:
     """Stage the seed-42 page files once per host (deterministic path so
-    the DuckDB oracle reads the very same bytes)."""
+    the DuckDB oracle reads the very same bytes). The freshness check is
+    by exact FILENAME SET, not count: a leftover extra page (older
+    generator, concurrent tool) would be silently ingested by BOTH
+    engines under a count check — parity green, goldens mysteriously
+    red — and a 5-file dir would re-stage on every call without ever
+    converging. On any mismatch the directory is cleared and restaged.
+    """
     import glob as _glob
+    import os as _os
+    import shutil as _shutil
 
     from .fixtures import write_json_dir
 
-    if len(_glob.glob(f"{_DS_FIXTURE_DIR}/*.json")) != 4:
+    expected = {f"spotify_raw_2023010100000{d}.json" for d in range(4)}
+    have = {_os.path.basename(p) for p in _glob.glob(f"{_DS_FIXTURE_DIR}/*.json")}
+    if have != expected:
+        _shutil.rmtree(_DS_FIXTURE_DIR, ignore_errors=True)
         write_json_dir(_DS_FIXTURE_DIR, n_docs=4)
     return _DS_FIXTURE_DIR
 
@@ -203,7 +214,11 @@ def rest_datasource_playlist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         spark.dataSource.register(SpotifyPlaylistDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as e:
+        # Only the already-registered case is benign; anything else
+        # (pickling failure, missing DataSource API) would otherwise
+        # resurface downstream as an unrelated "data source not found".
+        if "exist" not in str(e).lower():
+            raise
     path = _ensure_ds_fixture()
     return spark.read.format("spotify_playlist").option("path", path).load()

@@ -60,11 +60,16 @@ class SpotifyPlaylistReader(DataSourceReader):
     def read(self, partition: _PagePartition) -> Iterator[tuple]:
         doc = _load_page(partition.path)
         page = os.path.basename(partition.path)
-        for item in doc.get("items", []):
-            track = item.get("track", {})
-            artists = track.get("artists", [])
-            head = artists[0] if artists else {}
-            album = track.get("album", {})
+        # `or` fallbacks, not .get defaults: the API emits EXPLICIT
+        # nulls ("items": null on an empty page, "track": null for
+        # removed/local tracks), which .get(k, default) passes through
+        # — iterating or .get-ing None would crash the executor.
+        for raw_item in doc.get("items") or []:
+            item = raw_item or {}
+            track = item.get("track") or {}
+            artists = track.get("artists") or []
+            head = (artists[0] or {}) if artists else {}
+            album = track.get("album") or {}
             yield (
                 page,
                 item.get("added_at"),

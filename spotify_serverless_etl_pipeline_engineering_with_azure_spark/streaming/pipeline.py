@@ -49,7 +49,13 @@ def spotify_file_stream(
         reader = reader.option("cleanSource", "archive").option(
             "sourceArchiveDir", archive_dir
         )
-    return reader.json(input_dir).withColumn("doc_order", F.lit("stream"))
+    # doc_order = source file URI, exactly as the batch path
+    # (spotify.read_raw_json): keep-first dedup orders by (doc_order,
+    # pos) and pos restarts at 0 per file, so a CONSTANT here would
+    # leave cross-file ties broken arbitrarily whenever a micro-batch
+    # carries more than one file (maxFilesPerTrigger unset or >1) —
+    # silently diverging from pandas keep='first'.
+    return reader.json(input_dir).withColumn("doc_order", F.input_file_name())
 
 
 def run_spotify_pipeline(
@@ -78,7 +84,7 @@ def run_spotify_pipeline(
     )
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tables = spotify.transform(batch_df.withColumn("pos", F.lit(0)).drop("pos"))
+        tables = spotify.transform(batch_df)
         for name, df in tables.items():
             write_csv(df, f"{output_base}/{name}_data/batch_id={batch_id}", mode="overwrite")
 
@@ -107,25 +113,33 @@ def _staged_dir(sf_dir: str, name: str) -> str:
     d = f"/tmp/sse_stream_src_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}/{name}"
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{name}.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/{name}.parquet", link)
+    # lexists, not exists: exists() follows the link, so a DANGLING link
+    # (dataset deleted/regenerated) reads as absent and the symlink call
+    # below raises FileExistsError forever after. A stale-but-present
+    # link is re-pointed; the target is absolutized so a relative sf_dir
+    # can't produce a link that resolves relative to /tmp.
+    target = os.path.abspath(f"{sf_dir}/{name}.parquet")
+    if os.path.lexists(link):
+        if os.path.realpath(link) == os.path.realpath(target):
+            return d
+        os.remove(link)
+    os.symlink(target, link)
     return d
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events parquet as a (bounded) stream — schema from the static
-    table, file source underneath. ts arrives either as TIMESTAMP(NANOS)
-    (illegal for Spark 4's reader — read as long via legacy conf and
-    converted with integer div; ns epoch exceeds 2^53, no double /) or as
-    naive micros (read as an instant, not NTZ — conf pinned below)."""
+    """The events parquet as a (bounded) stream — raw file schema (from
+    the catalog's cached footer read), file source underneath, then the
+    SAME ts normalization as the batch path (catalog.normalize_events_ts)
+    so the two can never diverge on the TIMESTAMP(NANOS)-vs-micros
+    encoding rule every oracle-parity test depends on."""
+    from ..catalog import normalize_events_ts, raw_schema
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     src = _staged_dir(sf_dir, "events")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(schema).parquet(src)
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    schema = raw_schema(spark, sf_dir, "events")
+    return normalize_events_ts(spark.readStream.schema(schema).parquet(src))
 
 
 def windowed_counts(

@@ -126,3 +126,38 @@ def test_json_dir_roundtrip(spark, tmp_path, docs):
     # file order == doc order (names sort by doc index) → same keep-first
     assert sorted(tuple(r) for r in got["artists"].collect()) == sorted(exp_artists)
     assert sorted(tuple(r) for r in got["albums"].collect()) == sorted(exp_albums)
+
+
+def test_datasource_tolerates_explicit_nulls(tmp_path):
+    """The Spotify API emits EXPLICIT nulls ('items': null on an empty
+    page, 'track': null for removed/local tracks); the reader must skip
+    them, not crash the executor (dict.get defaults only cover MISSING
+    keys, never null values)."""
+    import json
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.sources.playlist_datasource import (
+        SpotifyPlaylistReader,
+        _PagePartition,
+    )
+
+    p = tmp_path / "spotify_raw_20230101000000.json"
+    p.write_text(json.dumps({
+        "items": [
+            None,
+            {"added_at": "2023-01-01T00:00:00Z", "track": None},
+            {"added_at": "2023-01-02T00:00:00Z",
+             "track": {"id": "t1", "name": "song", "artists": None,
+                       "album": None, "duration_ms": 1000}},
+            {"added_at": "2023-01-03T00:00:00Z",
+             "track": {"id": "t2", "name": "s2", "artists": [None],
+                       "album": {"id": "al1"}}},
+        ],
+    }))
+    rows = list(SpotifyPlaylistReader({"path": str(tmp_path)}).read(_PagePartition(str(p))))
+    assert len(rows) == 4  # every item yields a row, nulls become NULL columns
+    assert rows[2][2] == "t1" and rows[2][6] is None  # artists null -> artist_id NULL
+    assert rows[3][8] == "al1"  # album survives a null artists[0]
+
+    empty = tmp_path / "spotify_raw_20230101000001.json"
+    empty.write_text(json.dumps({"items": None}))
+    assert list(SpotifyPlaylistReader({"path": str(tmp_path)}).read(_PagePartition(str(empty)))) == []

@@ -232,17 +232,8 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
     (the K/nprobe hyperparameters join the identity via params; a
     checkpointed RDD dies with its context).
     """
-    from ..functions.vectors import norm
-
     def build() -> dict:
-        emb = scatter(table(spark, sf_dir, "embeddings"))
-        ranked = ranked_centroids_expr(load_centroids(spark, sf_dir, _N_CENTROIDS))
-        emb_n = emb.withColumn("nrm", norm(F.col("embedding")))
-        # (vec_id, nprobe nearest cells) — the K×dim codebook fold runs
-        # once per vector at build time, never per query.
-        assigned = emb_n.select(
-            "vec_id", F.slice(ranked, 1, _N_PROBE_CLUSTERS).alias("cells")
-        ).localCheckpoint(eager=True)
+        assigned = _ivf_assigned_frame(spark, sf_dir).localCheckpoint(eager=True)
         member = assigned.select(
             "vec_id", F.element_at("cells", 1).getField("cid").alias("cid")
         )
@@ -252,11 +243,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
             .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
             .localCheckpoint(eager=True)
         )
-        # The vector store with precomputed norms (identical doubles on
-        # every read → bit-identical cosine at score time).
-        vectors = table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-        ).localCheckpoint(eager=True)
+        vectors = _ivf_vectors_frame(spark, sf_dir).localCheckpoint(eager=True)
         return {"assigned": assigned, "cells": cells, "vectors": vectors}
 
     return dataset_cached(
@@ -266,6 +253,30 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
         ("embeddings.parquet",),
         build,
         params=(_N_CENTROIDS, _N_PROBE_CLUSTERS),
+    )
+
+
+def _ivf_assigned_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-checkpoint plan of the IVF assignment build: (vec_id, nprobe
+    nearest cells) — the K×dim codebook fold runs once per vector at
+    build time, never per query. Exposed so plan-quality tests can
+    assert on the build pipeline (checkpointing truncates lineage)."""
+    from ..functions.vectors import norm
+
+    emb = scatter(table(spark, sf_dir, "embeddings"))
+    ranked = ranked_centroids_expr(load_centroids(spark, sf_dir, _N_CENTROIDS))
+    return emb.withColumn("nrm", norm(F.col("embedding"))).select(
+        "vec_id", F.slice(ranked, 1, _N_PROBE_CLUSTERS).alias("cells")
+    )
+
+
+def _ivf_vectors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-checkpoint plan of the IVF vector store: precomputed norms so
+    identical doubles feed every cosine at score time."""
+    from ..functions.vectors import norm
+
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
 
 

@@ -194,17 +194,25 @@ def _minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     old checkpoint).
     """
 
-    def build() -> DataFrame:
-        bands = _band_signatures(table(spark, sf_dir, "documents"))
-        return (
-            bands.groupBy("band", "sig")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-            .filter(F.size("ids") > 1)
-            .localCheckpoint(eager=True)
-        )
-
     return dataset_cached(
-        _MINHASH_INDEX_CACHE, spark, sf_dir, ("documents.parquet",), build
+        _MINHASH_INDEX_CACHE,
+        spark,
+        sf_dir,
+        ("documents.parquet",),
+        lambda: _minhash_buckets_frame(spark, sf_dir).localCheckpoint(eager=True),
+    )
+
+
+def _minhash_buckets_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRE-checkpoint logical plan of the LSH bucket index build,
+    exposed separately so plan-quality tests can assert on the build
+    pipeline — checkpointing truncates lineage to an RDD scan, hiding
+    the build's joins/shuffles from every explain-based check."""
+    bands = _band_signatures(table(spark, sf_dir, "documents"))
+    return (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
 
 
@@ -331,11 +339,7 @@ def _ngram_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     semantics are catalog.dataset_cached's."""
 
     def build() -> tuple[DataFrame, DataFrame]:
-        docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-        index = _shingles(docs).groupBy("sh").agg(
-            F.sort_array(F.collect_list("doc_id")).alias("ids")
-        )
-        kept = index.filter(F.size("ids") <= NGRAM_DF_CAP).localCheckpoint(eager=True)
+        kept = _ngram_index_frame(spark, sf_dir).localCheckpoint(eager=True)
         sizes = (
             kept.select(F.explode("ids").alias("doc_id"))
             .groupBy("doc_id")
@@ -347,6 +351,16 @@ def _ngram_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     return dataset_cached(
         _NGRAM_INDEX_CACHE, spark, sf_dir, ("documents.parquet",), build
     )
+
+
+def _ngram_index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-checkpoint plan of the pruned inverted-index build (see
+    _minhash_buckets_frame for why this is exposed)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    index = _shingles(docs).groupBy("sh").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    return index.filter(F.size("ids") <= NGRAM_DF_CAP)
 
 
 @register(
@@ -428,29 +442,28 @@ def _semdedup_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the corpus. At cluster scale this is the materialized
     assignment table every SemDeDup pipeline persists."""
 
-    def build() -> DataFrame:
-        from ..functions.vectors import norm
-
-        from .advanced_ops import load_centroids, ranked_centroids_expr
-
-        emb = scatter(table(spark, sf_dir, "embeddings"))
-        ranked = ranked_centroids_expr(load_centroids(spark, sf_dir, SEMDEDUP_K))
-        return (
-            emb.withColumn("nrm", norm(F.col("embedding")))
-            .select(
-                "vec_id",
-                F.element_at(ranked, 1).getField("cid").cast("long").alias("cluster"),
-            )
-            .localCheckpoint(eager=True)
-        )
-
     return dataset_cached(
         _SEMDEDUP_MEMBER_CACHE,
         spark,
         sf_dir,
         ("embeddings.parquet",),
-        build,
+        lambda: _semdedup_member_frame(spark, sf_dir).localCheckpoint(eager=True),
         params=(SEMDEDUP_K,),
+    )
+
+
+def _semdedup_member_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-checkpoint plan of the cell-assignment build (see
+    _minhash_buckets_frame for why this is exposed)."""
+    from ..functions.vectors import norm
+
+    from .advanced_ops import load_centroids, ranked_centroids_expr
+
+    emb = scatter(table(spark, sf_dir, "embeddings"))
+    ranked = ranked_centroids_expr(load_centroids(spark, sf_dir, SEMDEDUP_K))
+    return emb.withColumn("nrm", norm(F.col("embedding"))).select(
+        "vec_id",
+        F.element_at(ranked, 1).getField("cid").cast("long").alias("cluster"),
     )
 
 

@@ -92,21 +92,29 @@ def _lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded and the search stays one equi-join). Identity/eviction
     semantics are catalog.dataset_cached's."""
 
-    def build() -> DataFrame:
-        emb = table(spark, sf_dir, "embeddings").withColumn(
-            "nrm", norm(F.col("embedding"))
-        )
-        return emb.select(
-            "vec_id",
-            "embedding",
-            "nrm",
-            F.posexplode(
-                F.array(*[lsh_bucket(F.col("embedding"), t) for t in range(LSH_TABLES)])
-            ).alias("t", "bucket"),
-        ).localCheckpoint(eager=True)
-
     return dataset_cached(
-        _LSH_INDEX_CACHE, spark, sf_dir, ("embeddings.parquet",), build
+        _LSH_INDEX_CACHE,
+        spark,
+        sf_dir,
+        ("embeddings.parquet",),
+        lambda: _lsh_index_frame(spark, sf_dir).localCheckpoint(eager=True),
+    )
+
+
+def _lsh_index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-checkpoint plan of the sign-LSH hash-table build, exposed so
+    plan-quality tests can assert on the build pipeline (checkpointing
+    truncates lineage to an RDD scan)."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    return emb.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.posexplode(
+            F.array(*[lsh_bucket(F.col("embedding"), t) for t in range(LSH_TABLES)])
+        ).alias("t", "bucket"),
     )
 
 

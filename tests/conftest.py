@@ -2,8 +2,19 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 import pytest
+
+# Pin the HOST timezone, not just the Spark session's: PySpark's
+# TimestampType.fromInternal renders collected timestamps via
+# datetime.fromtimestamp() (host TZ), so golden tests that compare
+# collect()-ed instants against Python-built naive-UTC datetimes would
+# fail on any non-UTC machine. The non-UTC-SESSION contract probe
+# (test_driver_contract) is unaffected — it varies the Spark session
+# conf, which this does not touch.
+os.environ["TZ"] = "UTC"
+time.tzset()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

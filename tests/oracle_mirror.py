@@ -63,12 +63,18 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     s_rows = canonical_rows(spark_pdf)
     o_rows = canonical_rows(oracle_pdf)
     if s_rows != o_rows:
-        only_s = [r for r, t in zip(s_rows, o_rows) if r != t][:3]
-        sset, oset = set(s_rows), set(o_rows)
+        # Multiset differences (Counter preserves duplicate rows a set
+        # diff would hide): a positional zip over lists of unequal
+        # length truncates and misaligns, pointing triage at row pairs
+        # that are not real mismatches.
+        from collections import Counter
+
+        sc, oc = Counter(s_rows), Counter(o_rows)
+        only_s, only_o = sc - oc, oc - sc
         problems.append(
-            f"values: {len(sset - oset)} spark-only, {len(oset - sset)} oracle-only; "
-            f"first diffs spark={list(sset - oset)[:2]} oracle={list(oset - sset)[:2]}; "
-            f"first positional diff={only_s[:1]}"
+            f"values: {sum(only_s.values())} spark-only, "
+            f"{sum(only_o.values())} oracle-only; first diffs "
+            f"spark={sorted(only_s)[:2]} oracle={sorted(only_o)[:2]}"
         )
     return problems
 

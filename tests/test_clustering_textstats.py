@@ -26,18 +26,15 @@ def test_kmeans_assigns_every_vector_once(spark, sf_dir):
     assert (out["dist_sq"] >= 0).all()
 
 
-def test_kmeans_assignment_is_argmin_of_final_codebook(spark, sf_dir):
-    """Each vector's reported distance must be the minimum over the K
-    final centroids — recomputed independently here with numpy from the
-    member vectors (one extra Lloyd update from the output assignment
-    reproduces the final codebook the assignment was scored against is
-    NOT true in general; instead we verify the weaker invariant that no
-    other ASSIGNED cluster's centroid-of-members is closer by a wide
-    margin, and the exact invariant that per-vector dist_sq matches the
-    distance to its own cluster's scoring centroid via the oracle's
-    parity test).  Here: within each cluster, the mean distance to own
-    members is below the mean distance to any other cluster's members —
-    clusters are spatially coherent."""
+def test_kmeans_clusters_are_spatially_coherent(spark, sf_dir):
+    """Within each cluster, the mean distance to own members is below
+    the mean distance to any other cluster's members — clusters are
+    spatially coherent. This is deliberately the COHERENCE invariant,
+    not per-vector argmin: one extra Lloyd update from the output
+    assignment does not reproduce the final codebook the assignment was
+    scored against, so argmin is not independently recomputable here;
+    the exact per-vector (cluster_id, dist_sq) values are pinned by the
+    unrolled-CTE DuckDB oracle parity row instead."""
     import numpy as np
 
     out = ALL["cluster_kmeans_embeddings"].fn(spark, sf_dir).toPandas()

@@ -47,14 +47,48 @@ def test_minhash_lsh_candidates_skew_similar(spark, sf_dir):
     assert cand_mean > overall, f"LSH candidates not similarity-skewed: {cand_mean} <= {overall}"
 
 
-def test_simhash_locality(spark, sf_dir):
-    """Identical texts hash identically; hamming(simhash) is 0 for
-    self-join and signatures are well spread overall."""
+def test_simhash_locality(spark, sf_dir, tmp_path):
+    """The LOCALITY property itself, not just signature spread: an
+    identical text must produce an identical signature, and a one-token
+    perturbation of a long doc must stay within a small hamming radius.
+    Spread/positivity alone would pass a broken per-bit threshold or
+    pack-offset bug that still yields distinct positive values — and the
+    oracle parity row shares the hashing helper, so 'both engines break
+    identically' is a live failure mode for it."""
+    import duckdb
+
     sig = ALL["dedup_simhash"].fn(spark, sf_dir)
     n = sig.count()
     n_distinct = sig.select("simhash").distinct().count()
     assert n_distinct > n * 0.9  # random corpus → near-unique signatures
     assert sig.filter(F.col("simhash") < 0).count() == 0  # 48-bit positive
+
+    # Probe corpus: doc 1 duplicates doc 0's text; doc 2 perturbs ONE
+    # of its tokens (drawn from a real corpus doc so tokens are long
+    # enough for md5 bit spread).
+    base = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE LEN(STRING_SPLIT(text, ' ')) >= 40 LIMIT 1"
+    ).fetchone()[0]
+    toks = base.split(" ")
+    toks[len(toks) // 2] = "zzz_perturbed_token"
+    ds = tmp_path / "probe"
+    ds.mkdir()
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES (0::BIGINT, ?), (1::BIGINT, ?), (2::BIGINT, ?)) "
+        f"t(doc_id, text)) TO '{ds}/documents.parquet' (FORMAT PARQUET)",
+        params=[base, base, " ".join(toks)],
+    )
+    rows = {
+        r.doc_id: r.simhash
+        for r in ALL["dedup_simhash"].fn(spark, str(ds)).collect()
+    }
+    assert rows[0] == rows[1], "identical text must hash identically"
+    hamming = bin(rows[0] ^ rows[2]).count("1")
+    assert hamming <= 24, (
+        f"one token of {len(toks)} changed flipped {hamming}/48 bits — "
+        "locality broken"
+    )
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):

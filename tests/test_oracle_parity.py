@@ -33,5 +33,9 @@ def test_oracle_parity(spark, con, sf_dir, name):
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = ALL[name].fn(spark, sf_dir)
-    assert df.count() >= 0
+    # > 0, not >= 0 (which no materializing DataFrame can fail): an
+    # inverted filter regressing a rows-only query to always-empty must
+    # trip the smoke check — every rows-only query is non-empty at
+    # every shipped SF by construction.
+    assert df.count() > 0
     assert len(df.schema) > 0

@@ -128,10 +128,23 @@ def test_member_dtypes_pins_complete():
 
 @pytest.mark.parametrize("suite", sorted(SUITES))
 def test_suites_match_oracle_at_smoke_scale(spark, suite):
+    """Suite parity AT SF_SMOKE specifically. Suites are oracle-backed
+    registry entries, so test_oracle_parity already runs this exact
+    comparison at its sf_dir — re-running the most expensive digests
+    (tpch_digest executes all 22 TPC-H members) is only informative
+    when the two SFs differ (SSE_TEST_SF_DIR points parity elsewhere).
+    """
+    import os
+
+    if os.environ.get("SSE_TEST_SF_DIR", SF_SMOKE) == SF_SMOKE:
+        pytest.skip("duplicate of test_oracle_parity at this sf_dir")
     from .oracle_mirror import compare, duckdb_conn, run_query_pair
 
     reg = load_all()
     con = duckdb_conn(SF_SMOKE)
-    q = reg[suite]
-    s, o = run_query_pair(spark, con, q.fn, q.oracle, SF_SMOKE)
-    assert not compare(s, o)
+    try:
+        q = reg[suite]
+        s, o = run_query_pair(spark, con, q.fn, q.oracle, SF_SMOKE)
+        assert not compare(s, o)
+    finally:
+        con.close()

@@ -581,23 +581,24 @@ LIMIT 100
     tags=("subquery", "in", "semi-join", "having"),
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN (grouped HAVING) → semi-join against the aggregated keys;
-    quantities are exact decimals so the >300 threshold is stable."""
+    """IN (grouped HAVING) where the output aggregate IS the HAVING
+    aggregate: sum(l_quantity) per order serves both the >300 filter
+    and the reported total_qty, so lineitem — the 100 TB fact — is
+    scanned and aggregated ONCE, then the tiny qualifying set joins
+    orders/customer (broadcast). The textbook semi-join form scans the
+    fact twice for identical results; quantities are exact decimals so
+    the threshold is stable."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     big = (
-        li.groupBy(F.col("l_orderkey").alias("big_key"))
-        .agg(F.sum(dec(F.col("l_quantity"), 2)).alias("sq"))
-        .filter(F.col("sq") > 300.0)
-        .select("big_key")
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300.0)
     )
     return (
-        orders.join(big, F.col("o_orderkey") == F.col("big_key"), "left_semi")
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(F.col("l_quantity"), 2).alias("total_qty"))
         .select(
             "c_custkey",
             "c_name",

@@ -254,7 +254,9 @@ HEADLINE_EXCHANGE_BUDGET = {
     "q6_forecast_revenue": (1, 0),
     "q9_product_profit": (1, 4),
     "q13_customer_distribution": (2, 1),
-    "q18_large_volume_customers": (2, 3),
+    # single lineitem scan: the HAVING aggregate IS the output
+    # aggregate, so one orderkey agg feeds both filter and result
+    "q18_large_volume_customers": (1, 2),
     "top_customers_by_revenue": (1, 4),
     "join_broadcast_enrich": (1, 2),
     "window_rank_topn": (1, 0),

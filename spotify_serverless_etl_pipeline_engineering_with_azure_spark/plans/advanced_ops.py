@@ -243,8 +243,12 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
             .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
             .localCheckpoint(eager=True)
         )
-        vectors = _ivf_vectors_frame(spark, sf_dir).localCheckpoint(eager=True)
-        return {"assigned": assigned, "cells": cells, "vectors": vectors}
+        from .similarity import vector_store
+
+        # The re-rank vector store is THE shared one (one checkpoint
+        # for brute-force, SemDeDup, and IVF — not a private copy).
+        return {"assigned": assigned, "cells": cells,
+                "vectors": vector_store(spark, sf_dir)}
 
     return dataset_cached(
         _IVF_INDEX_CACHE,
@@ -270,14 +274,6 @@ def _ivf_assigned_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_vectors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRE-checkpoint plan of the IVF vector store: precomputed norms so
-    identical doubles feed every cosine at score time."""
-    from ..functions.vectors import norm
-
-    return table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
 
 
 @register("sim_ann_ivf", oracle=_ivf_oracle(), tags=("similarity", "ann", "ivf"))

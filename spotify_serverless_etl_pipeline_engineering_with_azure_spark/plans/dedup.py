@@ -535,22 +535,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast-codebook assignment → in-cell pair expansion), never
     all-pairs: pointed at a full corpus the cost is proportional to the
     candidate count, O(Σ cell²) with K sized ~sqrt(N). The pair set is
-    attached to its vectors by two vec_id equi-joins; norms are folded
-    once per vector before the join (identical doubles → bit-identical
-    cosine), so each candidate pays one dot fold.
+    attached to its vectors by two vec_id equi-joins against the shared
+    materialized vector store (similarity.vector_store — norms folded
+    once per corpus snapshot, identical doubles → bit-identical
+    cosine), so each candidate pays one dot fold and the corpus parquet
+    is scanned zero times per query.
     """
-    from ..functions.vectors import dot, norm
+    from ..functions.vectors import dot
+
+    from .similarity import vector_store
 
     pairs = _cell_candidate_pairs(spark, sf_dir)
-    ea = table(spark, sf_dir, "embeddings").select(
+    store = vector_store(spark, sf_dir)
+    ea = store.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("emb_a"),
-        norm(F.col("embedding")).alias("nrm_a"),
+        F.col("nrm").alias("nrm_a"),
     )
-    eb = table(spark, sf_dir, "embeddings").select(
+    eb = store.select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("emb_b"),
-        norm(F.col("embedding")).alias("nrm_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     cs = F.round(
         dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
@@ -613,23 +618,27 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, cluster, max_sim_lower, keep) — every input row appears
     exactly once, keep=false marks semantic near-duplicates.
     """
-    from ..functions.vectors import dot, norm
+    from ..functions.vectors import dot
+
+    from .similarity import vector_store
 
     member = _semdedup_member(spark, sf_dir)
     pairs = _cell_candidate_pairs(spark, sf_dir)
-    # Norms folded once per vector before the pair join; each candidate
-    # pair pays a single dot fold. The embeddings side is keyed by
-    # vec_id, so both attach joins shuffle on the key (broadcast at
-    # probe scale, sort-merge at corpus scale — AQE picks).
-    ea = table(spark, sf_dir, "embeddings").select(
+    # Both attach sides read the shared materialized vector store (one
+    # checkpoint, zero parquet re-scans); each candidate pair pays a
+    # single dot fold. The store is keyed by vec_id, so both joins
+    # shuffle on the key (broadcast at probe scale, sort-merge at
+    # corpus scale — AQE picks).
+    store = vector_store(spark, sf_dir)
+    ea = store.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("emb_a"),
-        norm(F.col("embedding")).alias("nrm_a"),
+        F.col("nrm").alias("nrm_a"),
     )
-    eb = table(spark, sf_dir, "embeddings").select(
+    eb = store.select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("emb_b"),
-        norm(F.col("embedding")).alias("nrm_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     cs = F.round(
         dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6

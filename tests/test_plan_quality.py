@@ -102,7 +102,7 @@ INDEX_BUILD_FRAMES = {
     "semdedup_member": lambda s: _dedup._semdedup_member_frame(s, SF_SMOKE),
     "lsh_index": lambda s: _similarity._lsh_index_frame(s, SF_SMOKE),
     "ivf_assigned": lambda s: _advanced_ops._ivf_assigned_frame(s, SF_SMOKE),
-    "ivf_vectors": lambda s: _advanced_ops._ivf_vectors_frame(s, SF_SMOKE),
+    "vector_store": lambda s: _similarity._vector_store_frame(s, SF_SMOKE),
 }
 
 

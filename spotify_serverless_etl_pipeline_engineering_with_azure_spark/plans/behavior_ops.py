@@ -193,8 +193,13 @@ def timeseries_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distance to the current row) — so this is the canonical
     grouped-map case: applyInPandas partitions by user_id and runs the
     loop per group (recency-decay scoring, the same shape as
-    recency-weighted quality scores in training-data curation). State
-    is O(1) per key and groups shard freely across executors at 100 TB.
+    recency-weighted quality scores in training-data curation). The
+    fold's STATE is O(1) per key, but applyInPandas materializes each
+    group as one pandas frame in one Python worker — the capacity
+    bound is max-events-per-key, so a hot key (bot, shared account)
+    needs pre-splitting: fold each time-slice to (acc, weight_of_rest)
+    partials and compose them associatively, or pre-aggregate the hot
+    key's tail. Normal-cardinality keys shard freely across executors.
     The DuckDB oracle replays the identical left-fold via LIST_REDUCE
     over the same (ts, event_id) ordering, so both engines execute the
     same IEEE op sequence and the doubles match bit-for-bit.

@@ -546,9 +546,9 @@ def struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_min_max_by",
     oracle="""
 SELECT c_nationkey,
-       ARG_MAX(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000000 + c_custkey)
+       ARG_MAX(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000000000 + c_custkey)
          AS richest_customer,
-       ARG_MIN(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000000 + c_custkey)
+       ARG_MIN(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000000000 + c_custkey)
          AS poorest_customer,
        MAX(c_acctbal) AS max_bal
 FROM customer
@@ -561,13 +561,14 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     a window + filter. The ordering key folds exact cents with the
     unique custkey so equal balances break ties identically in both
     engines — argmax on a float with duplicates is otherwise
-    engine-arbitrary. The 10^10 multiplier keeps the fold a true
-    (cents, custkey) lexicographic order up to 10^10 customers (TPC-H
-    sf ~66k; a 10^5 multiplier would invert pairs once custkey exceeds
-    it, ~sf0.7) while |cents|·10^10 ≤ 10^16 stays far inside int64."""
+    engine-arbitrary. The 10^12 multiplier keeps the fold a true
+    (cents, custkey) lexicographic order up to 10^12 customers — TPC-H
+    sf ~6.6M, far past the 100 TB envelope's sf100k = 1.5·10^10
+    customers (a 10^5 multiplier inverted pairs at ~sf0.7, 10^10 at
+    ~sf66k) — while |cents|·10^12 ≤ 10^18 stays inside int64."""
     cust = table(spark, sf_dir, "customer")
     ordk = (
-        F.round(F.col("c_acctbal") * 100).cast("long") * 10000000000
+        F.round(F.col("c_acctbal") * 100).cast("long") * 1000000000000
         + F.col("c_custkey")
     )
     return cust.groupBy("c_nationkey").agg(

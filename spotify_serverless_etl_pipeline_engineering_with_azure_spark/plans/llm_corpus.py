@@ -27,6 +27,13 @@ CHUNK_S = 24
 # Sequence packing: shard the corpus, pack each shard into 512-token
 # training sequences by cumulative offset.
 PACK_BUDGET = 512
+# Shard count for sequence packing. 8 is the DETERMINISTIC TEST SHAPE
+# (the oracle replays the same constant); shard count changes bin
+# assignments, so it is part of the result contract, not a tuning knob.
+# At cluster scale this must be sized to the data — shards ≈ corpus
+# tokens / (tokens one task can sort), e.g. thousands at 100 TB — or
+# the per-shard running-sum window funnels corpus/PACK_SHARDS rows
+# through each of only 8 tasks (same sizing note as _AGG_SALT).
 PACK_SHARDS = 8
 
 # Deterministic stratified sampling rates (percent kept) per language:
@@ -130,9 +137,12 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant of greedy packing (a doc can straddle two bins; training
     pipelines truncate or wrap at the boundary).
 
-    Scale posture: sharding makes the running sum embarrassingly
-    parallel — each shard's window sorts only its own rows (one
-    shuffle on shard), never a global order. fill_ratio divides by a
+    Scale posture: sharding parallelizes the running sum — each
+    shard's window sorts only its own rows (one shuffle on shard),
+    never a global order — PROVIDED the shard count is sized to the
+    data (see the PACK_SHARDS note: 8 is the deterministic test shape
+    and is part of the result contract; production sizes it so one
+    shard fits one task's sort budget). fill_ratio divides by a
     power of two, so the double is exact in both engines.
     """
     docs = table(spark, sf_dir, "documents")
@@ -545,7 +555,11 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = grams(docs.filter(~is_bench))
     sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
-        train.join(F.broadcast(bench), "sh")
+        # bench grows with its source set (here ~1/23 of the corpus), so the
+        # join strategy is left to AQE: broadcast while it fits, shuffle
+        # join beyond the 8 GB broadcast bound. A real eval suite IS
+        # bounded and AQE will broadcast it.
+        train.join(bench, "sh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
@@ -630,8 +644,11 @@ def corpus_end_to_end_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         docs.join(cq, "doc_id")
-        .join(F.broadcast(cc), docs.doc_id == F.col("cc_id"), "left")
-        .join(F.broadcast(dx), docs.doc_id == F.col("dx_id"), "left")
+        # cc (one row per near-dup doc) and dx (one per contaminated doc)
+        # grow linearly with the corpus — strategy left to AQE, not a
+        # forced broadcast that would abort past the 8 GB bound.
+        .join(cc, docs.doc_id == F.col("cc_id"), "left")
+        .join(dx, docs.doc_id == F.col("dx_id"), "left")
         .select("source", "n_tokens", v.alias("v"))
     )
     kept = F.col("v") == "kept"

@@ -213,9 +213,9 @@ WITH daily AS (
 ),
 stats AS (
   SELECT event_type,
-         COUNT(*) AS n_days,
-         SUM(n_events) AS s,
-         SUM(n_events * n_events) AS ss
+         CAST(COUNT(*) AS HUGEINT) AS n_days,
+         CAST(SUM(n_events) AS HUGEINT) AS s,
+         SUM(CAST(n_events AS HUGEINT) * n_events) AS ss
   FROM daily GROUP BY event_type
 ),
 scored AS (
@@ -238,24 +238,29 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event-volume anomaly detection: z-score each (type, day)
     count against its type's mean/stddev, flag |z| > 2.
 
-    The ANOMALY DECISION is computed in pure INT64 arithmetic — the
-    sample-variance inequality z² > 4 rearranges to
+    The ANOMALY DECISION is computed in pure WIDE-INTEGER arithmetic —
+    the sample-variance inequality z² > 4 rearranges to
     (n−1)·(n·x−S)² > 4·n·(n·SS−S²) over the integer daily counts — so
     the flag can never flip on a last-bit float difference between
-    engines; the reported z-score itself is one identical IEEE
-    expression over those integers, rounded 6dp. Plan: daily counts
-    shuffle on (type, day); per-type moment totals are a 5-row
-    aggregate joined back by broadcast. Nothing wider than the daily
-    matrix ever moves.
+    engines. The moments are DECIMAL(38,0) on Spark and HUGEINT on
+    DuckDB, both exact: SS alone (Σx² ≈ 10²² at 10⁹ events/day over
+    10⁴ days) and S² (≈ 10²⁶) overflow int64 at production volumes,
+    where non-ANSI Spark would WRAP silently and flip flags with no
+    error; every term here stays ≤ ~10³⁰, far inside 38 digits. The
+    reported z-score itself is one identical IEEE expression over
+    those exact integers, rounded 6dp. Plan: daily counts shuffle on
+    (type, day); per-type moment totals are a 5-row aggregate joined
+    back by broadcast. Nothing wider than the daily matrix ever moves.
     """
     ev = table(spark, sf_dir, "events")
+    wide = "decimal(38,0)"
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     stats = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("n_events").alias("s"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+        F.count(F.lit(1)).cast(wide).alias("n"),
+        F.sum("n_events").cast(wide).alias("s"),
+        F.sum(F.col("n_events").cast(wide) * F.col("n_events")).alias("ss"),
     )
     scored = daily.join(F.broadcast(stats), "event_type").withColumn(
         "nx_minus_s", F.col("n") * F.col("n_events") - F.col("s")
@@ -343,7 +348,8 @@ rolled AS (
          SUM(n_total) OVER w AS n_total_7d,
          SUM(n_errors) OVER w AS n_errors_7d
   FROM daily
-  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+  WINDOW w AS (ORDER BY CAST(day AS DATE) - DATE '1970-01-01'
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
 SELECT CAST(day AS TIMESTAMP) AS day, n_total, n_errors,
        ROUND(CAST(n_errors AS DOUBLE) / n_total, 6) AS error_rate,
@@ -359,19 +365,23 @@ def events_error_budget_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One keyed aggregation reduces raw events to the days-sized frame
     (conditional count for errors rides the same pass); the 7-day
-    rolling sums are a ROWS window over that constant-size series —
-    counts sum as exact integers, so the rolling rates divide identical
-    longs in both engines, with the budget threshold decided on the
-    SAME division both engines compute (identical doubles, exact
-    comparison). At any input scale only the first aggregation touches
-    data; consecutive days make ROWS 6-PRECEDING ≡ a 7-day time range.
+    rolling sums are a day-number RANGE window over that series —
+    RANGE, not ROWS, because a ZERO-event day (a full outage, exactly
+    what an error budget must capture) produces no daily row, and a
+    ROWS 6-PRECEDING frame would then silently reach back more than 7
+    calendar days, diluting the rate. Counts sum as exact integers, so
+    the rolling rates divide identical longs in both engines, with the
+    budget threshold decided on the SAME division both engines compute.
+    At any input scale only the first aggregation touches data.
     """
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
     )
-    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    w = Window.orderBy(F.unix_date(F.col("day").cast("date"))).rangeBetween(
+        -6, Window.currentRow
+    )
     rolled = daily.select(
         "day",
         "n_total",

@@ -16,6 +16,20 @@ from ..catalog import scatter, table
 from ..registry import register
 
 FP_PRIME = 1000000007
+# Second independent rolling-hash modulus/base: the fingerprint packs
+# TWO 30-bit folds into one ~61-bit value. A single 30-bit hash space
+# collides at birthday scale (~38k docs for a 50% first-collision) —
+# useless as a corpus-scale identity; two independent folds push the
+# 50% bound past 10^9 documents while every intermediate stays exact
+# in int64 on both engines.
+FP_PRIME2 = 999999937
+FP_PACK = 2147483648  # 2^31 — h1·FP_PACK + h2 < 2^62
+
+# Coverage-curve cap: the curve is computed over the top-N vocabulary
+# entries (distributed top-k), bounding the single-partition ranking
+# window at any corpus scale. 50k ≫ any tokenizer-sizing read-off
+# point and ≫ the synthetic test vocabulary (result unchanged there).
+VOCAB_CURVE_N = 50000
 
 STOPWORDS = ("the", "a", "of", "and")
 _SQL_STOP = "('the', 'a', 'of', 'and')"
@@ -179,22 +193,38 @@ SELECT doc_id,
          LIST_PREPEND(CAST(0 AS BIGINT),
            LIST_TRANSFORM(STRING_SPLIT(text, ' '),
                           x -> CAST(ASCII(x) + 7 * LENGTH(x) AS BIGINT))),
-         (acc, v) -> (acc * 31 + v) % {FP_PRIME}) AS fingerprint
+         (acc, v) -> (acc * 31 + v) % {FP_PRIME}) * {FP_PACK}
+       + LIST_REDUCE(
+         LIST_PREPEND(CAST(0 AS BIGINT),
+           LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                          x -> CAST(ASCII(x) + 7 * LENGTH(x) AS BIGINT))),
+         (acc, v) -> (acc * 37 + v) % {FP_PRIME2}) AS fingerprint
 FROM documents
 """,
     tags=("text", "fingerprint"),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash document fingerprint.
+    """Order-sensitive rolling-hash document fingerprint, ~61 bits.
 
-    Polynomial rolling hash over the token stream mod a 31-bit prime —
-    every intermediate stays < 2^36, exact in int64 on both engines.
+    TWO independent polynomial rolling hashes over the token stream
+    (bases 31/37, distinct 30-bit primes), packed h1·2³¹ + h2: a single
+    30-bit fold collides at birthday scale (~38k docs), far too narrow
+    for a corpus-scale identity column. Every intermediate stays
+    < 2^36 and the packed value < 2^62 — exact in int64 on both
+    engines. One array pass computes both folds via a struct
+    accumulator (the oracle's two LIST_REDUCEs are the same numbers).
     """
     docs = table(spark, sf_dir, "documents")
     fp = F.aggregate(
         _tokens(),
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * 31 + F.ascii(x) + F.length(x) * 7) % FP_PRIME,
+        F.struct(
+            F.lit(0).cast("long").alias("h1"), F.lit(0).cast("long").alias("h2")
+        ),
+        lambda acc, x: F.struct(
+            ((acc.h1 * 31 + F.ascii(x) + F.length(x) * 7) % FP_PRIME).alias("h1"),
+            ((acc.h2 * 37 + F.ascii(x) + F.length(x) * 7) % FP_PRIME2).alias("h2"),
+        ),
+        lambda acc: acc.h1 * FP_PACK + acc.h2,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
 
@@ -317,8 +347,11 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        pairs.join(F.broadcast(uni.alias("u1")), F.col("w1") == F.col("u1.w"))
-        .join(F.broadcast(uni.alias("u2")), F.col("w2") == F.col("u2.w"))
+        # the unigram table is vocabulary-sized (unbounded on web text) —
+        # join strategy left to AQE (text_tfidf_top_terms discipline);
+        # only the 1-row totals stay forced broadcasts.
+        pairs.join(uni.alias("u1"), F.col("w1") == F.col("u1.w"))
+        .join(uni.alias("u2"), F.col("w2") == F.col("u2.w"))
         .crossJoin(F.broadcast(n_bi))
         .crossJoin(F.broadcast(n_uni))
         .select("w1", "w2", "n_pair", pmi.alias("pmi"))
@@ -333,14 +366,15 @@ WITH uni AS (
     SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
   ) GROUP BY t
 ),
-tot AS (SELECT SUM(cnt) AS n_total FROM uni)
+tot AS (SELECT SUM(cnt) AS n_total FROM uni),
+top AS (SELECT token, cnt FROM uni ORDER BY cnt DESC, token LIMIT {n})
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
        token, cnt,
        ROUND(CAST(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
              / n_total, 6) AS cum_share
-FROM uni CROSS JOIN tot
-""",
+FROM top CROSS JOIN tot
+""".format(n=50000),
     tags=("text", "vocab"),
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,10 +383,16 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens").
 
     The corpus reduces to a vocabulary-sized table via one map-side-
-    combining count; the ranking window then runs over vocab rows only
-    (bounded, ≪ corpus — the single-partition window is over thousands
-    of rows at any data scale, never over the corpus). Cumulative sums
-    are exact integers; only the final share divides, rounded to 6dp.
+    combining count; the curve is then computed over the TOP
+    VOCAB_CURVE_N entries selected by a DISTRIBUTED top-k
+    (TakeOrderedAndProject), so the single-partition ranking window
+    runs over ≤ 50k rows at any data scale. Raw whitespace vocabulary
+    is NOT bounded on web text (numbers, URLs, typos grow it linearly)
+    — an uncapped global window would funnel the whole vocabulary
+    through one task. cum_share still divides by the FULL corpus token
+    total, so the curve reads identically; entries past rank N are
+    exactly the ones no tokenizer-sizing decision reads. Cumulative
+    sums are exact integers; only the final share divides, 6dp.
     """
     docs = table(spark, sf_dir, "documents")
     uni = (
@@ -362,12 +402,13 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     tot = uni.agg(F.sum("cnt").alias("n_total"))
+    top = uni.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_CURVE_N)
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     cum = Window.orderBy(F.desc("cnt"), F.asc("token")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        uni.crossJoin(F.broadcast(tot))
+        top.crossJoin(F.broadcast(tot))
         .select(
             F.row_number().over(w).alias("rank"),
             "token",
@@ -489,7 +530,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log2(F.col("cnt").cast("double") / F.col("n_total").cast("double")), 6
     )
     scored = (
-        toks.join(F.broadcast(vocab), "tok")
+        # vocabulary-sized side: AQE picks (see text_pmi_collocations)
+        toks.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
         .select("doc_id", lp.alias("lp"))
     )

@@ -28,7 +28,7 @@ WITH changes AS (
          o_orderdate, o_orderpriority
   FROM orders WHERE o_orderkey % 10 = 0
   UNION ALL
-  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+  SELECT -(o_orderkey + 1), o_custkey, 'N', o_totalprice,
          o_orderdate, o_orderpriority
   FROM orders WHERE o_orderkey % 1000 = 0
 ),
@@ -60,7 +60,12 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inserts = (
         orders.filter(F.col("o_orderkey") % 1000 == 0)
-        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        # negated re-key: -(k+1) can NEVER collide with the non-negative
+        # natural key space at ANY scale — a fixed additive offset
+        # (previously +1e8) collides once the table passes 1e8 dense
+        # keys (~sf67), fanning out the full-outer join with duplicate
+        # merge keys while the oracle agrees on the wrong answer.
+        .withColumn("o_orderkey", -(F.col("o_orderkey") + 1))
         .withColumn("o_orderstatus", F.lit("N"))
     )
     changes = updates.unionByName(inserts).select(
@@ -177,7 +182,7 @@ WITH new_snap AS (
          CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
   FROM orders WHERE o_orderkey % 97 <> 0
   UNION ALL
-  SELECT o_orderkey + 100000000, o_totalprice FROM orders WHERE o_orderkey % 1000 = 0
+  SELECT -(o_orderkey + 1), o_totalprice FROM orders WHERE o_orderkey % 1000 = 0
 ),
 diff AS (
   SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
@@ -219,7 +224,7 @@ def table_diff_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             orders.filter(F.col("o_orderkey") % 1000 == 0).select(
-                (F.col("o_orderkey") + 100000000).alias("o_orderkey"), "o_totalprice"
+                (-(F.col("o_orderkey") + 1)).alias("o_orderkey"), "o_totalprice"  # collision-free re-key (see merge_upsert_orders)
             )
         )
     )
@@ -255,12 +260,13 @@ WITH monthly AS (
   FROM orders GROUP BY 1
 )
 SELECT month, n_orders, revenue,
-       LAG(revenue) OVER w AS prev_month_revenue,
-       LAG(revenue, 12) OVER w AS prev_year_revenue,
-       ROUND(revenue / LAG(revenue) OVER w - 1.0, 6) AS mom_growth,
-       ROUND(revenue / LAG(revenue, 12) OVER w - 1.0, 6) AS yoy_growth
-FROM monthly
-WINDOW w AS (ORDER BY month)
+       MAX(revenue) OVER wm AS prev_month_revenue,
+       MAX(revenue) OVER wy AS prev_year_revenue,
+       ROUND(revenue / MAX(revenue) OVER wm - 1.0, 6) AS mom_growth,
+       ROUND(revenue / MAX(revenue) OVER wy - 1.0, 6) AS yoy_growth
+FROM (SELECT *, YEAR(month) * 12 + MONTH(month) AS month_num FROM monthly)
+WINDOW wm AS (ORDER BY month_num RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING),
+       wy AS (ORDER BY month_num RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING)
 """,
     tags=("timeseries", "seasonality", "reporting"),
 )
@@ -268,12 +274,16 @@ def orders_seasonality_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly revenue with month-over-month and year-over-year growth.
 
     The reporting staple over the star schema: one aggregation to the
-    month grain (exact decimal revenue), then LAG(1)/LAG(12) offsets on
-    the months-sized frame. The window is unpartitioned by definition
-    (a global monthly series) but runs over |months| rows — constant at
-    any input scale; everything data-sized happens in the first keyed
-    aggregation. Growth ratios divide identical doubles (both engines
-    compute revenue from the same exact decimal sum), rounded 6dp.
+    month grain (exact decimal revenue), then CALENDAR offsets via
+    RANGE frames over an integer month number — not LAG row offsets,
+    which silently compare the wrong months whenever any calendar month
+    has zero orders (a gap makes LAG(...,12) land 12 PRESENT rows back,
+    not the same month last year; both engines would agree on the wrong
+    answer). MAX over a [k PRECEDING, k PRECEDING] RANGE frame returns
+    exactly the one month month_num−k if present, else NULL. The window
+    is unpartitioned by definition (a global monthly series) but runs
+    over |months| rows — constant at any input scale. Growth ratios
+    divide identical doubles, rounded 6dp.
     """
     orders = table(spark, sf_dir, "orders")
     monthly = orders.groupBy(
@@ -281,10 +291,11 @@ def orders_seasonality_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice"), 2).alias("revenue"),
-    )
-    w = Window.orderBy("month")
-    prev_m = F.lag("revenue").over(w)
-    prev_y = F.lag("revenue", 12).over(w)
+    ).withColumn("month_num", F.year("month") * 12 + F.month("month"))
+    wm = Window.orderBy("month_num").rangeBetween(-1, -1)
+    wy = Window.orderBy("month_num").rangeBetween(-12, -12)
+    prev_m = F.max("revenue").over(wm)
+    prev_y = F.max("revenue").over(wy)
     return monthly.select(
         "month",
         "n_orders",
@@ -303,20 +314,23 @@ WITH per_part AS (
   SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
   FROM lineitem GROUP BY l_partkey
 ),
+tot AS (
+  SELECT SUM(revenue) AS total_revenue, CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM per_part
+),
+top AS (SELECT l_partkey, revenue FROM per_part
+        ORDER BY revenue DESC, l_partkey LIMIT 100),
 ranked AS (
   SELECT l_partkey, revenue,
          ROW_NUMBER() OVER w AS rnk,
-         SUM(revenue) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue,
-         SUM(revenue) OVER () AS total_revenue,
-         CAST(COUNT(*) OVER () AS BIGINT) AS n_parts
-  FROM per_part
+         SUM(revenue) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue
+  FROM top
   WINDOW w AS (ORDER BY revenue DESC, l_partkey)
 )
 SELECT rnk, l_partkey, revenue,
        ROUND(cum_revenue / total_revenue, 6) AS cum_share,
        CAST(rnk AS DOUBLE) / n_parts <= 0.2 AS in_top20pct
-FROM ranked
-WHERE rnk <= 100
+FROM ranked CROSS JOIN tot
 """,
     tags=("reporting", "pareto", "window"),
 )
@@ -324,30 +338,34 @@ def top_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto (80/20) revenue-concentration analysis: parts ranked by
     revenue with cumulative share of total.
 
-    Data-sized work is ONE keyed aggregation (per-part exact decimal
-    revenue); the ranking/cumulative windows then run over the
-    |parts|-sized aggregate. cum_revenue sums the SAME doubles in the
-    SAME rank order in both engines (sequential running sum over an
-    identical total order — ties broken by key), so the cumulative
-    shares match bit-for-bit before the 6dp round. The top-100 limit
-    keeps the report bounded; in_top20pct flags the Pareto head.
+    Data-sized work is keyed aggregation (per-part exact decimal
+    revenue); the head is then selected by a DISTRIBUTED top-100
+    (TakeOrderedAndProject) and the totals by a 1-row aggregate, so the
+    ranking/cumulative window runs over ≤100 rows — NOT over the full
+    per-part frame, which grows linearly with SF and would funnel into
+    a single unpartitioned-window task. cum_revenue sums the SAME
+    doubles in the SAME rank order in both engines (ties broken by
+    key), so the cumulative shares match bit-for-bit before the 6dp
+    round; in_top20pct flags the Pareto head.
     """
     li = table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(dec(F.col("l_extendedprice"), 2)).cast("double").alias("revenue")
     )
+    tot = per_part.agg(
+        F.sum("revenue").alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    top = per_part.orderBy(F.desc("revenue"), F.asc("l_partkey")).limit(100)
     w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    alldata = Window.partitionBy()
-    ranked = per_part.select(
+    ranked = top.select(
         F.row_number().over(w).alias("rnk"),
         "l_partkey",
         "revenue",
         F.sum("revenue").over(run).alias("cum_revenue"),
-        F.sum("revenue").over(alldata).alias("total_revenue"),
-        F.count(F.lit(1)).over(alldata).alias("n_parts"),
     )
-    return ranked.filter(F.col("rnk") <= 100).select(
+    return ranked.crossJoin(F.broadcast(tot)).select(
         "rnk",
         "l_partkey",
         "revenue",

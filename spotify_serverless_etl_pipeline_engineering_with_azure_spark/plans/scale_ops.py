@@ -179,9 +179,18 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bloom-filter pruning: m = 2^16 bits packed 32 per BIGINT word (bits
+# Bloom-filter pruning: m = 2^20 bits packed 32 per BIGINT word (bits
 # stay below the sign bit on both engines), k = 2 md5-derived hashes.
-_BF_BITS = 1 << 16
+# SIZING CONTRACT: a Bloom filter's economics exist only while
+# m ≳ n·ln(1/fpp)/ln²2 for the build-side distinct count n — a fixed m
+# SATURATES as n grows (every bit set → the prune passes everything;
+# results stay exact via the trailing semi-join, but the filter is pure
+# overhead). 2^20 covers the BUILDING-customer build side to ~sf10;
+# production derives m from the build side's NDV estimate (the same
+# statistic the optimizer's own InjectRuntimeFilter uses) rather than a
+# constant. The filter frame is 2^15 words ≈ 256 KB — trivially
+# broadcastable at any m this formula yields for a broadcast-worthy n.
+_BF_BITS = 1 << 20
 _BF_WORD_BITS = 32
 
 

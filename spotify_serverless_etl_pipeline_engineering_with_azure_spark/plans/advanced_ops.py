@@ -327,9 +327,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
+    # Vector-store attach joins left UN-hinted: the store is one row
+    # per corpus vector — linear in N — so a forced broadcast would die
+    # past the 8 GB bound at serving scale; AQE broadcasts while it
+    # fits, shuffles on vec_id beyond (the probe_cells hint above is
+    # fine — probes are a bounded request set).
     return (
-        cand.join(F.broadcast(a), F.col("a_id") == F.col("probe_id"))
-        .join(F.broadcast(b), F.col("b_id") == F.col("neighbor_id"))
+        cand.join(a, F.col("a_id") == F.col("probe_id"))
+        .join(b, F.col("b_id") == F.col("neighbor_id"))
         .select("probe_id", "neighbor_id", pair_sim.alias("cos_sim"))
         .withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= _TOPK)

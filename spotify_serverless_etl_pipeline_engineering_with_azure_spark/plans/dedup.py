@@ -37,6 +37,26 @@ from ..registry import register
 
 SIMHASH_BITS = 48
 
+# LSH bucket-width cap (both engines): a cluster of k near-identical
+# documents shares a (band, sig) bucket in EVERY band, and the in-bucket
+# pair expansion is k²/2 — at web scale, boilerplate duplicated 10⁵+
+# times would materialize >2³¹ pair structs in one flattened array row
+# (a hard JVM limit) and make k²-row stragglers below that. A bucket
+# wider than this cap carries no near-DUP signal the candidate pairs
+# need (its members are caught by dedup_exact / represented by any one
+# member); dropping it is the same DF-pruning argument as NGRAM_DF_CAP.
+MINHASH_BUCKET_CAP = 64
+
+# SimHash packed-popcount capacity: each 16-bit field carries a
+# popcount ≤ n_tokens; past ~2^15 tokens a skewed doc overflows int64
+# (loud under ANSI) or carries between fields while STAYING inside
+# int64 (silently wrong signature). Both engines emit NULL past this
+# bound, and the Spark side slices the token array to MAX+1 entries
+# BEFORE aggregation so the packed SUM itself can never overflow:
+# worst case (MAX+1)·(2⁴⁸+2³²+2¹⁶+1) ≈ 2^62 < 2^63. A real corpus
+# pre-chunks longer docs (books) before signature time.
+SIMHASH_MAX_TOKENS = 16383
+
 
 # ---------------------------------------------------------------------------
 # Shared shingling (3-token n-grams, distinct per doc — row-local distinct)
@@ -79,9 +99,11 @@ def _bucket_pairs(grouped: DataFrame) -> DataFrame:
     bucket self-join: the upstream signature pipeline is evaluated ONCE
     (a self-join re-evaluates it per side — Spark does not materialize
     shared subplans), and the only shuffle is the groupBy that built the
-    buckets. Pair expansion is row-local codegen'd array work; bucket
-    sizes are bounded by LSH banding design (a pathological hot bucket
-    would need salting — see join_salted for the pattern).
+    buckets. Pair expansion is row-local codegen'd array work; every
+    caller BOUNDS bucket width before expansion (MINHASH_BUCKET_CAP /
+    NGRAM_DF_CAP / prefix-rarity), so the flattened pair array per row
+    stays ≤ cap²/2 — unbounded widths would hit the JVM's 2³¹
+    array-element limit on boilerplate duplicated at web scale.
     """
     pairs = F.flatten(
         F.transform(
@@ -101,16 +123,32 @@ def _bucket_pairs(grouped: DataFrame) -> DataFrame:
 @register(
     "dedup_exact",
     oracle="""
-SELECT MD5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+SELECT MD5(text) AS text_md5, MD5(REVERSE(text)) AS text_md5_rev,
+       MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
 FROM documents
-GROUP BY MD5(text)
+GROUP BY MD5(text), MD5(REVERSE(text))
 """,
     tags=("dedup", "exact"),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact content dedup: hash-groupBy on md5(text), keep min doc_id."""
+    """Exact content dedup: hash-groupBy on the content identity, keep
+    min doc_id.
+
+    The identity is the PAIR (md5(text), md5(reverse(text))), not md5
+    alone: engineered MD5 collisions (distinct bytes, equal digest)
+    circulate in crawled corpora, and a single-hash groupBy would
+    silently merge two different documents — dropping one of them in
+    any keep-the-keeper consumer — with the oracle agreeing. The known
+    collision constructions are prefix/block-order specific, so the
+    reversed-content digest disagrees on them; an accidental SIMULTANEOUS
+    collision of both 128-bit digests has no known construction and
+    2^-256 birthday odds. Still one shuffle, map-side partial agg.
+    """
     docs = table(spark, sf_dir, "documents")
-    return docs.groupBy(F.md5("text").alias("text_md5")).agg(
+    return docs.groupBy(
+        F.md5("text").alias("text_md5"),
+        F.md5(F.reverse("text")).alias("text_md5_rev"),
+    ).agg(
         F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies")
     )
 
@@ -141,10 +179,18 @@ minhash AS (
 ),
 bands AS (
   {bands}
+),
+widths AS (
+  SELECT band, sig, COUNT(*) AS width FROM bands GROUP BY 1, 2
+),
+kept AS (
+  SELECT b.doc_id, b.band, b.sig FROM bands b
+  JOIN widths w ON b.band = w.band AND b.sig = w.sig
+  WHERE w.width <= {MINHASH_BUCKET_CAP}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+FROM kept a
+JOIN kept b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
 
@@ -212,7 +258,7 @@ def _minhash_buckets_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bands.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= MINHASH_BUCKET_CAP))
     )
 
 
@@ -241,13 +287,14 @@ def _simhash_oracle() -> str:
     tokhash = sql_md5_int48("t")
     return f"""
 SELECT doc_id,
+       CASE WHEN LEN(harr) > {SIMHASH_MAX_TOKENS} THEN NULL ELSE
        LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
          LIST_TRANSFORM(RANGE(0, {SIMHASH_BITS}), j ->
            CASE WHEN LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
                   LIST_TRANSFORM(harr, h -> ((h // (CAST(1 AS BIGINT) << j)) % 2) * 2 - 1)),
                   (s, v) -> s + v) > 0
                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
-         (a, b) -> a + b) AS simhash
+         (a, b) -> a + b) END AS simhash
 FROM (
   SELECT doc_id, LIST_TRANSFORM(STRING_SPLIT(text, ' '), t -> {tokhash}) AS harr
   FROM documents
@@ -278,7 +325,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     48-bit hash, matching the oracle's `(h // 2^j) % 2`.
     """
     docs = table(spark, sf_dir, "documents")
-    tok = scatter(docs).select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    # Slice to MAX+1 tokens BEFORE explode: bounds the packed SUM away
+    # from int64 overflow regardless of content, while the n-guard
+    # below still detects oversized docs (their sliced count is MAX+1).
+    toks_arr = F.slice(F.split("text", " "), 1, SIMHASH_MAX_TOKENS + 1)
+    tok = scatter(docs).select("doc_id", F.explode(toks_arr).alias("t"))
     hashed = tok.select("doc_id", md5_int48(F.col("t")).alias("h"))
     n_packs = SIMHASH_BITS // 4
     # The wide expressions are built as SQL strings (ONE py4j call per
@@ -305,7 +356,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
     sig = F.expr(" + ".join(bits))
-    return packed.select("doc_id", sig.alias("simhash"))
+    # Capacity guard, enforced not just documented: each packed 16-bit
+    # field holds a popcount ≤ n, so n > 32767 can overflow int64 on a
+    # skewed doc (loud under ANSI) — and n in (32768, 65535] can carry
+    # into the NEXT field while staying inside int64: a SILENTLY wrong
+    # signature. Docs past the bound get NULL on BOTH engines; a real
+    # corpus pre-chunks them (books) before signature time.
+    guarded = F.when(F.col("n") <= SIMHASH_MAX_TOKENS, sig)
+    return packed.select("doc_id", guarded.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -405,8 +463,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = _bucket_pairs(buckets).groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_common")
     )
-    sa = F.broadcast(sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sa_sz")))
-    sb = F.broadcast(sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("sb_sz")))
+    # sizes is one row per probe doc — linear in the corpus — so the
+    # attach joins are left to AQE (broadcast while small, shuffle at
+    # scale); a forced hint would die at the 8 GB broadcast bound.
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sa_sz"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("sb_sz"))
     jac = F.col("n_common").cast("double") / (
         F.col("sa_sz") + F.col("sb_sz") - F.col("n_common")
     )
@@ -470,19 +531,25 @@ def _semdedup_member_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cell_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-cell candidate pairs: (va, vb) with va < vb, same cell.
 
-    The shared candidate generator for exact-cosine work: cells
-    collected per cluster, in-cell pair expansion — cost O(Σ cell²),
-    never O(N²).
+    The shared candidate generator for exact-cosine work: an equi-join
+    of the CHECKPOINTED cell-assignment table with itself on cluster —
+    cost O(Σ cell²) pair ROWS, never O(N²) and never a giant array: a
+    collect_list-per-cell expansion (the _bucket_pairs shape) would
+    materialize one array of cell²/2 structs per cluster row, which
+    hits the JVM's 2³¹ array-element limit once a cell passes ~65k
+    members; the join streams the same pairs. The self-join costs two
+    reads of the checkpointed member frame, not two assignment scans
+    (that is why _semdedup_member is checkpointed). Cells stay ~N/K
+    wide by sizing K ~ sqrt(N) in production (SEMDEDUP_K=8 is the
+    deterministic test shape baked into the oracle); a hot cell takes
+    the join_salted treatment.
     """
-    cells = (
-        _semdedup_member(spark, sf_dir)
-        .groupBy("cluster")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    return _bucket_pairs(cells).select(
-        F.col("doc_a").alias("va"), F.col("doc_b").alias("vb")
-    )
+    member = _semdedup_member(spark, sf_dir)
+    a = member.select(F.col("cluster").alias("ca"), F.col("vec_id").alias("va"))
+    b = member.select(F.col("cluster").alias("cb"), F.col("vec_id").alias("vb"))
+    return a.join(
+        b, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb"))
+    ).select("va", "vb")
 
 
 def _member_cte() -> str:
@@ -931,7 +998,7 @@ def _pagerank_oracle() -> str:
         iters.append(f"""
 iter{k} AS (
   SELECT d.v,
-         {_PR_QUANT.format(x=f"(1 - {PR_DAMPING}) / n.cnt + {PR_DAMPING} * CAST(s.contrib AS DOUBLE)")} AS r
+         {_PR_QUANT.format(x=f"(CAST(1 AS DOUBLE) - CAST({PR_DAMPING} AS DOUBLE)) / CAST(n.cnt AS DOUBLE) + {PR_DAMPING} * CAST(s.contrib AS DOUBLE)")} AS r
   FROM (
     SELECT e.b AS v, SUM(CAST(ROUND(p.r / d2.deg, 9) AS DECIMAL(28,12))) AS contrib
     FROM edges e
@@ -994,7 +1061,13 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = deg.count()
     quant = lambda c: F.round(c, 6).cast("decimal(18,6)").cast("double")  # noqa: E731
     ranks = deg.select("v", quant(F.lit(1.0) / F.lit(float(n))).alias("r"))
-    base = (1 - PR_DAMPING) / float(n)
+    # Same IEEE op sequence as the oracle's (1.0 − 0.85)/n in DOUBLE:
+    # DuckDB's bare `1 - 0.85` is DECIMAL subtraction (0.1499999…944 as
+    # a double), Python's is double subtraction (0.1500000…002) — a
+    # ~1e-17 teleport drift that can flip a 6dp rounding boundary, so
+    # the oracle now casts to DOUBLE first and both engines compute the
+    # identical base.
+    base = (1.0 - PR_DAMPING) / float(n)
     for _ in range(PR_ITERS):
         contribs = (
             edges.join(ranks.withColumnRenamed("v", "rv"), F.col("rv") == F.col("a"))
@@ -1090,7 +1163,9 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_doc = Window.partitionBy("doc_id").orderBy("dfc", "sh")
     w_m = Window.partitionBy("doc_id")
     ordered = (
-        toks.join(F.broadcast(dfreq), "sh")
+        # dfreq is vocabulary-sized (grows with corpus tokens) — AQE
+        # picks the strategy; a forced broadcast dies past 8 GB.
+        toks.join(dfreq, "sh")
         .withColumn("i", F.row_number().over(w_doc))
         .withColumn("m", F.count(F.lit(1)).over(w_m))
     )

@@ -89,7 +89,11 @@ def streaming_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = static_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     ev = events_stream(spark, sf_dir)
     agg = (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        # customer grows with SF (catalog policy force-broadcasts only
+        # region/nation); un-hinted, the per-batch planner broadcasts
+        # while the dim fits and shuffle-joins beyond — a forced hint
+        # would kill the 24/7 stream once customer outgrows memory.
+        ev.join(cust, ev.user_id == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("sum_value"))
     )

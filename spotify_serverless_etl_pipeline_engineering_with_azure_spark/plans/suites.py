@@ -445,12 +445,25 @@ def digest_spark(df: DataFrame, qname: str) -> DataFrame:
     )
     row = F.concat_ws(_SEP, *[_canon_spark(c, kinds[c]) for c in cols])
     h = md5_int48(row) % MERSENNE31
+    # The per-row hashes (< 2^31) are summed in DECIMAL(38,0) and
+    # reduced mod M AFTER the aggregate: a plain long SUM overflows
+    # (loudly, ANSI) at ~4.3e9 member rows — row-per-token/row-per-pair
+    # members reach that inside the 100 TB envelope, and the
+    # certification mechanism must not be the first thing to die there.
+    wide = "decimal(38,0)"
     return (
         df.select(h.alias("h"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("h1"),
-            F.coalesce(F.sum((F.col("h") * 31 + 7) % MERSENNE31), F.lit(0))
+            (F.coalesce(F.sum(F.col("h").cast(wide)), F.lit(0)) % MERSENNE31)
+            .cast("long")
+            .alias("h1"),
+            (
+                F.coalesce(
+                    F.sum(((F.col("h") * 31 + 7) % MERSENNE31).cast(wide)), F.lit(0)
+                )
+                % MERSENNE31
+            )
             .cast("long")
             .alias("h2"),
         )
@@ -478,8 +491,10 @@ def digest_sql(qname: str, oracle: str) -> str:
     return f"""
 SELECT '{qname}' AS qname,
        COUNT(*) AS n_rows,
-       COALESCE(CAST(SUM(h) AS BIGINT), 0) AS h1,
-       COALESCE(CAST(SUM((h * 31 + 7) % {MERSENNE31}) AS BIGINT), 0) AS h2,
+       COALESCE(CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT)
+                     % {MERSENNE31} AS BIGINT), 0) AS h1,
+       COALESCE(CAST(CAST(SUM(CAST((h * 31 + 7) % {MERSENNE31} AS HUGEINT))
+                          AS HUGEINT) % {MERSENNE31} AS BIGINT), 0) AS h2,
        CAST({h3} AS BIGINT) AS h3
 FROM (
   SELECT {sql_md5_int48(row)} % {MERSENNE31} AS h

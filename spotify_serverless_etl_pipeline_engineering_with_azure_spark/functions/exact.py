@@ -31,10 +31,15 @@ Capacity, designed for 100 TB rather than the test SF:
   therefore stay below 10^15 < 2^53, so the row-level div/mod split is
   exact in double arithmetic.
 - each long partial bounds the GROUP size: |Σlo| < n·10^6 and
-  |Σhi| < n·10^9 overflow a long only past ~9·10^9 rows per group at
-  the 10^15-unit worst case (≥ 10^12 rows for realistic money
-  magnitudes) — above the row count of a 100 TB table, and ANSI SUM
-  overflow errors loudly if ever reached.
+  |Σhi| < n·10^9. At the 10^15-unit WORST CASE the hi partial
+  overflows past ~9·10^9 rows per group — which a global sum over a
+  100 TB fact table (~10^11–10^12 rows) DOES reach if row magnitudes
+  sit near the cap, so the honest contract is: realistic money
+  magnitudes (units ≤ 10^9, i.e. values ≤ 10^7 at scale 2) are safe to
+  ~10^13 rows per group; a table whose values genuinely approach
+  10^(15-s) needs either a coarser pre-aggregation level or the plain
+  decimal SUM for that column. ANSI makes the cliff a loud error,
+  never a silent wrap.
 - recombination is decimal(28,0) (< 10^28 units), then ONE exact
   decimal division by 10^scale (result scale ≥ scale+2, no rounding)
   and ONE cast to double — the same single rounding the oracle's

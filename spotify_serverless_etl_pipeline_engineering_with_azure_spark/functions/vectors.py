@@ -60,6 +60,12 @@ def cosine(a: Column, b: Column) -> Column:
 # carry no cosine structure): k=4 gives ~7% of the corpus per bucket;
 # two tables give recall@3≈0.3 vs brute-force top-5 at ~13% scan
 # fraction. More tables buy recall linearly in cost.
+# SIZING CONTRACT: bits-per-table must grow ~log2(corpus/target-bucket-
+# size) — a FIXED 4-bit space means 16 buckets per table holding ~n/16
+# of the corpus each, so candidate scans degrade to Θ(n) (a constant 8×
+# better than brute force) and the (t, bucket) join develops 16 giant
+# skew groups. These constants are the deterministic test shape baked
+# into the oracle; production re-derives them from corpus cardinality.
 LSH_TABLES = 2
 PLANES_PER_TABLE = 4
 
@@ -84,7 +90,11 @@ def lsh_bucket(emb: Column, table_idx: int = 0) -> Column:
 # --- DuckDB oracle fragments (identical fold order) ----------------------
 
 def sql_plane_literal(plane: list[float]) -> str:
-    return "[" + ", ".join(f"{w:.1f}" for w in plane) + "]"
+    # repr round-trip (the lit_vector discipline), NOT fixed-point
+    # formatting: '%.1f' silently truncates any learned/centroid plane
+    # weight (0.7071 -> 0.7), flipping near-hyperplane signs between
+    # engines. repr is exact for every double.
+    return "[" + ", ".join(repr(float(w)) for w in plane) + "]"
 
 
 def sql_lsh_bucket(emb_expr: str, table_idx: int = 0) -> str:

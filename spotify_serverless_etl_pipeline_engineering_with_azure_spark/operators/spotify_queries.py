@@ -218,7 +218,10 @@ def rest_datasource_playlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Only the already-registered case is benign; anything else
         # (pickling failure, missing DataSource API) would otherwise
         # resurface downstream as an unrelated "data source not found".
-        if "exist" not in str(e).lower():
+        # Match the specific message shape — a bare "exist" substring
+        # would also swallow unrelated "path does not exist" failures.
+        msg = str(e).lower()
+        if "already exist" not in msg and "already registered" not in msg:
             raise
     path = _ensure_ds_fixture()
     return spark.read.format("spotify_playlist").option("path", path).load()

@@ -38,13 +38,21 @@ from ..registry import register
 SIMHASH_BITS = 48
 
 # LSH bucket-width cap (both engines): a cluster of k near-identical
-# documents shares a (band, sig) bucket in EVERY band, and the in-bucket
-# pair expansion is k²/2 — at web scale, boilerplate duplicated 10⁵+
-# times would materialize >2³¹ pair structs in one flattened array row
-# (a hard JVM limit) and make k²-row stragglers below that. A bucket
-# wider than this cap carries no near-DUP signal the candidate pairs
-# need (its members are caught by dedup_exact / represented by any one
-# member); dropping it is the same DF-pruning argument as NGRAM_DF_CAP.
+# documents shares a (band, sig) bucket in EVERY band, and all-pairs
+# in-bucket expansion is k²/2 — at web scale, boilerplate duplicated
+# 10⁵+ times would materialize >2³¹ pair structs in one flattened array
+# row (a hard JVM limit) and make k²-row stragglers below that. A
+# bucket wider than the cap therefore emits a STAR CHAIN instead of
+# all-pairs: one (min_id, member) pair per other member — O(k) pairs
+# that still link every member to a single representative, so
+# connected-components merges the whole cluster and filtered-corpus
+# keeps exactly one copy (a cluster of >cap near-identical-but-not-
+# byte-identical docs — templated boilerplate differing by a token —
+# is NOT caught by dedup_exact, so silently dropping hot buckets would
+# keep every copy). Pairwise similarity detail inside a hot bucket is
+# deliberately not materialized (it is k²); the star pairs move the
+# capacity envelope back to O(k), the same order as the bucket's ids
+# array itself.
 MINHASH_BUCKET_CAP = 64
 
 # SimHash packed-popcount capacity: each 16-bit field carries a
@@ -100,10 +108,12 @@ def _bucket_pairs(grouped: DataFrame) -> DataFrame:
     (a self-join re-evaluates it per side — Spark does not materialize
     shared subplans), and the only shuffle is the groupBy that built the
     buckets. Pair expansion is row-local codegen'd array work; every
-    caller BOUNDS bucket width before expansion (MINHASH_BUCKET_CAP /
-    NGRAM_DF_CAP / prefix-rarity), so the flattened pair array per row
-    stays ≤ cap²/2 — unbounded widths would hit the JVM's 2³¹
-    array-element limit on boilerplate duplicated at web scale.
+    caller BOUNDS bucket width before expansion (the n-gram index
+    DF-prunes at NGRAM_DF_CAP; MinHash uses _capped_bucket_pairs, which
+    falls back to a star chain above MINHASH_BUCKET_CAP), so the
+    flattened pair array per row stays ≤ cap²/2 — unbounded widths
+    would hit the JVM's 2³¹ array-element limit on boilerplate
+    duplicated at web scale.
     """
     pairs = F.flatten(
         F.transform(
@@ -114,6 +124,37 @@ def _bucket_pairs(grouped: DataFrame) -> DataFrame:
             ),
         )
     )
+    return grouped.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b")
+
+
+def _capped_bucket_pairs(grouped: DataFrame) -> DataFrame:
+    """Width-aware in-bucket pair expansion for the MinHash index:
+    all-pairs for buckets ≤ MINHASH_BUCKET_CAP wide, a STAR CHAIN
+    (min_id paired with every other member) above it.
+
+    The CASE picks the expansion per bucket row lazily (codegen
+    evaluates only the taken branch), so a hot bucket never builds the
+    quadratic array: its star array is k−1 structs — the same O(k)
+    order as the ids array the groupBy already materialized — while
+    small buckets keep the full pairwise detail downstream similarity
+    scoring wants. ids is sorted ascending, so element_at(ids, 1) is
+    the representative min and doc_a < doc_b holds on both branches.
+    """
+    ids = F.col("ids")
+    full = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    star = F.transform(
+        F.slice(ids, 2, F.size(ids) - 1),
+        lambda y: F.struct(F.element_at(ids, 1).alias("doc_a"), y.alias("doc_b")),
+    )
+    pairs = F.when(F.size(ids) <= MINHASH_BUCKET_CAP, full).otherwise(star)
     return grouped.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b")
 
 
@@ -184,17 +225,27 @@ minhash AS (
 bands AS (
   {bands}
 ),
-widths AS (
-  SELECT band, sig, COUNT(*) AS width FROM bands GROUP BY 1, 2
+stats AS (
+  SELECT band, sig, COUNT(*) AS width, MIN(doc_id) AS mn
+  FROM bands GROUP BY 1, 2
 ),
 kept AS (
   SELECT b.doc_id, b.band, b.sig FROM bands b
-  JOIN widths w ON b.band = w.band AND b.sig = w.sig
+  JOIN stats w ON b.band = w.band AND b.sig = w.sig
   WHERE w.width <= {MINHASH_BUCKET_CAP}
+),
+raw_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a
+  JOIN kept b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT s.mn AS doc_a, b.doc_id AS doc_b
+  FROM bands b
+  JOIN stats s ON b.band = s.band AND b.sig = s.sig
+  WHERE s.width > {MINHASH_BUCKET_CAP} AND b.doc_id <> s.mn
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-FROM kept a
-JOIN kept b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+SELECT doc_a, doc_b, COUNT(*) AS n_shared_bands
+FROM raw_pairs
 GROUP BY 1, 2
 """
 
@@ -262,7 +313,7 @@ def _minhash_buckets_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bands.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= MINHASH_BUCKET_CAP))
+        .filter(F.size("ids") > 1)
     )
 
 
@@ -276,10 +327,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list bucketing evaluates the signature pipeline once (a
     bucket self-join would evaluate it per join side). The bucket table
     is a cached per-corpus index (_minhash_buckets); the query itself is
-    pair expansion + one bounded groupBy.
+    pair expansion + one bounded groupBy. Buckets wider than
+    MINHASH_BUCKET_CAP expand to a star chain instead of all-pairs
+    (_capped_bucket_pairs) — O(k) representative pairs that keep every
+    member of a hot boilerplate cluster linked for connected-components
+    without the k² blow-up.
     """
     buckets = _minhash_buckets(spark, sf_dir)
-    return _bucket_pairs(buckets).groupBy("doc_a", "doc_b").agg(
+    return _capped_bucket_pairs(buckets).groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_shared_bands")
     )
 
@@ -329,11 +384,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     48-bit hash, matching the oracle's `(h // 2^j) % 2`.
     """
     docs = table(spark, sf_dir, "documents")
-    # Slice to MAX+1 tokens BEFORE explode: bounds the packed SUM away
-    # from int64 overflow regardless of content, while the n-guard
-    # below still detects oversized docs (their sliced count is MAX+1).
-    toks_arr = F.slice(F.split("text", " "), 1, SIMHASH_MAX_TOKENS + 1)
-    tok = scatter(docs).select("doc_id", F.explode(toks_arr).alias("t"))
+    # Cap the aggregation's input at MAX+1 tokens per doc BEFORE any
+    # hashing: bounds the packed SUM away from int64 overflow regardless
+    # of content, while the n-guard below still detects oversized docs
+    # (their capped count is MAX+1). The cap is a position filter on
+    # posexplode output — not an array slice, which would materialize a
+    # second token array per doc (measured +20% on this, the slowest
+    # headline query); the generator emits rows straight into a codegen'd
+    # row filter and only surviving tokens reach md5.
+    tok = (
+        scatter(docs)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t"))
+        .filter(F.col("pos") <= SIMHASH_MAX_TOKENS)
+    )
     hashed = tok.select("doc_id", md5_int48(F.col("t")).alias("h"))
     n_packs = SIMHASH_BITS // 4
     # The wide expressions are built as SQL strings (ONE py4j call per
@@ -532,6 +595,11 @@ def _semdedup_member_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Salt fan-out for the within-cell self-join: one cell's pair
+# enumeration lands on CELL_PAIR_SALTS reduce tasks instead of one.
+CELL_PAIR_SALTS = 8
+
+
 def _cell_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-cell candidate pairs: (va, vb) with va < vb, same cell.
 
@@ -545,14 +613,32 @@ def _cell_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads of the checkpointed member frame, not two assignment scans
     (that is why _semdedup_member is checkpointed). Cells stay ~N/K
     wide by sizing K ~ sqrt(N) in production (SEMDEDUP_K=8 is the
-    deterministic test shape baked into the oracle); a hot cell takes
-    the join_salted treatment.
+    deterministic test shape baked into the oracle).
+
+    Hot cells get the join_salted treatment, implemented here: the left
+    side carries salt = vec_id % CELL_PAIR_SALTS, the right side
+    replicates ×CELL_PAIR_SALTS, and the join keys on (cluster, salt) —
+    every same-cell pair still appears exactly once (each left row owns
+    one salt; the right copy with the matching salt provides the pair),
+    but one skewed cell's pair enumeration now spreads across
+    CELL_PAIR_SALTS reduce tasks instead of serializing on one. The
+    replicated side is two longs per row, so the ×8 shuffle volume is
+    noise next to the pair stream it de-skews.
     """
     member = _semdedup_member(spark, sf_dir)
-    a = member.select(F.col("cluster").alias("ca"), F.col("vec_id").alias("va"))
-    b = member.select(F.col("cluster").alias("cb"), F.col("vec_id").alias("vb"))
+    a = member.select(
+        F.col("cluster").alias("ca"),
+        F.col("vec_id").alias("va"),
+        (F.col("vec_id") % CELL_PAIR_SALTS).cast("int").alias("sa"),
+    )
+    b = member.select(
+        F.col("cluster").alias("cb"), F.col("vec_id").alias("vb")
+    ).withColumn("sb", F.explode(F.array(*[F.lit(i) for i in range(CELL_PAIR_SALTS)])))
     return a.join(
-        b, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb"))
+        b,
+        (F.col("ca") == F.col("cb"))
+        & (F.col("sa") == F.col("sb"))
+        & (F.col("va") < F.col("vb")),
     ).select("va", "vb")
 
 
@@ -682,8 +768,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same broadcast-quantizer pattern as sim_ann_ivf), pair expansion is
     O(Σ cell²) instead of O(N²), bounded by choosing K ~ sqrt(N) so
     cells stay ~sqrt(N) wide; a hot cell takes the join_salted
-    treatment. One shuffle builds the cells, one joins embeddings onto
-    the (much smaller) candidate pair set.
+    treatment implemented in _cell_candidate_pairs. One shuffle builds
+    the cells, one joins embeddings onto the (much smaller) candidate
+    pair set.
 
     Output is the per-vector verdict a corpus pipeline consumes:
     (vec_id, cluster, max_sim_lower, keep) — every input row appears
@@ -816,35 +903,37 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs daily, where the corpus side's (band, sig) index is
     precomputed once and only the delta's signatures are fresh work.
 
-    Both sides come from the CACHED capped bucket index
-    (_minhash_buckets) — no signature recompute, and the
-    MINHASH_BUCKET_CAP applies identically to engine and oracle (the
-    oracle wraps the capped _minhash_oracle; an uncapped engine join
-    here would call a delta doc a duplicate through a hot bucket the
-    oracle dropped). Then an equi-join on (band, sig) finds
-    delta↔corpus collisions only: delta-internal duplicates are
-    deliberately out of scope (they are the ordinary batch-local
-    dedup). Every delta doc gets a verdict row (is_dup + lowest
-    matching corpus doc), ready to anti-join the delta before
-    appending.
+    The verdicts derive from the SAME capped candidate-pair stream as
+    dedup_minhash_lsh (star chains above MINHASH_BUCKET_CAP), built
+    from the cached bucket index — no signature recompute, and the
+    width semantics apply identically to engine and oracle (the oracle
+    wraps _minhash_oracle). A pair is a delta↔corpus hit when exactly
+    one side is a delta doc; delta-internal duplicates are deliberately
+    out of scope (they are the ordinary batch-local dedup). MIN over
+    the per-band pair stream equals MIN over distinct pairs, so the
+    dedup groupBy of the candidate query is skipped — one aggregation
+    keyed on delta_id. Every delta doc gets a verdict row (is_dup +
+    lowest matching corpus doc), ready to anti-join the delta before
+    appending. Star-chain caveat, shared with the candidate query: in
+    a hot bucket only the representative min participates in pairs, so
+    a delta doc inside one matches the bucket's min (or, if the min is
+    itself the delta doc, matches nothing in that bucket) rather than
+    every cellmate — the documented O(k) representation contract.
     """
     docs = table(spark, sf_dir, "documents")
-    member = _minhash_buckets(spark, sf_dir).select(
-        "band", "sig", F.explode("ids").alias("doc_id")
-    )
-    is_delta = F.col("doc_id") % 10 == 0
-    delta_b = member.filter(is_delta).select(
-        F.col("doc_id").alias("delta_id"), "band", "sig"
-    )
-    corpus_b = member.filter(~is_delta).select(
-        F.col("doc_id").alias("corpus_id"), "band", "sig"
-    )
+    pairs = _capped_bucket_pairs(_minhash_buckets(spark, sf_dir))
+    delta_a = F.col("doc_a") % 10 == 0
+    delta_b = F.col("doc_b") % 10 == 0
     best = (
-        delta_b.join(corpus_b, ["band", "sig"])
+        pairs.filter(delta_a != delta_b)
+        .select(
+            F.when(delta_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("delta_id"),
+            F.when(delta_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("corpus_id"),
+        )
         .groupBy("delta_id")
         .agg(F.min("corpus_id").alias("first_match"))
     )
-    delta_docs = docs.filter(is_delta).select("doc_id")
+    delta_docs = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
     return delta_docs.join(
         best, delta_docs.doc_id == best.delta_id, "left"
     ).select(
@@ -1162,10 +1251,15 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingle stream is lazily localCheckpoint'd: Spark does not
     share subplans, so its four consumers (df counts, the prefix
     window, both verification sides + sizes) would otherwise each
-    re-run the scatter+explode pipeline. Candidates come from
-    _bucket_pairs over per-shingle prefix buckets, not a prefix
-    self-join (which would evaluate the window pipeline once per join
-    side).
+    re-run the scatter+explode pipeline. Candidates STREAM from a
+    self-join of the (also checkpointed) prefix frame — not from a
+    collect_list bucket expansion: prefix buckets have no width cap
+    (capping would break the no-false-negatives guarantee), so an
+    array-expansion bucket of k members would materialize k²/2 structs
+    in one row and hit the JVM 2³¹-element limit on web-scale
+    boilerplate, while the join emits the same pairs as a stream; the
+    checkpoint keeps the window pipeline evaluated once despite the
+    two join sides.
     """
     docs = table(spark, sf_dir, "documents")
     toks = _shingles(docs).localCheckpoint(eager=False)

@@ -374,7 +374,7 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
              / n_total, 6) AS cum_share
 FROM top CROSS JOIN tot
-""".format(n=50000),
+""".format(n=VOCAB_CURVE_N),
     tags=("text", "vocab"),
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,7 +12,7 @@ import re
 
 import pytest
 
-from spotify_serverless_etl_pipeline_engineering_with_azure_spark import registry
+from spotify_serverless_etl_pipeline_engineering_with_azure_spark import catalog, registry
 from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans import (
     advanced_ops as _advanced_ops,
     dedup as _dedup,
@@ -232,6 +232,50 @@ def test_length_band_filter_never_shuffles_text(spark):
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols <= {"doc_id", "text"}, f"scan reads {cols}"
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# Rank-limit windows that are scale-safe ONLY because Spark ≥3.5 plans
+# a map-side WindowGroupLimit(Partial) BEFORE the exchange: each map
+# partition forwards at most k rows per group, so a per-probe/per-group
+# rank over a corpus-sized frame never funnels the whole frame through
+# the window's sort. A harmless-looking refactor (compute the rank,
+# project, filter later) silently loses the optimization — the query
+# stays correct and the plan becomes the single-task straggler this pin
+# exists to prevent.
+WINDOW_GROUP_LIMIT_QUERIES = (
+    "sim_cosine_topk_bruteforce",
+    "sim_ann_lsh_bucketed",
+    "sim_ann_ivf",
+    "window_rank_topn",
+    "text_tfidf_top_terms",
+)
+
+
+@pytest.mark.parametrize("name", WINDOW_GROUP_LIMIT_QUERIES)
+def test_rank_limit_window_keeps_partial_group_limit(spark, name):
+    df = registry.queries()[name](spark, SF_SMOKE)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert re.search(r"WindowGroupLimit .*, Partial", plan), (
+        f"{name}: no map-side WindowGroupLimit(Partial) — the rank filter "
+        f"no longer bounds rows before the exchange:\n{plan}"
+    )
+    assert re.search(r"WindowGroupLimit .*, Final", plan), plan
+
+
+def test_scatter_passes_wide_frames_through(spark):
+    """scatter() is a SMALL-INPUT parallelism repair: a frame already at
+    (or beyond) cluster width must pass through untouched — at 100 TB
+    an unconditional repartition would be a gratuitous O(data) shuffle
+    of inputs that already span many splits."""
+    parallelism = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000).repartition(parallelism + 8)
+    assert catalog.scatter(wide) is wide, "wide frame must not re-shuffle"
+    narrow = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert narrow.rdd.getNumPartitions() < parallelism, "fixture not narrow"
+    scattered = catalog.scatter(narrow)
+    assert scattered is not narrow
+    assert scattered.rdd.getNumPartitions() == parallelism
 
 
 # Shuffle budget per headline bench query: exact (shuffle, broadcast)

@@ -577,25 +577,62 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Sketch aggregates (approximate — rows-only check, by design)
 # ---------------------------------------------------------------------------
-@register("agg_approx_sketches", tags=("agg", "approx", "sketch"))
+@register(
+    "agg_approx_sketches",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS cd_within_bounds,
+       TRUE AS pct_within_bounds
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg", "approx", "sketch"),
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approx_count_distinct and approx_percentile per segment.
+    """HLL++ approx_count_distinct and approx_percentile per segment —
+    SELF-VALIDATED against exact aggregates computed in the same pass.
 
-    Deliberately registered WITHOUT an oracle: sketch outputs are
-    engine-specific (Spark's HLL++ vs DuckDB's approx algorithms
-    legitimately disagree), so the driver records the weaker rows-only
-    check. At 100 TB these replace exact COUNT(DISTINCT)'s full shuffle
-    of every key with fixed-size mergeable sketches.
+    Raw sketch outputs are engine-specific (Spark's HLL++ vs DuckDB's
+    approx algorithms legitimately disagree), so the sketch values
+    themselves cannot be hash-compared. Instead the query emits the
+    published-error-bound verdicts as booleans, which ARE deterministic
+    and oracle-checkable (TRUE on the oracle side):
+
+    - cd_within_bounds: |HLL++(rsd=0.01) − exact| ≤ 5% of exact — 5
+      standard errors of the configured rsd; HLL++ is deterministic
+      per dataset (hash-based, no RNG), so the verdict is stable.
+    - pct_within_bounds: approx_percentile(0.5, accuracy=10000) lands
+      between the EXACT discrete 45th and 55th percentiles — the
+      sketch's rank-error guarantee is n/10000 ranks (≪ the 5%-rank
+      margin at any n; at n < accuracy the sketch is exact).
+
+    At 100 TB the sketches replace exact COUNT(DISTINCT)'s full shuffle
+    of every key with fixed-size mergeable sketches; the exact twins
+    here are the self-check (and stay cheap: one Expand-based distinct
+    aggregation over the same single scan).
     """
     orders = table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
-            F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_price"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-        .orderBy("o_orderpriority")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("acd"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("amed"),
+        F.count_distinct(F.col("o_custkey")).alias("exact_customers"),
+        F.expr("percentile_disc(0.45) WITHIN GROUP (ORDER BY o_totalprice)").alias("p_lo"),
+        F.expr("percentile_disc(0.55) WITHIN GROUP (ORDER BY o_totalprice)").alias("p_hi"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    cd_ok = (
+        F.abs(F.col("acd") - F.col("exact_customers"))
+        <= 0.05 * F.col("exact_customers")
+    )
+    pct_ok = (F.col("amed") >= F.col("p_lo")) & (F.col("amed") <= F.col("p_hi"))
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "exact_customers",
+        cd_ok.alias("cd_within_bounds"),
+        pct_ok.alias("pct_within_bounds"),
     )
 
 

@@ -1,8 +1,10 @@
 """Deterministic sketch operators with exact cross-engine oracles.
 
 ``agg_approx_sketches`` (plans/advanced_ops.py) exercises Spark's
-built-in HLL++/KLL sketches, which are engine-specific and therefore
-rows-only checked. The operators here rebuild the two classic sketches
+built-in HLL++/KLL sketches, which are engine-specific — their raw
+outputs cannot be hash-compared, so that query self-validates them
+against exact same-pass aggregates and exposes oracle-checkable
+error-bound booleans. The operators here rebuild the two classic sketches
 from deterministic md5-derived hashes (functions/hashing.py) so the
 IDENTICAL construction runs in the DuckDB oracle and the driver gets a
 full hash-match row — the sketch math itself becomes verifiable, not

@@ -115,16 +115,25 @@ def _bucket_pairs(grouped: DataFrame) -> DataFrame:
     would hit the JVM's 2³¹ array-element limit on boilerplate
     duplicated at web scale.
     """
-    pairs = F.flatten(
+    return grouped.select(F.explode(_all_pairs_expr(F.col("ids"))).alias("p")).select(
+        "p.doc_a", "p.doc_b"
+    )
+
+
+def _all_pairs_expr(ids: Column) -> Column:
+    """Row-local (doc_a < doc_b) pair-struct array over an
+    ascending-sorted id array — THE all-pairs expansion, shared by
+    _bucket_pairs and _capped_bucket_pairs so the slice arithmetic and
+    struct field order exist exactly once."""
+    return F.flatten(
         F.transform(
-            F.col("ids"),
+            ids,
             lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                F.slice(ids, i + 2, F.size(ids)),
                 lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
             ),
         )
     )
-    return grouped.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b")
 
 
 def _capped_bucket_pairs(grouped: DataFrame) -> DataFrame:
@@ -141,15 +150,7 @@ def _capped_bucket_pairs(grouped: DataFrame) -> DataFrame:
     the representative min and doc_a < doc_b holds on both branches.
     """
     ids = F.col("ids")
-    full = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    full = _all_pairs_expr(ids)
     star = F.transform(
         F.slice(ids, 2, F.size(ids) - 1),
         lambda y: F.struct(F.element_at(ids, 1).alias("doc_a"), y.alias("doc_b")),
@@ -201,7 +202,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
-def _minhash_oracle() -> str:
+def _minhash_bands_cte() -> str:
+    """The shared DuckDB CTE chain ending in ``bands`` (doc_id, band,
+    sig) — the oracle mirror of _band_signatures, reused by every
+    MinHash-family oracle so the signature pipeline exists once."""
     mins = ",\n         ".join(
         f"MIN(({a} * x + {b}) % {MERSENNE31}) AS mh_{j}"
         for j, (a, b) in enumerate(MINHASH_PARAMS)
@@ -212,8 +216,7 @@ def _minhash_oracle() -> str:
         sig = " || ',' || ".join(f"CAST(mh_{j} AS VARCHAR)" for j in cols)
         band_selects.append(f"SELECT doc_id, {k} AS band, {sig} AS sig FROM minhash")
     bands = "\n  UNION ALL ".join(band_selects)
-    return f"""
-WITH shingles AS ({_SQL_SHINGLES.format(where="")}),
+    return f"""shingles AS ({_SQL_SHINGLES.format(where="")}),
 hashed AS (
   SELECT doc_id, {sql_md5_int48("sh")} % {MERSENNE31} AS x FROM shingles
 ),
@@ -224,7 +227,12 @@ minhash AS (
 ),
 bands AS (
   {bands}
-),
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_bands_cte()},
 stats AS (
   SELECT band, sig, COUNT(*) AS width, MIN(doc_id) AS mn
   FROM bands GROUP BY 1, 2
@@ -877,11 +885,15 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _incremental_oracle() -> str:
     return f"""
-WITH pairs AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()})),
+WITH {_minhash_bands_cte()},
+corpus_min AS (
+  SELECT band, sig, MIN(doc_id) AS corpus_id
+  FROM bands WHERE doc_id % 10 <> 0 GROUP BY 1, 2
+),
 hits AS (
-  SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS delta_id,
-         CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_id
-  FROM pairs WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+  SELECT d.doc_id AS delta_id, c.corpus_id
+  FROM bands d JOIN corpus_min c ON d.band = c.band AND d.sig = c.sig
+  WHERE d.doc_id % 10 = 0
 ),
 best AS (SELECT delta_id, MIN(corpus_id) AS first_match FROM hits GROUP BY delta_id)
 SELECT d.doc_id, COALESCE(b.first_match, CAST(-1 AS BIGINT)) AS first_match,
@@ -903,33 +915,34 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs daily, where the corpus side's (band, sig) index is
     precomputed once and only the delta's signatures are fresh work.
 
-    The verdicts derive from the SAME capped candidate-pair stream as
-    dedup_minhash_lsh (star chains above MINHASH_BUCKET_CAP), built
-    from the cached bucket index — no signature recompute, and the
-    width semantics apply identically to engine and oracle (the oracle
-    wraps _minhash_oracle). A pair is a delta↔corpus hit when exactly
-    one side is a delta doc; delta-internal duplicates are deliberately
-    out of scope (they are the ordinary batch-local dedup). MIN over
-    the per-band pair stream equals MIN over distinct pairs, so the
-    dedup groupBy of the candidate query is skipped — one aggregation
-    keyed on delta_id. Every delta doc gets a verdict row (is_dup +
+    The rule is uniform per bucket and deliberately NOT derived from
+    the candidate-pair stream: a delta doc is a duplicate iff it shares
+    a bucket with ≥1 corpus doc, and its per-bucket match is that
+    bucket's MIN CORPUS member (array_min over a row-local filter of
+    the cached index's sorted ids). For ≤cap buckets this is exactly
+    what the all-pairs semantics would report (the minimum of a delta
+    doc's corpus pair-partners in a bucket IS the bucket's corpus min);
+    for hot buckets it is strictly better — the star chain links
+    members through the bucket's global min, so a pair-derived verdict
+    would silently report is_dup=false for every delta doc in a hot
+    bucket whose min id happens to be a delta doc itself, appending
+    known boilerplate duplicates. The bucket rule costs O(k) per bucket
+    (no pair expansion at all: one row-local filter + explode of the
+    delta members), one aggregation keyed on delta_id. Delta-internal
+    duplicates are deliberately out of scope (they are the ordinary
+    batch-local dedup). Every delta doc gets a verdict row (is_dup +
     lowest matching corpus doc), ready to anti-join the delta before
-    appending. Star-chain caveat, shared with the candidate query: in
-    a hot bucket only the representative min participates in pairs, so
-    a delta doc inside one matches the bucket's min (or, if the min is
-    itself the delta doc, matches nothing in that bucket) rather than
-    every cellmate — the documented O(k) representation contract.
+    appending.
     """
     docs = table(spark, sf_dir, "documents")
-    pairs = _capped_bucket_pairs(_minhash_buckets(spark, sf_dir))
-    delta_a = F.col("doc_a") % 10 == 0
-    delta_b = F.col("doc_b") % 10 == 0
+    buckets = _minhash_buckets(spark, sf_dir)
+    corpus_min = F.array_min(F.filter(F.col("ids"), lambda x: x % 10 != 0))
+    delta_members = F.filter(F.col("ids"), lambda x: x % 10 == 0)
     best = (
-        pairs.filter(delta_a != delta_b)
-        .select(
-            F.when(delta_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("delta_id"),
-            F.when(delta_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("corpus_id"),
+        buckets.select(
+            corpus_min.alias("corpus_id"), F.explode(delta_members).alias("delta_id")
         )
+        .filter(F.col("corpus_id").isNotNull())
         .groupBy("delta_id")
         .agg(F.min("corpus_id").alias("first_match"))
     )

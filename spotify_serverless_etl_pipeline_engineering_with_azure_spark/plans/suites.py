@@ -116,6 +116,7 @@ MEMBER_KINDS: dict[str, dict[str, str]] = {
     "agg_statistical_moments": {"c_mktsegment": "v", "std_bal": "d", "var_bal": "d", "corr_bal_key": "d", "covar_bal_nation": "d"},
     "agg_min_max_by": {"c_nationkey": "v", "richest_customer": "v", "poorest_customer": "v", "max_bal": "d"},
     "agg_string_concat": {"c_nationkey": "v", "segments": "v", "n_segments": "v"},
+    "agg_approx_sketches": {"o_orderpriority": "v", "n_orders": "v", "exact_customers": "v", "cd_within_bounds": "v", "pct_within_bounds": "v"},
     "window_rank_topn": {"c_nationkey": "v", "c_custkey": "v", "c_acctbal": "d", "rnk": "v", "drnk": "v", "rn": "v"},
     "window_running_lag": {"o_custkey": "v", "o_orderkey": "v", "running_spend": "d", "prev_price": "d", "days_since_prev": "v"},
     "window_frames": {"c_nationkey": "v", "c_custkey": "v", "c_acctbal": "d", "peers_within_100": "v", "richest_key": "v", "poorest_key": "v", "quartile": "v", "pct_rank": "d", "cume": "d"},
@@ -255,7 +256,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "agg_percentiles", "agg_statistical_moments", "agg_min_max_by",
         "agg_string_concat", "sketch_hll_distinct",
         "sketch_countmin_heavy_hitters", "agg_histogram",
-        "sketch_hll_merge",
+        "sketch_hll_merge", "agg_approx_sketches",
     ),
     # Ranking, offset, and frame-based window functions.
     "window_suite": (

@@ -138,6 +138,25 @@ def test_minhash_hot_bucket_filtered_corpus_keeps_one_copy(spark, hot_bucket_dir
     assert row.n_kept == 5
 
 
+def test_incremental_delta_flags_hot_bucket_dups(spark, hot_bucket_dir):
+    """The hot cluster's min id (100) IS a delta doc (% 10 == 0) — the
+    exact shape where a star-chain-pair-derived verdict silently
+    reports is_dup=false for every other delta doc in the bucket.
+    The per-bucket min-corpus rule must flag them all against the
+    bucket's lowest corpus member (101)."""
+    pdf = _parity(spark, hot_bucket_dir, "dedup_incremental_delta")
+    verdicts = {int(r.doc_id): (bool(r.is_dup), int(r.first_match)) for r in pdf.itertuples()}
+    hot_delta = [i for i in HOT_CLUSTER_IDS if i % 10 == 0]
+    assert hot_delta and min(HOT_CLUSTER_IDS) in hot_delta, "fixture drifted"
+    for d in hot_delta:
+        assert verdicts[d] == (True, 101), (
+            f"delta doc {d} in the hot bucket must match corpus min 101, "
+            f"got {verdicts[d]}"
+        )
+    assert verdicts[10] == (True, 11)  # plain width-2 bucket still works
+    assert verdicts[0] == (False, -1)  # unique delta doc stays clean
+
+
 # ---------------------------------------------------------------------------
 # (b) SimHash token-capacity guard: NULL above SIMHASH_MAX_TOKENS
 # ---------------------------------------------------------------------------

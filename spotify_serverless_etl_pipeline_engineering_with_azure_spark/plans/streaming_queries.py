@@ -38,9 +38,18 @@ GROUP BY 1, 2
 )
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 generalized: watermarked tumbling-window counts, executed as a
-    real streaming query (file source → availableNow → memory sink)."""
+    real streaming query (file source → availableNow → memory sink).
+
+    UPDATE output mode, not complete: complete mode disables
+    watermark-based state eviction by definition (every window ever
+    seen is retained and re-emitted each trigger — state and output
+    grow linearly with stream lifetime on a 24/7 run). In update mode
+    the watermark actually evicts closed windows. Over the bounded
+    single-micro-batch drain the two modes emit identical rows, so the
+    oracle equality is unchanged — the mode choice is the honest
+    production posture, not a result change."""
     name = _sink_name("stream_win")
-    run_to_memory(windowed_counts(events_stream(spark, sf_dir)), name, output_mode="complete")
+    run_to_memory(windowed_counts(events_stream(spark, sf_dir)), name, output_mode="update")
     return spark.table(name)
 
 
@@ -54,16 +63,49 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Only the key columns are emitted (which physical row survives is
     engine-internal), so the result set equals DISTINCT keys.
+
+    The deduped stream drains through foreachBatch into per-batch
+    parquet (executor-side writes), NOT a memory sink: unlike the
+    aggregate-shaped siblings whose sinks hold bounded group
+    cardinalities, this output is distinct-KEY-sized — at ~10⁹ users a
+    memory sink would materialize billions of rows in driver JVM
+    memory during the drain. The distributed sink is the production
+    shape (dedup feeds a table, not the driver); reading the landed
+    files back is the test harness's comparison path.
     """
-    name = _sink_name("stream_dedup")
+    import hashlib
+    import shutil
+    import uuid as _uuid
+
+    out = f"/tmp/sse_sdw_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(out, ignore_errors=True)
     deduped = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "24 hours")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    run_to_memory(deduped, name, output_mode="append")
-    return spark.table(name)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    with narrow_state_partitions(spark):
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{out}_ckpt_{_uuid.uuid4().hex[:8]}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("dedup stream did not drain")
+    return (
+        spark.read.option("basePath", out)
+        .parquet(f"{out}/batch_id=*")
+        .select("user_id", "event_type")
+    )
 
 
 @register(
@@ -119,9 +161,23 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry watermarks and the join condition bounds event time, so the
     join state is evictable — the only formulation that survives an
     unbounded stream. The bounded test stream drains in one micro-batch,
-    making the append-mode output equal to the batch interval join; the
-    per-user attribution count is aggregated from the sink."""
-    name = _sink_name("stream_ssj")
+    making the append-mode output equal to the batch interval join.
+
+    The per-user counts are PARTIALLY AGGREGATED INSIDE foreachBatch
+    and landed as per-batch parquet, then summed across batches — the
+    incremental-ETL shape. The earlier revision sank the raw join
+    output to a memory sink and aggregated afterwards: at production
+    volume the interval join emits O(events) attribution pairs, and a
+    memory sink materializes every one of them in driver JVM memory —
+    the one data-sized intermediate in this module. Append-mode
+    emits each joined row exactly once, so summing the per-batch
+    counts is exact across any batch split."""
+    import hashlib
+    import shutil
+    import uuid as _uuid
+
+    out = f"/tmp/sse_ssj_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(out, ignore_errors=True)
     purchases = (
         events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -148,11 +204,32 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts")),
     )
-    run_to_memory(joined, name, output_mode="append")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("p_user")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch_id={batch_id}")
+        )
+
+    with narrow_state_partitions(spark):
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{out}_ckpt_{_uuid.uuid4().hex[:8]}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("stream-stream join did not drain")
     return (
-        spark.table(name)
+        spark.read.option("basePath", out)
+        .parquet(f"{out}/batch_id=*")
         .groupBy(F.col("p_user").alias("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .agg(F.sum("n").alias("n_attributed"))
     )
 
 
@@ -177,7 +254,10 @@ GROUP BY window_start
 )
 def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (1h length, 30m slide): each event lands in two
-    overlapping windows."""
+    overlapping windows. Update mode so the watermark actually evicts
+    closed windows (complete mode retains and re-emits every window
+    ever seen — unbounded on a 24/7 stream); identical rows over the
+    bounded single-batch drain (see streaming_tumbling_window)."""
     name = _sink_name("stream_slide")
     ev = events_stream(spark, sf_dir)
     from ..functions.exact import dsum
@@ -188,7 +268,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="update")
     return spark.table(name)
 
 
@@ -402,11 +482,19 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-min-gap sessions whose state merges windows as events arrive —
     the canonical sessionization a clickstream pipeline runs 24/7.
 
-    Executed file-source → availableNow → memory sink in complete mode
-    (one micro-batch over the bounded table: nothing is late, so the
-    result equals the batch session_window / gaps-and-islands oracle).
-    At scale, session state is per-user MapState merged by the dedicated
-    SessionWindowStateStore path; the watermark bounds state retention.
+    Executed file-source → availableNow → memory sink in COMPLETE mode,
+    and complete mode is a TEST-DRAIN compromise, stated honestly:
+    Spark rejects update mode for session-window aggregations
+    (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION), and append mode
+    withholds every session whose end lies inside the watermark delay —
+    on the bounded fixture that silently drops the trailing 24 h of
+    sessions (measured: 906 of 946), so the oracle equality would be
+    vacuously broken. In complete mode watermark eviction is disabled
+    by definition, so this exact shape must NOT run 24/7: a production
+    sessionization runs append mode (each session emitted exactly once
+    after its close passes the watermark; state evicted with it) and
+    accepts that in-flight sessions are not yet visible. The one-batch
+    drain here emits everything because nothing is late.
     """
     name = _sink_name("stream_sess")
     ev = events_stream(spark, sf_dir).withWatermark("ts", "24 hours")

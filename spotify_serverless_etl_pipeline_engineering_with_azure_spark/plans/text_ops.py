@@ -13,17 +13,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import scatter, table
+from ..functions.hashing import md5_int48, sql_md5_int48
 from ..registry import register
 
-FP_PRIME = 1000000007
-# Second independent rolling-hash modulus/base: the fingerprint packs
-# TWO 30-bit folds into one ~61-bit value. A single 30-bit hash space
-# collides at birthday scale (~38k docs for a 50% first-collision) —
-# useless as a corpus-scale identity; two independent folds push the
-# 50% bound past 10^9 documents while every intermediate stays exact
-# in int64 on both engines.
-FP_PRIME2 = 999999937
-FP_PACK = 2147483648  # 2^31 — h1·FP_PACK + h2 < 2^62
+# Rolling-hash (base, modulus) pairs for the document fingerprint:
+# FOUR independent polynomial folds over md5-derived token values,
+# concatenated into a ~120-bit identity. Width is sized for the
+# 100 TB posture, not the test corpus: a single 30-bit fold collides
+# at ~38k docs (50% birthday bound), a packed 61-bit pair at ~2·10⁹ —
+# both inside a 10¹¹–10¹²-document production corpus, where the
+# expected silent-collision count for 61 bits is n²/2N ≈ 10³–10⁵.
+# Four 30-bit folds give 2¹²⁰ states: ≈ 4·10⁻¹⁵ expected collisions at
+# 10¹¹ docs. All moduli are primes < 2³⁰ so every intermediate
+# (acc·43 + md5₄₈ < 2⁴⁹) stays exact in int64 on both engines.
+FP_FOLDS = ((31, 1073741789), (37, 1073741783), (41, 1073741741), (43, 1073741723))
 
 # Coverage-curve cap: the curve is computed over the top-N vocabulary
 # entries (distributed top-k), bounding the single-partition ranking
@@ -185,46 +188,67 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_fingerprint",
-    oracle=f"""
+def _fingerprint_oracle() -> str:
+    folds = "\n       || ".join(
+        f"LPAD(CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), hv), "
+        f"(acc, v) -> (acc * {b} + v) % {p}) AS VARCHAR), 10, '0')"
+        for b, p in FP_FOLDS
+    )
+    return f"""
 SELECT doc_id,
-       LIST_REDUCE(
-         LIST_PREPEND(CAST(0 AS BIGINT),
-           LIST_TRANSFORM(STRING_SPLIT(text, ' '),
-                          x -> CAST(ASCII(x) + 7 * LENGTH(x) AS BIGINT))),
-         (acc, v) -> (acc * 31 + v) % {FP_PRIME}) * {FP_PACK}
-       + LIST_REDUCE(
-         LIST_PREPEND(CAST(0 AS BIGINT),
-           LIST_TRANSFORM(STRING_SPLIT(text, ' '),
-                          x -> CAST(ASCII(x) + 7 * LENGTH(x) AS BIGINT))),
-         (acc, v) -> (acc * 37 + v) % {FP_PRIME2}) AS fingerprint
-FROM documents
-""",
-    tags=("text", "fingerprint"),
+       {folds} AS fingerprint
+FROM (
+  SELECT doc_id,
+         LIST_TRANSFORM(STRING_SPLIT(text, ' '), x -> {sql_md5_int48("x")}) AS hv
+  FROM documents
 )
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash document fingerprint, ~61 bits.
+"""
 
-    TWO independent polynomial rolling hashes over the token stream
-    (bases 31/37, distinct 30-bit primes), packed h1·2³¹ + h2: a single
-    30-bit fold collides at birthday scale (~38k docs), far too narrow
-    for a corpus-scale identity column. Every intermediate stays
-    < 2^36 and the packed value < 2^62 — exact in int64 on both
-    engines. One array pass computes both folds via a struct
-    accumulator (the oracle's two LIST_REDUCEs are the same numbers).
+
+@register("text_fingerprint", oracle=_fingerprint_oracle(), tags=("text", "fingerprint"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint, ~120 bits.
+
+    FOUR independent polynomial rolling hashes (FP_FOLDS) over
+    md5-derived 48-bit token values, concatenated as fixed-width
+    decimal into one 40-char identity string. Two deliberate choices,
+    both sized for a 10¹¹–10¹²-document corpus rather than the test SF:
+
+    - Token values are md5 folds, not a cheap surrogate: an earlier
+      ascii(first)+7·length revision made same-first-char/same-length
+      tokens ("car"/"cat") indistinguishable, so real-text collisions
+      were SYSTEMATIC — the iid birthday analysis did not apply, and
+      the oracle agreed because both engines shared the expression.
+    - Four 30-bit folds (~2¹²⁰ states), not a 61-bit pack: 61 bits has
+      a 50% first-collision at ~2·10⁹ docs and ~10³–10⁵ expected
+      silent collisions at production corpus sizes; at 2¹²⁰ the
+      expectation is ~4·10⁻¹⁵ at 10¹¹ docs.
+
+    The md5 runs ONCE per token (array pre-transform); the four folds
+    consume the hashed longs in one struct-accumulator pass. Every
+    intermediate stays < 2⁴⁹ (acc·43 + 2⁴⁸) — exact in int64 on both
+    engines. Still map-side only: zero shuffles.
     """
     docs = table(spark, sf_dir, "documents")
+    hv = F.transform(_tokens(), lambda t: md5_int48(t))
+    init = F.struct(
+        *[F.lit(0).cast("long").alias(f"h{i}") for i in range(len(FP_FOLDS))]
+    )
     fp = F.aggregate(
-        _tokens(),
-        F.struct(
-            F.lit(0).cast("long").alias("h1"), F.lit(0).cast("long").alias("h2")
+        hv,
+        init,
+        lambda acc, v: F.struct(
+            *[
+                ((acc.getField(f"h{i}") * b + v) % p).alias(f"h{i}")
+                for i, (b, p) in enumerate(FP_FOLDS)
+            ]
         ),
-        lambda acc, x: F.struct(
-            ((acc.h1 * 31 + F.ascii(x) + F.length(x) * 7) % FP_PRIME).alias("h1"),
-            ((acc.h2 * 37 + F.ascii(x) + F.length(x) * 7) % FP_PRIME2).alias("h2"),
+        lambda acc: F.concat(
+            *[
+                F.lpad(acc.getField(f"h{i}").cast("string"), 10, "0")
+                for i in range(len(FP_FOLDS))
+            ]
         ),
-        lambda acc: acc.h1 * FP_PACK + acc.h2,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
 

@@ -343,9 +343,57 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_rfm_segmentation",
-    oracle="""
+def _distributed_ntile(
+    df: DataFrame, order_cols: list, n_tiles: int, score_name: str
+) -> DataFrame:
+    """Exact NTILE over a total order WITHOUT a single-task global
+    window — the two-phase distributed ranking (TeraSort shape):
+    range-partition on the order columns, per-partition row_number,
+    then add each partition's cumulative offset and map the global
+    rank to its NTILE bucket with the exact quota formula (first
+    n mod t tiles get ⌈n/t⌉ rows, the rest ⌊n/t⌋ — bit-identical to
+    the window function's assignment for a TOTAL order).
+
+    The range-partitioned frame is eagerly localCheckpoint'd before
+    anything reads it: the partition-size offsets must describe the
+    SAME physical partitioning the row_number window later sees, and
+    repartitionByRange re-samples its boundaries per execution — an
+    unmaterialized frame could split differently between the offsets
+    job and the final query, silently corrupting ranks. The collected
+    per-partition sizes are bounded by the shuffle-partition count,
+    never by data.
+    """
+    keyed = df.repartitionByRange(*order_cols).localCheckpoint(eager=True)
+    pid = keyed.withColumn("_pid", F.spark_partition_id())
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(sizes.values())
+    offsets, acc = {}, 0
+    for p in sorted(sizes):
+        offsets[p] = acc
+        acc += sizes[p]
+    off_map = F.create_map(
+        *[x for p in sorted(offsets) for x in (F.lit(p), F.lit(offsets[p]))]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    rank = (F.row_number().over(w) + off_map[F.col("_pid")]).cast("long")
+    ranked = pid.withColumn("_rn_global", rank)
+    q, r = divmod(n, n_tiles)
+    if q == 0:
+        tile_col = F.col("_rn_global")  # n < n_tiles: tile i = row i
+    else:
+        b = (q + 1) * r  # rows covered by the ⌈n/t⌉-sized leading tiles
+        # exact integer ceilings: ceil(a/d) = (a + d - 1) div d
+        tile_col = F.expr(
+            f"CASE WHEN _rn_global <= {b} THEN (_rn_global + {q}) DIV {q + 1} "
+            f"ELSE {r} + (_rn_global - {b} + {q - 1}) DIV {q} END"
+        )
+    return ranked.select("user_id", tile_col.cast("int").alias(score_name))
+
+
+_RFM_ORACLE = """
 WITH anchor AS (SELECT CAST(MAX(ts) AS DATE) AS anchor_day FROM events),
 purchases AS (
   SELECT user_id,
@@ -360,7 +408,12 @@ SELECT user_id, recency_days, frequency, monetary,
        NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
        NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
 FROM purchases
-""",
+"""
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle=_RFM_ORACLE,
     tags=("behavior", "rfm", "segmentation"),
 )
 def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,14 +422,17 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-user purchase stats reduce in ONE keyed aggregation (recency
     anchored to the corpus max-ts day so results are data-deterministic,
-    monetary as an exact decimal sum); the three NTILE(4) scores rank
-    the small per-user frame with user_id tie-breaks, making bucket
-    assignment a total order — identical in both engines. The NTILE
-    windows are unpartitioned by definition (global quartiles): at
-    100 TB the per-user aggregate this ranks is ~users-sized, and a
-    production variant would rank via percentile cutoffs (two passes)
-    instead of a single sort; the semantics pinned here are the
-    quartile contract itself.
+    monetary as an exact decimal sum). The three quartile scores are
+    exact global NTILE(4) ranks with user_id tie-breaks (a total order,
+    identical in both engines) — but NOT computed with unpartitioned
+    window sorts: the per-user frame this ranks grows with users
+    (~10⁹–10¹⁰ at the 100 TB posture), and a global window funnels it
+    through one task three times. Each score instead uses
+    _distributed_ntile: range-partition on the order key (parallel
+    sort), per-partition row_number plus cumulative partition offsets
+    (collected sizes are bounded by the partition count), and the exact
+    NTILE quota formula on the global rank — bit-identical to the
+    oracle's window NTILE, scalable like a sort.
     """
     ev = table(spark, sf_dir, "events")
     anchor = ev.agg(F.to_date(F.max("ts")).alias("anchor_day"))
@@ -395,16 +451,27 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        .localCheckpoint(eager=True)
     )
-    return purchases.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), "user_id")).alias("r_score"),
-        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id")).alias("f_score"),
-        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "user_id")).alias("m_score"),
+    r = _distributed_ntile(
+        purchases.select("user_id", "recency_days"),
+        [F.asc("recency_days"), F.asc("user_id")],
+        4,
+        "r_score",
     )
+    f = _distributed_ntile(
+        purchases.select("user_id", "frequency"),
+        [F.desc("frequency"), F.asc("user_id")],
+        4,
+        "f_score",
+    )
+    m = _distributed_ntile(
+        purchases.select("user_id", "monetary"),
+        [F.desc("monetary"), F.asc("user_id")],
+        4,
+        "m_score",
+    )
+    return purchases.join(r, "user_id").join(f, "user_id").join(m, "user_id")
 
 
 @register(

@@ -95,6 +95,15 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     pay the shuffle once at layout time, never per query. The merge
     hint keeps the demonstration honest (a broadcast would also skip
     the shuffle, but only while one side stays small).
+
+    SIZING CONTRACT: a shuffle-free bucketed join gets exactly one
+    task per bucket, so the bucket count IS the join's parallelism and
+    per-task volume — n_buckets ≈ table_bytes / target_partition_size
+    (128–512 MB), fixed at table-creation time and shared by both
+    sides. 8 is the demo shape for the test SFs; at 10¹² lineitem rows
+    it would make 8 tasks each merge ~12 TB, so a production layout
+    derives the count from the table's size, exactly as _BF_BITS below
+    derives from NDV.
     """
     import hashlib
     import os
@@ -161,17 +170,46 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance ≤ 3, with BLOCKING (shared first character + length within
     ±2) so the candidate set is a keyed equi-join, not all-pairs — the
     same candidate-then-verify shape as the LSH dedup path. Vocabulary
-    is deduplicated before pairing: at 100 TB you fuzzy-match the
-    distinct-value dictionary (thousands), never the raw rows
-    (billions)."""
+    is deduplicated before pairing: you fuzzy-match the distinct-value
+    dictionary, never the raw rows.
+
+    BOTH blocking predicates are equi-join KEYS, not residual filters:
+    the length-within-±2 constraint joins on (first_char, length) by
+    replicating the right side once per allowed length offset (each
+    qualifying pair matches exactly one offset, so no duplicates), so
+    Catalyst hash-partitions on ~26·|lengths| composite keys instead of
+    ~26 first-char blocks — at any dictionary size that is ~20× fewer
+    pairs per task and ~20× more parallelism for free, with an
+    identical result set and oracle.
+
+    Honest scale contract: the TPC-H p_name dictionary grows ~linearly
+    with |part| (5 words from a 92-color vocabulary), so in-block
+    candidate pairs still grow quadratically with SF — blocking-key
+    SELECTIVITY is the production lever, not this demo's constant. A
+    corpus whose dictionary genuinely grows needs token-level blocking
+    keys sized to the data, or the prefix-filter set-similarity join
+    (dedup_prefix_filter_jaccard) — the scalable exact-similarity path
+    in this repo whose candidate count is bounded by rare-token DF
+    rather than by block width.
+    """
     names = table(spark, sf_dir, "part").select("p_name").distinct()
-    a = names.select(F.col("p_name").alias("name_a"))
-    b = names.select(F.col("p_name").alias("name_b"))
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 1).alias("blk_a"),
+        F.length("p_name").alias("len_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 1).alias("blk_b"),
+        F.length("p_name").alias("len_b"),
+    ).withColumn("off", F.explode(F.array(*[F.lit(i) for i in range(-2, 3)]))).withColumn(
+        "len_key", F.col("len_b") + F.col("off")
+    )
     blocked = a.join(
         b,
-        (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
-        & (F.col("name_a") < F.col("name_b"))
-        & (F.abs(F.length("name_a") - F.length("name_b")) <= 2),
+        (F.col("blk_a") == F.col("blk_b"))
+        & (F.col("len_a") == F.col("len_key"))
+        & (F.col("name_a") < F.col("name_b")),
     )
     dist = F.levenshtein("name_a", "name_b")
     return blocked.select("name_a", "name_b", dist.alias("edit_dist")).filter(
@@ -259,7 +297,13 @@ def bloom_filter_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.expr(f"(word1 & shiftleft(CAST(1 AS BIGINT), CAST(pos1 % {_BF_WORD_BITS} AS INT))) != 0")
         )
     )
-    exact = probed.join(F.broadcast(build), probed.o_custkey == build.c_custkey, "left_semi")
+    # The exactness semi-join is deliberately NOT a forced broadcast:
+    # build grows linearly with SF (a fifth of customer — ~3e9 keys at
+    # the 100 TB posture, far past the 8 GB broadcast cliff). AQE
+    # broadcasts while it fits and shuffle-semi-joins beyond; only the
+    # ~256 KB packed bloom words stay a forced broadcast (bounded by
+    # _BF_BITS, not by data).
+    exact = probed.join(build, probed.o_custkey == build.c_custkey, "left_semi")
     return exact.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice"), 2).alias("revenue"),
@@ -290,6 +334,15 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     file counts listed from disk plus content control totals; the oracle
     pins the expected counts as literals and recomputes the totals from
     the source table, proving the rewrite is lossless.
+
+    SIZING CONTRACT: 48→4 is the demo shape pinned in the oracle's
+    literals, valid only while 4 target files are "full-sized"
+    (≈0.5–1 GB). Each coalesced task streams table_bytes/n_after
+    through one writer, so a production compaction derives
+    n_after ≈ table_bytes / target_file_size and runs PER PARTITION
+    of a date/tenant-partitioned table (bounding any one job's
+    rewrite), never one 4-way coalesce over the whole table — at 10¹¹
+    orders that would be 4 tasks of ~25 TB each.
     """
     import hashlib
     import os

@@ -234,13 +234,19 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
     """
     def build() -> dict:
         assigned = _ivf_assigned_frame(spark, sf_dir).localCheckpoint(eager=True)
-        member = assigned.select(
-            "vec_id", F.element_at("cells", 1).getField("cid").alias("cid")
-        )
-        # The inverted lists: one sorted member array per cell.
+        # The inverted lists as a POSTING TABLE (cid, vec_id) — one row
+        # per member, the shape every production IVF store uses (and,
+        # on a cluster, a table bucketed by cid). NOT collect_list
+        # arrays: a cell's array holds ~N/K elements in ONE aggregation
+        # buffer/row, which crosses the JVM 2³¹ array-element cliff at
+        # N·nprobe/K ~ 2e9 and OOMs the collecting task long before —
+        # while the posting table scales like any keyed table and the
+        # candidate expansion becomes a plain keyed join instead of an
+        # explode of giant arrays.
         cells = (
-            member.groupBy("cid")
-            .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+            assigned.select(
+                "vec_id", F.element_at("cells", 1).getField("cid").alias("cid")
+            )
             .localCheckpoint(eager=True)
         )
         from .similarity import vector_store
@@ -289,10 +295,24 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids are the first K corpus vectors (deterministic,
     oracle-expressible); a production build would k-means them, which
     changes recall, not the plan shape. Scale posture: candidate
-    generation is a broadcast join of the tiny probe→cell map against
-    the inverted lists; a hot cell is the skew case and takes the
-    join_salted treatment. Pairs need no dedup: each neighbor lives in
-    exactly one cell and each (probe, cell) edge is distinct.
+    generation is a keyed join of the probe→cell map against the
+    posting-table inverted lists (cid, vec_id); a hot cell is the skew
+    case and takes the join_salted treatment. Pairs need no dedup:
+    each neighbor lives in exactly one cell and each (probe, cell)
+    edge is distinct.
+
+    SIZING CONTRACT, explicit because both constants are baked into
+    the oracle: K = _N_CENTROIDS = 8 and the mod-29 probe set are the
+    deterministic test shapes. Per-query work is nprobe·N/K, so K must
+    SCALE with the corpus — production sizes K ~ √N (FAISS practice,
+    same rule documented for SemDeDup), which bounds cells at ~√N
+    members and per-query candidates at ~nprobe·√N; a fixed K=8 at
+    10¹¹ vectors would make every query scan 3N/8 — that is Θ(N²)
+    across a corpus-sized probe load, not an IVF at all. The probe
+    join is deliberately NOT a forced broadcast: the probe set here
+    grows with the corpus (vec_id % 29), and a real serving batch is
+    bounded by the request queue, not by a hint — AQE broadcasts
+    while the probe batch fits and shuffle-joins beyond.
     """
     from ..functions.vectors import dot
 
@@ -303,13 +323,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("probe_id"), F.explode("cells").alias("cell"))
         .select("probe_id", F.col("cell").getField("cid").alias("cid"))
     )
-    # Expand each (probe, cell) edge against the inverted lists
-    # row-locally — a broadcast join, no self-join of the assignment.
-    cand = idx["cells"].join(F.broadcast(probe_cells), "cid").select(
-        "probe_id",
-        F.explode(F.filter(F.col("ids"), lambda y: y != F.col("probe_id"))).alias(
-            "neighbor_id"
-        ),
+    # Expand each (probe, cell) edge against the posting table — a
+    # plain keyed join; no giant per-cell arrays, no forced broadcast.
+    cand = (
+        idx["cells"]
+        .join(probe_cells, "cid")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
     )
     a = idx["vectors"].select(
         F.col("vec_id").alias("a_id"),
@@ -366,7 +386,12 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     order-dependent; cents are exact).
 
     Scale posture: state is one (count, cents) pair per user — bounded
-    by cardinality, not stream length; Arrow batches the transfer.
+    by cardinality, not stream length; Arrow batches the transfer; the
+    per-chunk loop consumes the iterator WITHOUT materializing the
+    group. The output (one row per user) drains through foreachBatch
+    parquet, not a driver-memory sink — user cardinality grows with
+    the data, and the memory sink holds its whole table in driver JVM
+    memory.
     """
     import uuid
 
@@ -396,13 +421,21 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+    import hashlib
+    import shutil
+
     from ..streaming.pipeline import narrow_state_partitions
+
+    out = f"/tmp/sse_stot_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
 
     with narrow_state_partitions(spark):
         q = (
-            updated.writeStream.format("memory")
-            .queryName(name)
+            updated.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{out}_ckpt_{uuid.uuid4().hex[:8]}")
             .outputMode("update")
             .trigger(availableNow=True)
             .start()
@@ -410,8 +443,12 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     q.awaitTermination(300)
     if q.isActive:
         q.stop()
-        raise TimeoutError(f"stream {name} did not drain")
-    return spark.table(name)
+        raise TimeoutError("stateful totals stream did not drain")
+    return (
+        spark.read.option("basePath", out)
+        .parquet(f"{out}/batch_id=*")
+        .select("user_id", "n_events", "sum_value")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -756,6 +793,20 @@ def streaming_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded test stream's per-user deepest steps aggregate to the
     same step counts as events_funnel_conversion's batch SQL
     (plans/behavior_ops.py).
+
+    Memory contract, stated precisely: the PERSISTED state is O(1) per
+    user, but the in-order requirement forces buffering one user's
+    events from the CURRENT micro-batch before the sorted replay (the
+    chunks applyInPandasWithState hands over carry no cross-chunk
+    order). That transient buffer is bounded by the trigger interval —
+    seconds-to-minutes of ONE user's events, slimmed below to the
+    three columns the machine reads — never by stream length; a single
+    key flooding 10⁸ rows into one trigger is a rate-limiting/trigger-
+    sizing concern upstream of any stateful operator. The drained
+    output (one row per user) lands in per-batch parquet via
+    foreachBatch, not a driver-memory sink: user cardinality grows
+    with the data, and Spark's memory sink holds the entire output in
+    driver JVM memory.
     """
     import uuid
 
@@ -768,7 +819,10 @@ def streaming_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def funnel(key, pdf_iter, state: GroupState):
         t1, t2, t3 = state.get if state.exists else (NONE, NONE, NONE)
-        frames = [pdf for pdf in pdf_iter]
+        # Buffer only the three columns the machine reads (see the
+        # memory contract in the docstring) — the replay needs a batch-
+        # wide sort, but it never needs the full event payload.
+        frames = [pdf[["ts", "event_id", "event_type"]] for pdf in pdf_iter]
         if frames:
             pdf = pd.concat(frames).sort_values(["ts", "event_id"])
             us = pdf["ts"].astype("datetime64[us]").astype("int64")
@@ -793,11 +847,19 @@ def streaming_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = f"stateful_funnel_{uuid.uuid4().hex[:8]}"
+    import hashlib
+    import shutil
+
+    out = f"/tmp/sse_funnel_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
     with narrow_state_partitions(spark):
         q = (
-            tracked.writeStream.format("memory")
-            .queryName(name)
+            tracked.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{out}_ckpt_{uuid.uuid4().hex[:8]}")
             .outputMode("update")
             .trigger(availableNow=True)
             .start()
@@ -805,7 +867,7 @@ def streaming_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     if q.isActive:
         q.stop()
-        raise TimeoutError(f"stream {name} did not drain")
+        raise TimeoutError("stateful funnel stream did not drain")
     # Oracle equality DEPENDS on the whole bounded stream draining in
     # ONE data micro-batch: the monotone machine drops out-of-order
     # transitions, so a multi-batch drain (multi-file staging, a
@@ -821,7 +883,10 @@ def streaming_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # monotone, so the deepest step is the MAX per user. A user at step
     # k counts in every funnel level <= k (cumulative funnel).
     deepest = (
-        spark.table(name).groupBy("user_id").agg(F.max("deepest_step").alias("s"))
+        spark.read.option("basePath", out)
+        .parquet(f"{out}/batch_id=*")
+        .groupBy("user_id")
+        .agg(F.max("deepest_step").alias("s"))
     )
     levels = spark.createDataFrame(
         [(1, "view"), (2, "click"), (3, "purchase")], "step int, step_name string"

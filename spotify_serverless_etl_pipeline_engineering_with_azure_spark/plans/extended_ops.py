@@ -39,6 +39,15 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     percent_rank and cume_dist divide exact integer rank counts →
     bit-identical doubles.
+
+    SCALE CONTRACT: the partition key (c_nationkey, 25 values) bounds
+    window COUNT, not window SIZE — each nation's partition grows
+    linearly with customers and must sort/buffer in one task (ntile
+    and cume_dist need the full partition count). That is the frame-
+    semantics demo shape; a production global/low-cardinality ranking
+    uses the two-phase distributed rank (behavior_ops._distributed_
+    ntile: range-partition + per-partition row_number + offsets) once
+    partitions outgrow a task.
     """
     cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 4 == 0)
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
@@ -122,6 +131,16 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines interpolate linearly between the two order statistics;
     inputs are 2-dp so the interpolated value is exact at 4 dp — ROUND
     4 guards the a+(b-a)*f evaluation-order difference.
+
+    CAPACITY CONTRACT: Spark's exact percentile/median is a
+    TypedImperativeAggregate whose buffer holds the per-group value
+    multiset — with 5 bounded segments that is ~N/5 values in one
+    aggregation buffer, which stops fitting long before the 100 TB
+    posture. The exact form IS this query's semantic contract (the
+    oracle interpolates identically); the moment a group's multiset
+    outgrows memory, production swaps percentile_approx with a
+    rank-error budget — the swap rule agg_approx_sketches demonstrates
+    with its self-validated bounds.
     """
     cust = table(spark, sf_dir, "customer")
     return cust.groupBy("c_mktsegment").agg(
@@ -336,6 +355,15 @@ def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     Writes orders partitioned by o_orderstatus, reads back filtering one
     partition — the scan lists only status=O directories (partition
     pruning, the layout that matters at 100 TB).
+
+    The /tmp destination is the LOCAL-MODE stand-in for a table
+    location: on a real cluster a file:/tmp path is per-node (each
+    executor would commit to its own disk and the read-back would
+    silently see a partial dataset), so production points this at
+    shared storage (HDFS/object store) — where the identical
+    partitionBy layout and pruned read are exactly what a 100 TB
+    table does. Write volume is the full input by design: this op IS
+    the table-materialization job.
     """
     out = f"/tmp/sse_part_roundtrip_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     orders = table(spark, sf_dir, "orders")

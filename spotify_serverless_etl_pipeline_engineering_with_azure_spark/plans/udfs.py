@@ -66,6 +66,16 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys (e.g. per-customer: 15k tiny groups, measured ~6× slower here)
     belong in built-in aggregates (agg_stats) — reserve applyInPandas
     for group logic that genuinely needs pandas on big groups.
+
+    MEMORY CONTRACT, the other half of the key-choice trade: bounded
+    key CARDINALITY means data-sized GROUPS — applyInPandas
+    materializes each whole group as one in-memory pandas frame, so a
+    15-key grouping of 10¹¹ orders puts ~N/15 rows in one Python
+    worker. This demo computes aggregates expressible as built-ins
+    precisely so its semantics stay oracle-checkable; production
+    grouped-map keys must bound GROUP SIZE (entity-level keys), and
+    whole-table pandas logic belongs in mapInPandas (streamed batches)
+    or built-in aggregates, never a low-cardinality grouped-map.
     """
     orders = table(spark, sf_dir, "orders")
 

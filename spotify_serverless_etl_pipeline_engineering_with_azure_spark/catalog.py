@@ -39,6 +39,11 @@ ALWAYS_BROADCAST = {"region", "nation"}
 # Spark application id (a plan dies with its context).
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
+# Per-cache bound on DISTINCT dataset identities (see dataset_cached):
+# sized for many live test fixtures/SF dirs at once while bounding a
+# production driver that sweeps unbounded snapshot directories.
+_MAX_CACHED_IDENTITIES = 16
+
 
 def dataset_cached(cache: dict, spark: SparkSession, sf_dir: str,
                    files: tuple[str, ...], build, params: tuple = ()):
@@ -58,6 +63,19 @@ def dataset_cached(cache: dict, spark: SparkSession, sf_dir: str,
     pin every superseded index in block-manager storage for the life of
     the application). applicationId is in the identity because a
     checkpointed RDD dies with its SparkContext.
+
+    Two further growth bounds, both invisible at test scale but
+    load-bearing for a long-lived driver:
+    - DEAD-APPLICATION purge: a session restart mints a new
+      applicationId, making every prior-app entry unreachable (its
+      checkpointed blocks died with the old context); those entries
+      are deleted on the next miss rather than accumulating forever.
+    - IDENTITY CAP: a driver sweeping N dataset directories (per-day
+      corpus snapshots) would otherwise pin N data-sized checkpointed
+      indexes in executor storage for the application's lifetime.
+      Beyond _MAX_CACHED_IDENTITIES the OLDEST entries are evicted
+      FIFO — the only cost of a wrong eviction is a rebuild on the
+      next access, never wrong results.
     """
     import os
 
@@ -65,14 +83,19 @@ def dataset_cached(cache: dict, spark: SparkSession, sf_dir: str,
         (st := os.stat(os.path.join(sf_dir, f)), (st.st_mtime_ns, st.st_size))[1]
         for f in files
     )
-    ident = (sf_dir, files, params, spark.sparkContext.applicationId)
+    appid = spark.sparkContext.applicationId
+    ident = (sf_dir, files, params, appid)
     key = (ident, stats)
     val = cache.get(key)
     if val is None:
-        for stale in [k for k in cache if k[0] == ident and k != key]:
+        for stale in [
+            k for k in cache if (k[0] == ident and k != key) or k[0][3] != appid
+        ]:
             del cache[stale]
         val = build()
         cache[key] = val
+        while len(cache) > _MAX_CACHED_IDENTITIES:
+            del cache[next(iter(cache))]
     return val
 
 

@@ -1,10 +1,17 @@
 """SparkSession factory.
 
-Local test posture: ``local[$SPARK_GRAFT_CPUS]`` single JVM. Cluster
-posture (the design target): the same confs hold — AQE on for runtime
-re-planning/skew handling, shuffle partitions sized to cores, Arrow for
-any pandas-UDF exchange, UTC session timezone so timestamp semantics
-are stable across engines and executors.
+Local test posture: ``local[$SPARK_GRAFT_CPUS]`` single JVM, shuffle
+partitions = cores (every test shuffle fits). Cluster posture: AQE,
+skew-join handling, Arrow, and the UTC pins carry over unchanged — but
+shuffle-partition SIZING does not: partition count must track shuffle
+BYTES (~128–200 MB per reduce partition → ~10⁵–10⁶ partitions for a
+100 TB shuffle), never core count, and AQE's coalescePartitions only
+merges DOWN from the configured initial count — it never splits an
+oversized partition up. A cluster deployment therefore sets
+SPARK_GRAFT_SHUFFLE_INITIAL (→ adaptive.coalescePartitions.
+initialPartitionNum) high for the largest expected shuffle and lets
+AQE coalesce small stages, with SPARK_GRAFT_SHUFFLE_PARTITIONS as the
+non-AQE floor.
 """
 
 from __future__ import annotations
@@ -32,7 +39,9 @@ def session_confs(
     cpus = e.get("SPARK_GRAFT_CPUS", "32")
     master = e.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     confs = {
-        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or e.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+        ),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -53,6 +62,13 @@ def session_confs(
         # re-pins this per call for driver-constructed sessions.
         "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     }
+    # Cluster shuffle sizing (see module docstring): AQE can only
+    # coalesce DOWN from the initial partition count, so a 100 TB
+    # shuffle needs the ceiling raised explicitly — cores-sized
+    # partitions would be ~3 TB each and no runtime re-plan can fix it.
+    init = e.get("SPARK_GRAFT_SHUFFLE_INITIAL")
+    if init:
+        confs["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = init
     return master, confs
 
 

@@ -34,9 +34,22 @@ SCHEMA = (
 )
 
 
+# Scheduler-task ceiling: beyond this many page files, partitions PACK
+# multiple files each (what Spark's native file sources do via
+# maxPartitionBytes/openCostInBytes). One-task-per-file at the module's
+# "ten million catalog pages" posture would mean 10⁷ pickled partition
+# objects on the driver and a 10⁷-task job whose scheduling overhead
+# dwarfs the parsing; packing keeps the task count bounded while each
+# task streams its file batch sequentially. (At production listing
+# scale the enumeration itself comes from a catalog/object-store
+# inventory rather than a glob — the partition SHAPE is the part this
+# source pins.)
+MAX_PARTITIONS = 4096
+
+
 class _PagePartition(InputPartition):
-    def __init__(self, path: str) -> None:
-        self.path = path
+    def __init__(self, paths: tuple[str, ...]) -> None:
+        self.paths = paths
 
 
 def _load_page(path: str) -> dict[str, Any]:
@@ -49,17 +62,26 @@ class SpotifyPlaylistReader(DataSourceReader):
         self.path = options["path"]
 
     def partitions(self) -> list[InputPartition]:
-        # One partition per page file — executors parse pages in
-        # parallel; at scale, pages are enumerated here (cheap listing)
-        # and fetched in read() (expensive IO) on the cluster.
+        # Pages are enumerated here (listing) and fetched in read()
+        # (expensive IO) on the cluster; files pack MAX_PARTITIONS-ways
+        # so the task count is bounded while small page sets keep one
+        # file per task (batch size 1 until the ceiling is reached).
+        files = sorted(glob.glob(os.path.join(self.path, "*.json")))
+        if not files:
+            return []
+        per = -(-len(files) // MAX_PARTITIONS)  # ceil division
         return [
-            _PagePartition(p)
-            for p in sorted(glob.glob(os.path.join(self.path, "*.json")))
+            _PagePartition(tuple(files[i : i + per]))
+            for i in range(0, len(files), per)
         ]
 
     def read(self, partition: _PagePartition) -> Iterator[tuple]:
-        doc = _load_page(partition.path)
-        page = os.path.basename(partition.path)
+        for path in partition.paths:
+            yield from self._read_page(path)
+
+    def _read_page(self, path: str) -> Iterator[tuple]:
+        doc = _load_page(path)
+        page = os.path.basename(path)
         # `or` fallbacks, not .get defaults: the API emits EXPLICIT
         # nulls ("items": null on an empty page, "track": null for
         # removed/local tracks), which .get(k, default) passes through

@@ -30,15 +30,39 @@ def fetch_playlist(
     *,
     paginate: bool = False,
     next_page: Callable[[dict[str, Any]], dict[str, Any] | None] | None = None,
+    max_pages: int = 1000,
 ) -> DataFrame:
     """Fetch playlist pages driver-side → DataFrame(PLAYLIST_SCHEMA).
 
     The reference fetches ONLY the first page (no sp.next —
     spotifyextract.py:74); paginate=True is the generalization.
+
+    CAPACITY CONTRACT: this is the DRIVER-SIDE ingest — every fetched
+    row passes through driver memory in createDataFrame, which is fine
+    for its purpose (one playlist, pages of ≤100 items) and wrong for
+    catalog-scale crawls. Pages are consumed one at a time (only their
+    item payloads are retained, never the full page chain), and
+    max_pages bounds the walk LOUDLY — a paginator that never
+    terminates, or a corpus-sized crawl, must not silently accrete on
+    the driver. Beyond the cap, the scale path is the one the repo
+    already ships: land each page to the raw zone as fetched (S2) and
+    read it back through the spotify_playlist DataSource, where page
+    parsing runs on executors.
     """
-    pages = [fetch_page(playlist_url)]
+    rows: list[tuple] = []
+
+    def _consume(page: dict[str, Any]) -> dict[str, Any]:
+        rows.append((page.get("items", []),))
+        return page
+
+    page = _consume(fetch_page(playlist_url))
     if paginate and next_page is not None:
-        while (nxt := next_page(pages[-1])) is not None:
-            pages.append(nxt)
-    rows = [(p.get("items", []),) for p in pages]
+        while (nxt := next_page(page)) is not None:
+            if len(rows) >= max_pages:
+                raise RuntimeError(
+                    f"fetch_playlist walked past max_pages={max_pages}; a "
+                    "crawl this size belongs in the raw zone + the "
+                    "spotify_playlist DataSource, not driver memory"
+                )
+            page = _consume(nxt)
     return spark.createDataFrame(rows, schema=PLAYLIST_SCHEMA)

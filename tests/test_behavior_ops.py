@@ -169,3 +169,35 @@ def test_rolling_active_users_bounds(spark, sf_dir):
     for r in rows:
         assert r["dau_users"] <= r["wau_users"] <= n_users
         assert 0.0 < r["stickiness"] <= 1.0
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 8, 97, 100])
+def test_distributed_ntile_matches_window_ntile(spark, n):
+    """_distributed_ntile's quota formula must equal the window NTILE
+    for every n mod t residue (the quota split between ceil- and
+    floor-sized tiles is where an off-by-one would live) — including
+    n < t, where each row is its own tile. Uses a deliberately
+    shuffled id frame so range partitioning does real work."""
+    from pyspark.sql import Window as W
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.behavior_ops import (
+        _distributed_ntile,
+    )
+
+    df = (
+        spark.range(n)
+        .select((F.col("id") * 7919 % 104729).alias("metric"), F.col("id").alias("user_id"))
+        .repartition(5)
+    )
+    order = [F.desc("metric"), F.asc("user_id")]
+    got = {
+        r["user_id"]: r["score"]
+        for r in _distributed_ntile(df, order, 4, "score").collect()
+    }
+    want = {
+        r["user_id"]: r["t"]
+        for r in df.select(
+            "user_id", F.ntile(4).over(W.orderBy(*order)).alias("t")
+        ).collect()
+    }
+    assert got == want

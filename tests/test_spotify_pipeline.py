@@ -153,11 +153,37 @@ def test_datasource_tolerates_explicit_nulls(tmp_path):
                        "album": {"id": "al1"}}},
         ],
     }))
-    rows = list(SpotifyPlaylistReader({"path": str(tmp_path)}).read(_PagePartition(str(p))))
+    rows = list(SpotifyPlaylistReader({"path": str(tmp_path)}).read(_PagePartition((str(p),))))
     assert len(rows) == 4  # every item yields a row, nulls become NULL columns
     assert rows[2][2] == "t1" and rows[2][6] is None  # artists null -> artist_id NULL
     assert rows[3][8] == "al1"  # album survives a null artists[0]
 
     empty = tmp_path / "spotify_raw_20230101000001.json"
     empty.write_text(json.dumps({"items": None}))
-    assert list(SpotifyPlaylistReader({"path": str(tmp_path)}).read(_PagePartition(str(empty)))) == []
+    assert list(SpotifyPlaylistReader({"path": str(tmp_path)}).read(_PagePartition((str(empty),)))) == []
+
+
+def test_datasource_packs_files_beyond_partition_ceiling(tmp_path, monkeypatch):
+    """Beyond MAX_PARTITIONS page files, partitions must PACK multiple
+    files each (bounded task count — one-task-per-file is a 10^7-task
+    job at catalog scale) while covering every file exactly once and
+    keeping one-file-per-task below the ceiling."""
+    import json
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.sources import (
+        playlist_datasource as pds,
+    )
+
+    for i in range(10):
+        (tmp_path / f"page_{i:03d}.json").write_text(json.dumps({"items": []}))
+    reader = pds.SpotifyPlaylistReader({"path": str(tmp_path)})
+
+    monkeypatch.setattr(pds, "MAX_PARTITIONS", 4)
+    parts = reader.partitions()
+    assert len(parts) <= 4
+    covered = [p for part in parts for p in part.paths]
+    assert len(covered) == 10 and len(set(covered)) == 10
+
+    monkeypatch.setattr(pds, "MAX_PARTITIONS", 4096)
+    parts = reader.partitions()
+    assert len(parts) == 10 and all(len(p.paths) == 1 for p in parts)

@@ -39,14 +39,18 @@ ALWAYS_BROADCAST = {"region", "nation"}
 # Spark application id (a plan dies with its context).
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
-# Per-cache bound on DISTINCT dataset identities (see dataset_cached):
-# sized for many live test fixtures/SF dirs at once while bounding a
-# production driver that sweeps unbounded snapshot directories.
-_MAX_CACHED_IDENTITIES = 16
+# Entry cap for caches of CHECKPOINTED index frames (see
+# dataset_cached's max_entries): sized for many live test fixtures/SF
+# dirs at once while bounding a production driver that sweeps unbounded
+# snapshot directories. The lazy-plan caches (_TABLE_CACHE,
+# _RAW_SCHEMA_CACHE) deliberately do NOT use it — their entries cost
+# kilobytes and their hit rate is the whole point.
+MAX_CHECKPOINT_ENTRIES = 16
 
 
 def dataset_cached(cache: dict, spark: SparkSession, sf_dir: str,
-                   files: tuple[str, ...], build, params: tuple = ()):
+                   files: tuple[str, ...], build, params: tuple = (),
+                   max_entries: int | None = None):
     """Memoize a per-dataset artifact (a loaded table, a checkpointed
     index) and EVICT the superseded snapshot on regeneration.
 
@@ -70,12 +74,18 @@ def dataset_cached(cache: dict, spark: SparkSession, sf_dir: str,
       applicationId, making every prior-app entry unreachable (its
       checkpointed blocks died with the old context); those entries
       are deleted on the next miss rather than accumulating forever.
-    - IDENTITY CAP: a driver sweeping N dataset directories (per-day
-      corpus snapshots) would otherwise pin N data-sized checkpointed
-      indexes in executor storage for the application's lifetime.
-      Beyond _MAX_CACHED_IDENTITIES the OLDEST entries are evicted
-      FIFO — the only cost of a wrong eviction is a rebuild on the
-      next access, never wrong results.
+    - ENTRY CAP (``max_entries``, OPT-IN): caches holding CHECKPOINTED
+      frames pin executor storage per entry, so a driver sweeping N
+      dataset directories (per-day corpus snapshots) would otherwise
+      pin N data-sized indexes for the application's lifetime. Opt-in
+      because it would be WRONG for the cheap caches: _TABLE_CACHE
+      holds lazy plan handles (kilobytes of driver memory, one entry
+      per (table, dir)) whose whole point is amortizing the ~60 ms
+      py4j read per query build — a shared cap would silently turn it
+      into a thrash set once a test session's fixture dirs exceed the
+      bound. Eviction is LRU (hits refresh recency via dict reinsert),
+      and the only cost of a wrong eviction is a rebuild on the next
+      access, never wrong results.
     """
     import os
 
@@ -87,14 +97,20 @@ def dataset_cached(cache: dict, spark: SparkSession, sf_dir: str,
     ident = (sf_dir, files, params, appid)
     key = (ident, stats)
     val = cache.get(key)
-    if val is None:
-        for stale in [
-            k for k in cache if (k[0] == ident and k != key) or k[0][3] != appid
-        ]:
-            del cache[stale]
-        val = build()
+    if val is not None:
+        # LRU refresh: dicts iterate in insertion order, so re-inserting
+        # on hit keeps hot entries at the young end of the eviction scan.
+        del cache[key]
         cache[key] = val
-        while len(cache) > _MAX_CACHED_IDENTITIES:
+        return val
+    for stale in [
+        k for k in cache if (k[0] == ident and k != key) or k[0][3] != appid
+    ]:
+        del cache[stale]
+    val = build()
+    cache[key] = val
+    if max_entries is not None:
+        while len(cache) > max_entries:
             del cache[next(iter(cache))]
     return val
 

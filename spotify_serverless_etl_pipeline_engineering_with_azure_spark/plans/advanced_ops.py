@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import dataset_cached, scatter, table
+from ..catalog import MAX_CHECKPOINT_ENTRIES, dataset_cached, scatter, table
 from ..functions.exact import dsum
 from ..registry import register
 
@@ -263,6 +263,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
         ("embeddings.parquet",),
         build,
         params=(_N_CENTROIDS, _N_PROBE_CLUSTERS),
+        max_entries=MAX_CHECKPOINT_ENTRIES,
     )
 
 
@@ -393,8 +394,6 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     the data, and the memory sink holds its whole table in driver JVM
     memory.
     """
-    import uuid
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -421,34 +420,19 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    import hashlib
-    import shutil
+    from ..streaming.pipeline import run_to_parquet
 
-    from ..streaming.pipeline import narrow_state_partitions
-
-    out = f"/tmp/sse_stot_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    shutil.rmtree(out, ignore_errors=True)
-
-    def sink(batch_df, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
-
-    with narrow_state_partitions(spark):
-        q = (
-            updated.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", f"{out}_ckpt_{uuid.uuid4().hex[:8]}")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-    q.awaitTermination(300)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("stateful totals stream did not drain")
-    return (
-        spark.read.option("basePath", out)
-        .parquet(f"{out}/batch_id=*")
-        .select("user_id", "n_events", "sum_value")
+    back, q = run_to_parquet(updated, "stot", sf_dir, output_mode="update")
+    # Update mode re-emits a user's row each micro-batch it changes in;
+    # the totals here are returned as-is (no per-user MAX fold), so the
+    # single-data-batch drain is a correctness precondition — assert
+    # it, as the funnel does.
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) == 1, (
+        f"stateful totals expects a single-batch drain, got "
+        f"{[(p['batchId'], p['numInputRows']) for p in q.recentProgress]}"
     )
+    return back.select("user_id", "n_events", "sum_value")
 
 
 # ---------------------------------------------------------------------------
@@ -657,11 +641,22 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     second aggregation.
     """
     orders = table(spark, sf_dir, "orders")
-    sk = orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("acd"),
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("amed"),
-        F.count_distinct(F.col("o_custkey")).alias("exact_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
+    # localCheckpoint the 5-row sketch aggregate: Spark shares no
+    # subplans, so its two consumers (the broadcast into the rank pass
+    # and the final join) would otherwise each re-run the whole
+    # aggregation — doubling exactly the exact-distinct shuffle this
+    # query exists to showcase avoiding, and re-executing the sketches
+    # (whose merge order Spark randomizes) between the rank measurement
+    # and the verdict row.
+    sk = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.01).alias("acd"),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("amed"),
+            F.count_distinct(F.col("o_custkey")).alias("exact_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .localCheckpoint(eager=True)
     )
     ranks = (
         orders.select("o_orderpriority", "o_totalprice")
@@ -808,12 +803,10 @@ def streaming_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the data, and Spark's memory sink holds the entire output in
     driver JVM memory.
     """
-    import uuid
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from ..streaming.pipeline import events_stream, narrow_state_partitions
+    from ..streaming.pipeline import events_stream
 
     NONE = -1
 
@@ -847,27 +840,9 @@ def streaming_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    import hashlib
-    import shutil
+    from ..streaming.pipeline import run_to_parquet
 
-    out = f"/tmp/sse_funnel_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    shutil.rmtree(out, ignore_errors=True)
-
-    def sink(batch_df, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
-
-    with narrow_state_partitions(spark):
-        q = (
-            tracked.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", f"{out}_ckpt_{uuid.uuid4().hex[:8]}")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-    q.awaitTermination(300)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("stateful funnel stream did not drain")
+    back, q = run_to_parquet(tracked, "funnel", sf_dir, output_mode="update")
     # Oracle equality DEPENDS on the whole bounded stream draining in
     # ONE data micro-batch: the monotone machine drops out-of-order
     # transitions, so a multi-batch drain (multi-file staging, a
@@ -882,12 +857,7 @@ def streaming_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # update mode re-emits a user's row each micro-batch; the machine is
     # monotone, so the deepest step is the MAX per user. A user at step
     # k counts in every funnel level <= k (cumulative funnel).
-    deepest = (
-        spark.read.option("basePath", out)
-        .parquet(f"{out}/batch_id=*")
-        .groupBy("user_id")
-        .agg(F.max("deepest_step").alias("s"))
-    )
+    deepest = back.groupBy("user_id").agg(F.max("deepest_step").alias("s"))
     levels = spark.createDataFrame(
         [(1, "view"), (2, "click"), (3, "purchase")], "step int, step_name string"
     )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import dataset_cached, scatter, table
+from ..catalog import MAX_CHECKPOINT_ENTRIES, dataset_cached, scatter, table
 from ..functions.hashing import (
     HEX_CHARS,
     MERSENNE31,
@@ -309,6 +309,7 @@ def _minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         ("documents.parquet",),
         lambda: _minhash_buckets_frame(spark, sf_dir).localCheckpoint(eager=True),
+        max_entries=MAX_CHECKPOINT_ENTRIES,
     )
 
 
@@ -482,7 +483,8 @@ def _ngram_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
         return (kept, sizes)
 
     return dataset_cached(
-        _NGRAM_INDEX_CACHE, spark, sf_dir, ("documents.parquet",), build
+        _NGRAM_INDEX_CACHE, spark, sf_dir, ("documents.parquet",), build,
+        max_entries=MAX_CHECKPOINT_ENTRIES,
     )
 
 
@@ -585,6 +587,7 @@ def _semdedup_member(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("embeddings.parquet",),
         lambda: _semdedup_member_frame(spark, sf_dir).localCheckpoint(eager=True),
         params=(SEMDEDUP_K,),
+        max_entries=MAX_CHECKPOINT_ENTRIES,
     )
 
 

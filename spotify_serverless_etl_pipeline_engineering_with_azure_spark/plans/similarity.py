@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import dataset_cached, scatter, table
+from ..catalog import MAX_CHECKPOINT_ENTRIES, dataset_cached, scatter, table
 from ..functions.vectors import LSH_TABLES, dot, lsh_bucket, norm, sql_lsh_bucket
 from ..registry import register
 
@@ -41,6 +41,7 @@ def vector_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         ("embeddings.parquet",),
         lambda: _vector_store_frame(spark, sf_dir).localCheckpoint(eager=True),
+        max_entries=MAX_CHECKPOINT_ENTRIES,
     )
 
 
@@ -127,6 +128,7 @@ def _lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         ("embeddings.parquet",),
         lambda: _lsh_index_frame(spark, sf_dir).localCheckpoint(eager=True),
+        max_entries=MAX_CHECKPOINT_ENTRIES,
     )
 
 

@@ -16,12 +16,28 @@ from ..streaming.pipeline import (
     events_stream,
     narrow_state_partitions,
     run_to_memory,
+    run_to_parquet,
     windowed_counts,
 )
 
 
 def _sink_name(prefix: str) -> str:
     return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+def _assert_single_data_batch(q, name: str) -> None:
+    """UPDATE-mode memory sinks APPEND each trigger's emitted rows: if
+    the bounded drain ever split into 2+ micro-batches, a group updated
+    in both would land twice (stale + final) and the read-back would
+    carry duplicate rows — silently, because complete mode used to
+    re-emit the whole table and mask it. The single-file staging makes
+    the drain one data batch; assert that contract instead of trusting
+    it (the stateful-funnel discipline)."""
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) == 1, (
+        f"{name} expects a single-data-batch drain, got "
+        f"{[(p['batchId'], p['numInputRows']) for p in q.recentProgress]}"
+    )
 
 
 @register(
@@ -49,7 +65,10 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle equality is unchanged — the mode choice is the honest
     production posture, not a result change."""
     name = _sink_name("stream_win")
-    run_to_memory(windowed_counts(events_stream(spark, sf_dir)), name, output_mode="update")
+    q = run_to_memory(
+        windowed_counts(events_stream(spark, sf_dir)), name, output_mode="update"
+    )
+    _assert_single_data_batch(q, "streaming_tumbling_window")
     return spark.table(name)
 
 
@@ -64,48 +83,25 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only the key columns are emitted (which physical row survives is
     engine-internal), so the result set equals DISTINCT keys.
 
-    The deduped stream drains through foreachBatch into per-batch
-    parquet (executor-side writes), NOT a memory sink: unlike the
-    aggregate-shaped siblings whose sinks hold bounded group
+    The deduped stream drains through run_to_parquet (foreachBatch →
+    per-batch parquet, executor-side writes), NOT a memory sink: unlike
+    the aggregate-shaped siblings whose sinks hold bounded group
     cardinalities, this output is distinct-KEY-sized — at ~10⁹ users a
     memory sink would materialize billions of rows in driver JVM
     memory during the drain. The distributed sink is the production
     shape (dedup feeds a table, not the driver); reading the landed
-    files back is the test harness's comparison path.
+    files back is the test harness's comparison path. Append mode
+    emits each surviving key exactly once, so the read-back is
+    batch-split-insensitive.
     """
-    import hashlib
-    import shutil
-    import uuid as _uuid
-
-    out = f"/tmp/sse_sdw_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    shutil.rmtree(out, ignore_errors=True)
     deduped = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "24 hours")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
-
-    with narrow_state_partitions(spark):
-        q = (
-            deduped.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", f"{out}_ckpt_{_uuid.uuid4().hex[:8]}")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-    q.awaitTermination(300)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("dedup stream did not drain")
-    return (
-        spark.read.option("basePath", out)
-        .parquet(f"{out}/batch_id=*")
-        .select("user_id", "event_type")
-    )
+    back, _ = run_to_parquet(deduped, "dedupw", sf_dir)
+    return back.select("user_id", "event_type")
 
 
 @register(
@@ -164,20 +160,15 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     making the append-mode output equal to the batch interval join.
 
     The per-user counts are PARTIALLY AGGREGATED INSIDE foreachBatch
-    and landed as per-batch parquet, then summed across batches — the
-    incremental-ETL shape. The earlier revision sank the raw join
-    output to a memory sink and aggregated afterwards: at production
-    volume the interval join emits O(events) attribution pairs, and a
-    memory sink materializes every one of them in driver JVM memory —
-    the one data-sized intermediate in this module. Append-mode
-    emits each joined row exactly once, so summing the per-batch
-    counts is exact across any batch split."""
-    import hashlib
-    import shutil
-    import uuid as _uuid
-
-    out = f"/tmp/sse_ssj_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    shutil.rmtree(out, ignore_errors=True)
+    (run_to_parquet's batch_transform hook) and landed as per-batch
+    parquet, then summed across batches — the incremental-ETL shape.
+    The earlier revision sank the raw join output to a memory sink and
+    aggregated afterwards: at production volume the interval join
+    emits O(events) attribution pairs, and a memory sink materializes
+    every one of them in driver JVM memory — the one data-sized
+    intermediate in this module. Append-mode emits each joined row
+    exactly once, so summing the per-batch counts is exact across any
+    batch split."""
     purchases = (
         events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -204,32 +195,16 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts")),
     )
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.groupBy("p_user")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .write.mode("overwrite")
-            .parquet(f"{out}/batch_id={batch_id}")
-        )
-
-    with narrow_state_partitions(spark):
-        q = (
-            joined.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", f"{out}_ckpt_{_uuid.uuid4().hex[:8]}")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-    q.awaitTermination(300)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("stream-stream join did not drain")
-    return (
-        spark.read.option("basePath", out)
-        .parquet(f"{out}/batch_id=*")
-        .groupBy(F.col("p_user").alias("user_id"))
-        .agg(F.sum("n").alias("n_attributed"))
+    back, _ = run_to_parquet(
+        joined,
+        "ssj",
+        sf_dir,
+        batch_transform=lambda b: b.groupBy("p_user").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    return back.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.sum("n").alias("n_attributed")
     )
 
 
@@ -268,7 +243,8 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
-    run_to_memory(agg, name, output_mode="update")
+    q = run_to_memory(agg, name, output_mode="update")
+    _assert_single_data_batch(q, "streaming_sliding_window")
     return spark.table(name)
 
 

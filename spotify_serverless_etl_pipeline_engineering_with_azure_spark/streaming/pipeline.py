@@ -183,9 +183,11 @@ def narrow_state_partitions(spark: SparkSession):
 
 def run_to_memory(
     df: DataFrame, name: str, *, output_mode: str = "complete", timeout_s: int = 300
-) -> None:
+):
     """Drive a (bounded) stream to a memory sink with availableNow and
-    block until drained."""
+    block until drained. Returns the finished StreamingQuery so callers
+    can assert drain-shape contracts (e.g. single-data-batch) from its
+    progress history."""
     with narrow_state_partitions(df.sparkSession):
         q = (
             df.writeStream.format("memory")
@@ -198,3 +200,83 @@ def run_to_memory(
         if q.isActive:
             q.stop()
             raise TimeoutError(f"stream {name} did not drain in {timeout_s}s")
+        return q
+
+
+def run_to_parquet(
+    df: DataFrame,
+    prefix: str,
+    sf_dir: str,
+    *,
+    output_mode: str = "append",
+    batch_transform=None,
+    timeout_s: int = 300,
+):
+    """Drive a (bounded) stream through foreachBatch into per-batch
+    parquet and return (read-back DataFrame, finished StreamingQuery).
+
+    THE drain for data-sized streaming outputs (distinct keys, join
+    pairs, per-user state rows): executor-side writes, nothing lands in
+    driver JVM memory — Spark's memory sink holds its entire table on
+    the driver, which is fine for bounded aggregates and fatal for
+    outputs that grow with the data. ``batch_transform`` (optional) is
+    applied to each micro-batch DataFrame before the write — the
+    per-batch PARTIAL AGGREGATION hook (e.g. pre-counting join pairs so
+    only counts land on disk).
+
+    Filesystem lifecycle, deliberate on all three axes:
+    - each invocation writes a FRESH ``run_<uuid>`` dir (checkpoint
+      inside it), so a re-invocation in the same session never deletes
+      files under a previously returned lazy DataFrame (a fixed
+      rmtree'd path would FileNotFound any held frame, and would race
+      a concurrent process on the same dataset);
+    - run dirs nest under ``app_<pid>_...``, and dirs whose PID is no
+      longer alive are swept on entry — dead sessions' debris is
+      collected by the next user of the same (query, dataset) instead
+      of accumulating forever;
+    - within one live session, runs accumulate (bounded by invocation
+      count, megabytes at test SF) exactly like the uuid-named memory
+      sinks they replaced, and are swept by the next session.
+    """
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    spark = df.sparkSession
+    base = f"/tmp/sse_drain_{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    for stale in _glob.glob(f"{base}/app_*"):
+        try:
+            pid = int(os.path.basename(stale).split("_")[1])
+            os.kill(pid, 0)  # raises if the owning process is gone
+        except (ValueError, IndexError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it alone
+    run = (
+        f"{base}/app_{os.getpid()}_"
+        f"{hashlib.md5(spark.sparkContext.applicationId.encode()).hexdigest()[:8]}"
+        f"/run_{uuid.uuid4().hex[:8]}"
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_transform(batch_df) if batch_transform else batch_df
+        out.write.mode("overwrite").parquet(f"{run}/data/batch_id={batch_id}")
+
+    with narrow_state_partitions(spark):
+        q = (
+            df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{run}/_ckpt")
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {prefix} did not drain in {timeout_s}s")
+    back = spark.read.option("basePath", f"{run}/data").parquet(
+        f"{run}/data/batch_id=*"
+    )
+    return back, q

@@ -281,3 +281,82 @@ def test_index_caches_reuse_and_invalidate(spark, sf_dir, tmp_path):
     odd = b2.select(F.explode("ids").alias("d")).filter(F.col("d") % 2 == 1).count()
     assert odd == 0
     assert s2.filter(F.col("doc_id") % 2 == 1).count() == 0
+
+
+def test_dataset_cached_lru_cap_and_dead_app_purge(spark, tmp_path):
+    """The opt-in entry cap must evict LEAST-RECENTLY-USED (a hit
+    refreshes recency — plain FIFO would evict the hottest entry
+    first), and entries from a dead application must be purged on the
+    next miss (their checkpointed blocks died with that context)."""
+    import os
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.catalog import (
+        dataset_cached,
+    )
+
+    def mkds(name: str) -> str:
+        d = tmp_path / name
+        d.mkdir()
+        (d / "x.parquet").write_bytes(b"stub")
+        return str(d)
+
+    cache: dict = {}
+    builds: list[str] = []
+
+    def build_for(ds):
+        return lambda: builds.append(ds) or ds
+
+    a, b, c = mkds("a"), mkds("b"), mkds("c")
+    get = lambda ds: dataset_cached(  # noqa: E731
+        cache, spark, ds, ("x.parquet",), build_for(ds), max_entries=2
+    )
+    get(a), get(b)
+    get(a)  # refresh a's recency — b is now the LRU entry
+    get(c)  # cap=2: must evict b, keep the refreshed a
+    assert builds == [a, b, c]
+    get(a)
+    assert builds == [a, b, c], "a must still be cached after the cap eviction"
+    get(b)
+    assert builds == [a, b, c, b], "b was evicted and must rebuild"
+
+    # Dead-application purge: forge an entry under a foreign appid and
+    # miss on a fresh identity — the foreign entry must disappear.
+    dead_key = ((a, ("x.parquet",), (), "app-dead-123"), ((0, 4),))
+    cache[dead_key] = "zombie"
+    get(c)
+    assert dead_key not in cache, "dead-application entries must be purged"
+
+
+def test_run_to_parquet_sweeps_dead_process_dirs(spark, tmp_path, monkeypatch):
+    """A drain base dir left by a process that no longer exists must be
+    swept on the next invocation; the current invocation's own run dir
+    must survive (it backs the returned lazy frame)."""
+    import glob
+    import hashlib
+    import os
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.streaming.pipeline import (
+        run_to_parquet,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = f"/tmp/sse_drain_sweeptest_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    dead = f"{base}/app_999999999_deadbeef"
+    os.makedirs(f"{dead}/run_old", exist_ok=True)
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.streaming.pipeline import (
+        events_stream,
+    )
+    from pyspark.sql import functions as F
+
+    deduped = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    back, q = run_to_parquet(deduped, "sweeptest", sf_dir)
+    assert not os.path.exists(dead), "dead-pid drain dir must be swept"
+    live = glob.glob(f"{base}/app_{os.getpid()}_*/run_*")
+    assert live, "this invocation's run dir must exist"
+    assert back.count() > 0, "returned frame must read the landed parquet"

@@ -106,6 +106,27 @@ INDEX_BUILD_FRAMES = {
 }
 
 
+def test_ivf_inverted_lists_are_a_posting_table(spark):
+    """The IVF index must store inverted lists as (cid, vec_id) posting
+    ROWS, never collect_list arrays: one cell's array holds ~N/K
+    elements in a single aggregation buffer/row — the JVM 2³¹ cliff at
+    ~2e9 members and a single-task OOM long before. A regression back
+    to the array form is invisible to every correctness gate (the
+    exploded candidates are identical), so pin the build plan."""
+    idx = _advanced_ops._ivf_index(spark, SF_SMOKE)
+    cells = dict(idx["cells"].dtypes)
+    assert set(cells) == {"vec_id", "cid"} and not any(
+        t.startswith("array") for t in cells.values()
+    ), f"IVF cells regressed away from the (cid, vec_id) posting table: {cells}"
+    plan = (
+        _advanced_ops._ivf_assigned_frame(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "collect_list" not in plan
+
+
 @pytest.mark.parametrize("name", sorted(INDEX_BUILD_FRAMES))
 def test_index_build_plans_no_cartesian(spark, name):
     """Index BUILD pipelines stay cartesian-free and keyed: these plans

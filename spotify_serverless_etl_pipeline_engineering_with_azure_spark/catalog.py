@@ -115,6 +115,68 @@ def dataset_cached(cache: dict, spark: SparkSession, sf_dir: str,
     return val
 
 
+_INDEX_SEQ = iter(range(1 << 62))
+
+
+def checkpoint_frame(df: DataFrame, tag: str = "frame") -> DataFrame:
+    """Materialize a cached-index frame and truncate its lineage.
+
+    Default: ``localCheckpoint(eager=True)`` — right for local and
+    single-application runs, but the blocks live in EXECUTOR storage,
+    unreplicated: on a 1000-executor cluster a single lost executor
+    (spot reclaim, OOM kill — routine over hours) permanently destroys
+    checkpoint blocks with NO recompute path (lineage was truncated),
+    poisoning every consumer of the cached index until supersession,
+    and a corpus-sized index pins tens of TB of executor memory/disk.
+
+    Setting ``SPARK_GRAFT_INDEX_DIR`` to a shared path (object
+    storage / DFS at cluster scale) switches every index builder to a
+    DURABLE parquet round-trip: the frame becomes a real index TABLE —
+    replicated by the storage layer, survives executor loss, readable
+    across jobs — which is the production shape the index docstrings
+    describe. Lifecycle mirrors streaming.pipeline.run_to_parquet:
+    each build writes a fresh run-unique directory (a fixed overwrite
+    path would be silently re-read — or broken — under superseded
+    cached frames that still point at it), dirs nest under
+    ``app_<pid>_<apphash>`` and dead-PID dirs are swept on the next
+    build, and within one live session superseded builds accumulate
+    bounded by build count (kilobytes-to-megabytes at test SF; an
+    orchestrator owning a real shared store would instead key paths by
+    corpus snapshot and run retention there).
+    """
+    import hashlib
+    import os
+
+    root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    if not root:
+        return df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    _sweep_dead_app_dirs(root)
+    apphash = hashlib.md5(spark.sparkContext.applicationId.encode()).hexdigest()[:8]
+    path = os.path.join(
+        root, f"app_{os.getpid()}_{apphash}", f"{tag}_{next(_INDEX_SEQ)}"
+    )
+    df.write.mode("error").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _sweep_dead_app_dirs(root: str) -> None:
+    """Remove ``app_<pid>_*`` dirs whose owning process is gone (same
+    convention as run_to_parquet's drain sweep)."""
+    import glob
+    import os
+    import shutil
+
+    for stale in glob.glob(os.path.join(root, "app_*")):
+        try:
+            pid = int(os.path.basename(stale).split("_")[1])
+            os.kill(pid, 0)  # raises if the owning process is gone
+        except (ValueError, IndexError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it alone
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import MAX_CHECKPOINT_ENTRIES, dataset_cached, scatter, table
+from ..catalog import (
+    MAX_CHECKPOINT_ENTRIES,
+    checkpoint_frame,
+    dataset_cached,
+    scatter,
+    table,
+)
 from ..functions.exact import dsum
 from ..registry import register
 
@@ -233,7 +239,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
     checkpointed RDD dies with its context).
     """
     def build() -> dict:
-        assigned = _ivf_assigned_frame(spark, sf_dir).localCheckpoint(eager=True)
+        assigned = checkpoint_frame(_ivf_assigned_frame(spark, sf_dir), "ivf_assigned")
         # The inverted lists as a POSTING TABLE (cid, vec_id) — one row
         # per member, the shape every production IVF store uses (and,
         # on a cluster, a table bucketed by cid). NOT collect_list
@@ -243,11 +249,11 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
         # while the posting table scales like any keyed table and the
         # candidate expansion becomes a plain keyed join instead of an
         # explode of giant arrays.
-        cells = (
+        cells = checkpoint_frame(
             assigned.select(
                 "vec_id", F.element_at("cells", 1).getField("cid").alias("cid")
-            )
-            .localCheckpoint(eager=True)
+            ),
+            "ivf_cells",
         )
         from .similarity import vector_store
 

@@ -23,14 +23,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import MAX_CHECKPOINT_ENTRIES, dataset_cached, scatter, table
+from ..catalog import (
+    MAX_CHECKPOINT_ENTRIES,
+    checkpoint_frame,
+    dataset_cached,
+    scatter,
+    table,
+)
 from ..functions.hashing import (
-    HEX_CHARS,
-    MERSENNE31,
     MINHASH_N_BANDS as N_BANDS,
     MINHASH_PARAMS,
     MINHASH_ROWS_PER_BAND,
+    PRIME48,
+    hex_int48,
     md5_int48,
+    sql_hex_int48,
     sql_md5_int48,
 )
 from ..registry import register
@@ -40,8 +47,8 @@ SIMHASH_BITS = 48
 # LSH bucket-width cap (both engines): a cluster of k near-identical
 # documents shares a (band, sig) bucket in EVERY band, and all-pairs
 # in-bucket expansion is k²/2 — at web scale, boilerplate duplicated
-# 10⁵+ times would materialize >2³¹ pair structs in one flattened array
-# row (a hard JVM limit) and make k²-row stragglers below that. A
+# 10⁵+ times would make k²-row stragglers (and >2³¹-element pair
+# arrays, were pairs ever array-expanded from an unbounded bucket). A
 # bucket wider than the cap therefore emits a STAR CHAIN instead of
 # all-pairs: one (min_id, member) pair per other member — O(k) pairs
 # that still link every member to a single representative, so
@@ -50,9 +57,12 @@ SIMHASH_BITS = 48
 # byte-identical docs — templated boilerplate differing by a token —
 # is NOT caught by dedup_exact, so silently dropping hot buckets would
 # keep every copy). Pairwise similarity detail inside a hot bucket is
-# deliberately not materialized (it is k²); the star pairs move the
-# capacity envelope back to O(k), the same order as the bucket's ids
-# array itself.
+# deliberately not materialized (it is k²). The index itself stores
+# NO per-bucket arrays at all (a hot bucket's ids array would be a
+# multi-GB single row at web scale — the collect_list aggregation
+# buffer alone grows with k): it is a POSTING TABLE (doc_id, band,
+# sig) plus derived O(1)-wide rows; only ≤cap buckets are ever
+# collected, and only transiently during pair expansion.
 MINHASH_BUCKET_CAP = 64
 
 # SimHash packed-popcount capacity: each 16-bit field carries a
@@ -103,17 +113,15 @@ def _bucket_pairs(grouped: DataFrame) -> DataFrame:
     """Expand each bucket row into ordered doc pairs.
 
     grouped must carry an ascending-sorted ``ids`` array column. Emits
-    one row per (doc_a < doc_b) pair within a bucket. This replaces the
-    bucket self-join: the upstream signature pipeline is evaluated ONCE
-    (a self-join re-evaluates it per side — Spark does not materialize
-    shared subplans), and the only shuffle is the groupBy that built the
-    buckets. Pair expansion is row-local codegen'd array work; every
-    caller BOUNDS bucket width before expansion (the n-gram index
-    DF-prunes at NGRAM_DF_CAP; MinHash uses _capped_bucket_pairs, which
-    falls back to a star chain above MINHASH_BUCKET_CAP), so the
-    flattened pair array per row stays ≤ cap²/2 — unbounded widths
-    would hit the JVM's 2³¹ array-element limit on boilerplate
-    duplicated at web scale.
+    one row per (doc_a < doc_b) pair within a bucket. Pair expansion is
+    row-local codegen'd array work; every caller BOUNDS bucket width
+    BEFORE the ids array is ever collected (the n-gram index DF-prunes
+    at NGRAM_DF_CAP; the MinHash index build collects only buckets a
+    width-stats semi-join proved ≤ MINHASH_BUCKET_CAP wide), so both
+    the collect_list aggregation buffer and the flattened pair array
+    per row stay ≤ cap resp. cap²/2 — unbounded widths would hit the
+    JVM's 2³¹ array-element limit on boilerplate duplicated at web
+    scale.
     """
     return grouped.select(F.explode(_all_pairs_expr(F.col("ids"))).alias("p")).select(
         "p.doc_a", "p.doc_b"
@@ -122,9 +130,9 @@ def _bucket_pairs(grouped: DataFrame) -> DataFrame:
 
 def _all_pairs_expr(ids: Column) -> Column:
     """Row-local (doc_a < doc_b) pair-struct array over an
-    ascending-sorted id array — THE all-pairs expansion, shared by
-    _bucket_pairs and _capped_bucket_pairs so the slice arithmetic and
-    struct field order exist exactly once."""
+    ascending-sorted id array — THE all-pairs expansion behind
+    _bucket_pairs, kept separate so the slice arithmetic and struct
+    field order exist exactly once."""
     return F.flatten(
         F.transform(
             ids,
@@ -134,29 +142,6 @@ def _all_pairs_expr(ids: Column) -> Column:
             ),
         )
     )
-
-
-def _capped_bucket_pairs(grouped: DataFrame) -> DataFrame:
-    """Width-aware in-bucket pair expansion for the MinHash index:
-    all-pairs for buckets ≤ MINHASH_BUCKET_CAP wide, a STAR CHAIN
-    (min_id paired with every other member) above it.
-
-    The CASE picks the expansion per bucket row lazily (codegen
-    evaluates only the taken branch), so a hot bucket never builds the
-    quadratic array: its star array is k−1 structs — the same O(k)
-    order as the ids array the groupBy already materialized — while
-    small buckets keep the full pairwise detail downstream similarity
-    scoring wants. ids is sorted ascending, so element_at(ids, 1) is
-    the representative min and doc_a < doc_b holds on both branches.
-    """
-    ids = F.col("ids")
-    full = _all_pairs_expr(ids)
-    star = F.transform(
-        F.slice(ids, 2, F.size(ids) - 1),
-        lambda y: F.struct(F.element_at(ids, 1).alias("doc_a"), y.alias("doc_b")),
-    )
-    pairs = F.when(F.size(ids) <= MINHASH_BUCKET_CAP, full).otherwise(star)
-    return grouped.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -207,7 +192,7 @@ def _minhash_bands_cte() -> str:
     sig) — the oracle mirror of _band_signatures, reused by every
     MinHash-family oracle so the signature pipeline exists once."""
     mins = ",\n         ".join(
-        f"MIN(({a} * x + {b}) % {MERSENNE31}) AS mh_{j}"
+        f"MIN((({a} * x1) % {PRIME48} + x2 + {b}) % {PRIME48}) AS mh_{j}"
         for j, (a, b) in enumerate(MINHASH_PARAMS)
     )
     band_selects = []
@@ -217,8 +202,12 @@ def _minhash_bands_cte() -> str:
         band_selects.append(f"SELECT doc_id, {k} AS band, {sig} AS sig FROM minhash")
     bands = "\n  UNION ALL ".join(band_selects)
     return f"""shingles AS ({_SQL_SHINGLES.format(where="")}),
+hexed AS (
+  SELECT doc_id, MD5(sh) AS hx FROM shingles
+),
 hashed AS (
-  SELECT doc_id, {sql_md5_int48("sh")} % {MERSENNE31} AS x FROM shingles
+  SELECT doc_id, {sql_hex_int48("hx", 1)} AS x1, {sql_hex_int48("hx", 13)} AS x2
+  FROM hexed
 ),
 minhash AS (
   SELECT doc_id,
@@ -259,17 +248,24 @@ GROUP BY 1, 2
 
 
 def _band_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, sig) LSH banding rows: shingle → md5 48-bit →
-    16 minhashes in ONE aggregation (partial agg map-side) → 8 bands of
-    2 exploded row-locally. SQL-string construction (one py4j call per
-    F.expr) — identical plan, ~6× cheaper driver-side build than
-    per-Column operator calls."""
-    hashed = _shingles(docs).select(
-        "doc_id", (md5_int48(F.col("sh")) % MERSENNE31).alias("x")
+    """(doc_id, band, sig) LSH banding rows: shingle → ONE md5 → two
+    independent 48-bit slices (x1, x2) → 16 minhashes in ONE
+    aggregation (partial agg map-side) → 8 bands of 2 exploded
+    row-locally. The two-slice affine family keeps shingle identity at
+    96 md5 bits (see MINHASH_PARAMS in functions/hashing.py for the
+    collision analysis); md5 is computed once in its own projection so
+    neither engine re-hashes per slice. SQL-string construction (one
+    py4j call per F.expr) — identical plan, ~6× cheaper driver-side
+    build than per-Column operator calls."""
+    hexed = _shingles(docs).select("doc_id", F.md5("sh").alias("hx"))
+    hashed = hexed.select(
+        "doc_id",
+        hex_int48(F.col("hx"), 1).alias("x1"),
+        hex_int48(F.col("hx"), 13).alias("x2"),
     )
     minhash = hashed.groupBy("doc_id").agg(
         *[
-            F.expr(f"MIN(({a} * x + {b}) % {MERSENNE31}) AS mh_{j}")
+            F.expr(f"MIN((({a} * x1) % {PRIME48} + x2 + {b}) % {PRIME48}) AS mh_{j}")
             for j, (a, b) in enumerate(MINHASH_PARAMS)
         ]
     )
@@ -283,67 +279,114 @@ def _band_signatures(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
 
 
-_MINHASH_INDEX_CACHE: dict[tuple, DataFrame] = {}
+_MINHASH_INDEX_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
-def _minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build (or fetch) the LSH bucket table: (band, sig, ids) with ids
-    the sorted doc_ids sharing that band signature, eagerly
+def _minhash_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Build (or fetch) the LSH index: (bands, pairs), both eagerly
     localCheckpoint'd once per (dataset identity, Spark application).
+
+    - ``bands`` (doc_id, band, sig): the signature POSTING TABLE. Every
+      row is O(1) wide — deliberately NOT per-bucket id arrays, whose
+      collect_list aggregation buffer and single-row payload both grow
+      with bucket width (a web-scale boilerplate bucket of 5×10⁸
+      members would be a multi-GB row, and past 2³¹ members a hard JVM
+      array limit).
+    - ``pairs`` (doc_a, doc_b): the raw candidate pair stream, one row
+      per shared band — all-pairs for buckets ≤ MINHASH_BUCKET_CAP
+      (collected transiently AFTER a width-stats semi-join proves them
+      narrow), a star chain (bucket-min → member) above it.
 
     Index BUILD is separated from candidate SEARCH exactly as the ANN
     paths do (_lsh_index/_ivf_index): the shingle→minhash→banding
     pipeline runs once per corpus version; every consumer (the candidate
     query itself, connected components, filtered-corpus, incremental
-    delta dedup) pays only pair expansion. At cluster scale this frame
-    is a materialized signature table — the standard shape for corpus
-    dedup, where signatures are computed once per snapshot and reused
-    across dedup, clustering, and incremental joins. Identity/eviction
-    semantics are catalog.dataset_cached's (supersession releases the
-    old checkpoint).
+    delta dedup) starts from a materialized table. At cluster scale
+    these are materialized signature/candidate tables — the standard
+    shape for corpus dedup, where signatures are computed once per
+    snapshot and reused across dedup, clustering, and incremental
+    joins. Identity/eviction semantics are catalog.dataset_cached's
+    (supersession releases the old checkpoints).
     """
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        bands = checkpoint_frame(_minhash_bands_frame(spark, sf_dir), "minhash_bands")
+        pairs = checkpoint_frame(_minhash_pairs_frame(bands), "minhash_pairs")
+        return (bands, pairs)
 
     return dataset_cached(
         _MINHASH_INDEX_CACHE,
         spark,
         sf_dir,
         ("documents.parquet",),
-        lambda: _minhash_buckets_frame(spark, sf_dir).localCheckpoint(eager=True),
+        build,
         max_entries=MAX_CHECKPOINT_ENTRIES,
     )
 
 
-def _minhash_buckets_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRE-checkpoint logical plan of the LSH bucket index build,
-    exposed separately so plan-quality tests can assert on the build
-    pipeline — checkpointing truncates lineage to an RDD scan, hiding
-    the build's joins/shuffles from every explain-based check."""
-    bands = _band_signatures(table(spark, sf_dir, "documents"))
-    return (
-        bands.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+def _minhash_bands_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRE-checkpoint logical plan of the banding build, exposed
+    separately so plan-quality tests can assert on the build pipeline —
+    checkpointing truncates lineage to an RDD scan, hiding the build's
+    joins/shuffles from every explain-based check."""
+    return _band_signatures(table(spark, sf_dir, "documents"))
+
+
+def _minhash_pairs_frame(bands: DataFrame) -> DataFrame:
+    """Raw candidate pairs from a (checkpointed) bands posting table.
+
+    Width stats first (count + min per bucket — O(1)-wide rows, no
+    arrays): buckets proven ≤ MINHASH_BUCKET_CAP by a semi-join are
+    collected into ≤cap arrays and expanded all-pairs row-locally;
+    wider buckets stream a star chain from a keyed join against their
+    single stats row (min → each member), never materializing a hot
+    bucket in one row. ``bands`` must be materialized (checkpointed) —
+    Spark shares no subplans, so an un-checkpointed frame would re-run
+    the signature pipeline for each of the three consumers here.
+    """
+    stats = bands.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("width"), F.min("doc_id").alias("mn")
     )
+    small = (
+        bands.join(
+            stats.filter(
+                (F.col("width") > 1) & (F.col("width") <= MINHASH_BUCKET_CAP)
+            ).select("band", "sig"),
+            ["band", "sig"],
+        )
+        .groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    )
+    star = (
+        bands.join(
+            stats.filter(F.col("width") > MINHASH_BUCKET_CAP).select(
+                "band", "sig", "mn"
+            ),
+            ["band", "sig"],
+        )
+        .filter(F.col("doc_id") != F.col("mn"))
+        .select(F.col("mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return _bucket_pairs(small).unionByName(star)
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → 16 minhashes → 8 bands
-    of 2 → bucket grouping on (band, sig) → in-bucket pair expansion.
+    of 2 → (band, sig) posting table → per-bucket pair stream.
 
     The 16-hash signature is ONE aggregation (16 min() columns, partial
-    agg map-side); banding replaces the O(n²) all-pairs scan, and
-    collect_list bucketing evaluates the signature pipeline once (a
-    bucket self-join would evaluate it per join side). The bucket table
-    is a cached per-corpus index (_minhash_buckets); the query itself is
-    pair expansion + one bounded groupBy. Buckets wider than
-    MINHASH_BUCKET_CAP expand to a star chain instead of all-pairs
-    (_capped_bucket_pairs) — O(k) representative pairs that keep every
-    member of a hot boilerplate cluster linked for connected-components
-    without the k² blow-up.
+    agg map-side); banding replaces the O(n²) all-pairs scan. Both the
+    posting table and the raw pair stream are cached per-corpus index
+    frames (_minhash_index); the query itself is one bounded groupBy
+    over the materialized pair stream. Buckets wider than
+    MINHASH_BUCKET_CAP contribute a star chain instead of all-pairs —
+    O(k) representative pairs that keep every member of a hot
+    boilerplate cluster linked for connected-components without the k²
+    blow-up.
     """
-    buckets = _minhash_buckets(spark, sf_dir)
-    return _capped_bucket_pairs(buckets).groupBy("doc_a", "doc_b").agg(
+    _, pairs = _minhash_index(spark, sf_dir)
+    return pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_shared_bands")
     )
 
@@ -461,7 +504,7 @@ def _ngram_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     buckets wider than NGRAM_DF_CAP dropped — plus the per-doc sizes
     (doc_id, sz) over the PRUNED vocabulary. Both eagerly
     localCheckpoint'd once per (dataset identity, Spark application) —
-    the same build/search split as _minhash_buckets: one groupBy builds
+    the same build/search split as _minhash_index: one groupBy builds
     the inverted index AND implicitly the DF counts (bucket width),
     pruning happens BEFORE any quadratic pair expansion (bounded
     fan-out: ≤ CAP²/2 pairs per bucket), and sizes come from
@@ -473,12 +516,12 @@ def _ngram_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     semantics are catalog.dataset_cached's."""
 
     def build() -> tuple[DataFrame, DataFrame]:
-        kept = _ngram_index_frame(spark, sf_dir).localCheckpoint(eager=True)
-        sizes = (
+        kept = checkpoint_frame(_ngram_index_frame(spark, sf_dir), "ngram_index")
+        sizes = checkpoint_frame(
             kept.select(F.explode("ids").alias("doc_id"))
             .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("sz"))
-            .localCheckpoint(eager=True)
+            .agg(F.count(F.lit(1)).alias("sz")),
+            "ngram_sizes",
         )
         return (kept, sizes)
 
@@ -490,7 +533,7 @@ def _ngram_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
 
 def _ngram_index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRE-checkpoint plan of the pruned inverted-index build (see
-    _minhash_buckets_frame for why this is exposed)."""
+    _minhash_bands_frame for why this is exposed)."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     index = _shingles(docs).groupBy("sh").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
@@ -585,7 +628,7 @@ def _semdedup_member(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         ("embeddings.parquet",),
-        lambda: _semdedup_member_frame(spark, sf_dir).localCheckpoint(eager=True),
+        lambda: checkpoint_frame(_semdedup_member_frame(spark, sf_dir), "semdedup_member"),
         params=(SEMDEDUP_K,),
         max_entries=MAX_CHECKPOINT_ENTRIES,
     )
@@ -593,7 +636,7 @@ def _semdedup_member(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semdedup_member_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRE-checkpoint plan of the cell-assignment build (see
-    _minhash_buckets_frame for why this is exposed)."""
+    _minhash_bands_frame for why this is exposed)."""
     from ..functions.vectors import norm
 
     from .advanced_ops import load_centroids, ranked_centroids_expr
@@ -608,6 +651,12 @@ def _semdedup_member_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Salt fan-out for the within-cell self-join: one cell's pair
 # enumeration lands on CELL_PAIR_SALTS reduce tasks instead of one.
+# Production sizing rule: a cell of width w enumerates ~w²/2 pairs, so
+# pick salts ≈ w_max²/(2·target_rows_per_task) (e.g. a 10⁶-member junk
+# cell at 10⁸ rows/task → ~5000 salts); the real mitigation for
+# heavily skewed codebooks is upstream — raise SEMDEDUP_K toward √N so
+# w_max stays near √N, and split pathological cells before pairing.
+# The salt only spreads the residual skew K cannot remove.
 CELL_PAIR_SALTS = 8
 
 
@@ -921,31 +970,34 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     The rule is uniform per bucket and deliberately NOT derived from
     the candidate-pair stream: a delta doc is a duplicate iff it shares
     a bucket with ≥1 corpus doc, and its per-bucket match is that
-    bucket's MIN CORPUS member (array_min over a row-local filter of
-    the cached index's sorted ids). For ≤cap buckets this is exactly
-    what the all-pairs semantics would report (the minimum of a delta
-    doc's corpus pair-partners in a bucket IS the bucket's corpus min);
-    for hot buckets it is strictly better — the star chain links
-    members through the bucket's global min, so a pair-derived verdict
-    would silently report is_dup=false for every delta doc in a hot
-    bucket whose min id happens to be a delta doc itself, appending
-    known boilerplate duplicates. The bucket rule costs O(k) per bucket
-    (no pair expansion at all: one row-local filter + explode of the
-    delta members), one aggregation keyed on delta_id. Delta-internal
-    duplicates are deliberately out of scope (they are the ordinary
-    batch-local dedup). Every delta doc gets a verdict row (is_dup +
-    lowest matching corpus doc), ready to anti-join the delta before
+    bucket's MIN CORPUS member. For ≤cap buckets this is exactly what
+    the all-pairs semantics would report (the minimum of a delta doc's
+    corpus pair-partners in a bucket IS the bucket's corpus min); for
+    hot buckets it is strictly better — the star chain links members
+    through the bucket's global min, so a pair-derived verdict would
+    silently report is_dup=false for every delta doc in a hot bucket
+    whose min id happens to be a delta doc itself, appending known
+    boilerplate duplicates. Computed straight off the cached POSTING
+    TABLE: one keyed aggregation for the per-bucket corpus min, one
+    keyed join with the delta's band rows, one aggregation keyed on
+    delta_id — no per-bucket arrays anywhere (a hot bucket's ids array
+    would be a multi-GB row at web scale). Delta-internal duplicates
+    are deliberately out of scope (they are the ordinary batch-local
+    dedup). Every delta doc gets a verdict row (is_dup + lowest
+    matching corpus doc), ready to anti-join the delta before
     appending.
     """
     docs = table(spark, sf_dir, "documents")
-    buckets = _minhash_buckets(spark, sf_dir)
-    corpus_min = F.array_min(F.filter(F.col("ids"), lambda x: x % 10 != 0))
-    delta_members = F.filter(F.col("ids"), lambda x: x % 10 == 0)
+    bands, _ = _minhash_index(spark, sf_dir)
+    corpus_min = (
+        bands.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("band", "sig")
+        .agg(F.min("doc_id").alias("corpus_id"))
+    )
     best = (
-        buckets.select(
-            corpus_min.alias("corpus_id"), F.explode(delta_members).alias("delta_id")
-        )
-        .filter(F.col("corpus_id").isNotNull())
+        bands.filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("delta_id"), "band", "sig")
+        .join(corpus_min, ["band", "sig"])
         .groupBy("delta_id")
         .agg(F.min("corpus_id").alias("first_match"))
     )
@@ -991,16 +1043,40 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline runs between candidate generation and
     keep-one-per-cluster filtering.
 
-    Iterative min-label propagation: each round every vertex takes the
-    min label among itself and its neighbors; converges in O(diameter)
-    rounds (checked via a driver-side count per round — the per-round
-    WORK is fully distributed, the driver only sees the single
-    converged/not-converged scalar, which is how any iterative Spark
-    algorithm terminates). localCheckpoint truncates lineage so plans
-    don't grow exponentially with rounds. The DuckDB oracle computes
-    the same fixpoint as a recursive CTE.
+    Iterative min-label propagation WITH POINTER JUMPING (the
+    Shiloach–Vishkin shortcut): each round every vertex first takes the
+    min label among itself and its neighbors, then replaces its label
+    with its label's label (labels are always vertex ids, so the label
+    table self-joins on them). The neighbor step alone converges in
+    O(diameter) rounds — a gradually-drifting template (paginated or
+    versioned boilerplate, where only consecutive versions share an
+    LSH band) forms a path component whose diameter grows with the
+    chain, and each round is a full edge-set shuffle; the shortcut
+    makes the known-min's reach roughly DOUBLE per round instead of
+    growing by one hop, so convergence is O(log diameter): ~12 rounds
+    for a 3000-link drift chain instead of 3000 (or a loud cap trip).
+    Per-round cost is one extra keyed self-join of the (vertex, label)
+    table — far smaller than the edge join it replaces thousands of.
+    Convergence is checked via a driver-side count per round (the
+    per-round WORK is fully distributed; the driver only sees the
+    single converged/not-converged scalar, which is how any iterative
+    Spark algorithm terminates). localCheckpoint truncates lineage so
+    plans don't grow exponentially with rounds. The DuckDB oracle
+    computes the same fixpoint as a recursive CTE — the fixpoint
+    (label = component min) is algorithm-independent, so the shortcut
+    changes round counts, never results.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _min_label_components(pairs)
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
+
+
+def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
+    """Min-label + pointer-jumping loop behind dedup_connected_components,
+    exposed on a raw (doc_a, doc_b) pair frame so tests can drive it
+    with synthetic graphs (a 300-link path proves the O(log diameter)
+    round count — without the jump, that fixture needs 300 rounds).
+    Returns (v, label) for every vertex incident to a pair."""
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -1010,25 +1086,35 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
         "label", F.col("v")
     )
-    # Loop to the FIXPOINT (changed == 0), not a fixed round cap: a
-    # pathological chain of pairwise near-dups can exceed any guessed
-    # diameter, and returning unconverged labels would silently disagree
-    # with the oracle's recursive-CTE fixpoint. The hard ceiling only
-    # guards against a non-terminating regression, and trips loudly.
-    max_rounds = 1000
+    # Loop to the FIXPOINT (changed == 0), not a fixed round cap:
+    # returning unconverged labels would silently disagree with the
+    # oracle's recursive-CTE fixpoint. The hard ceiling only guards
+    # against a non-terminating regression, and trips loudly — with
+    # pointer jumping, the default 200 rounds allows components of
+    # astronomically large diameter (reach doubles per round), not
+    # merely 200 hops.
     for round_no in range(1, max_rounds + 1):
         neighbor_min = (
             edges.join(labels, edges.a == labels.v)
             .groupBy(F.col("b").alias("nv"))
             .agg(F.min("label").alias("nlabel"))
         )
+        hooked = labels.join(neighbor_min, labels.v == F.col("nv"), "left").select(
+            "v",
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # Pointer jump: label(v) <- label(label(v)). Every label IS a
+        # vertex id present in the label table (initial labels are the
+        # vertices themselves; mins of labels stay labels), so the
+        # lookup always resolves; coalesce is belt-and-braces.
+        jump = hooked.select(F.col("v").alias("jv"), F.col("label").alias("jlabel"))
         new_labels = (
-            labels.join(neighbor_min, labels.v == F.col("nv"), "left")
+            hooked.join(jump, hooked.label == F.col("jv"), "left")
             .select(
                 "v",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
+                F.coalesce(F.col("jlabel"), F.col("label")).alias("label"),
             )
             .localCheckpoint()
         )
@@ -1045,7 +1131,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"connected components did not converge in {max_rounds} rounds"
         )
-    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
+    return labels
 
 
 @register(
@@ -1254,15 +1340,34 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the (m − ⌈t·m⌉ + 1) RAREST shingles form its prefix, and two
     docs are candidates only if their prefixes share a shingle. The
     inverted index is built on prefix shingles only, which are low-df
-    BY CONSTRUCTION — the hot-shingle quadratic bucket the DF-pruned
-    dedup_ngram_jaccard guards against cannot occur, because a shingle
-    frequent enough to form a big bucket is never in anyone's prefix
-    (rare shingles rank first). Verification computes exact Jaccard on
-    candidates with one aggregation over the shared-shingle join.
-    Shuffles: df agg (vocab-sized, broadcast back), per-doc window,
-    prefix bucket groupBy, candidate verification — all keyed, none
-    quadratic. Integer-over-integer division makes the threshold
-    decision engine-exact.
+    WHEN DOCUMENTS DIFFER — rare shingles rank first, so a shingle
+    popular across unrelated docs is never in anyone's prefix.
+    Candidates are further pruned by two exactness-preserving filters
+    before verification: the SSJoin LENGTH filter (Jaccard ≥ t forces
+    min(ma,mb) ≥ t·max(ma,mb) — size-mismatched docs can never pass)
+    and the PPJoin POSITIONAL filter (a pair sharing the prefix
+    shingle at df-order positions ia, ib can have at most
+    1 + min(ma−ia, mb−ib) common shingles, which must reach
+    t/(1+t)·(ma+mb); the pair's first common prefix shingle carries
+    the maximal — and valid — bound, so keeping pairs where ANY shared
+    row passes loses no true pair). Verification computes exact
+    Jaccard on survivors with one aggregation over the shared-shingle
+    join. Integer-over-integer division makes the threshold decision
+    engine-exact.
+
+    Honest quadratic contract: a cluster of k docs that genuinely ARE
+    mutually near-identical (templated boilerplate differing by a
+    token — every prefix shingle has df≈k there, and rareness-ordering
+    cannot help) has Θ(k²) VERIFIED OUTPUT by the operator's exact-join
+    definition; no candidate filter can reduce an output that large.
+    The join itself stays keyed (never cartesian), AQE's skew-join
+    splits the hot shingle's k×k sort-merge partition across tasks at
+    runtime, and the k² cost lands in the result, not in any single
+    array row (the pair stream is join rows, collect_list-free — see
+    the plan pin in tests). Production bounds k by running exact dedup
+    first and this join on LSH-candidate scopes; for capped-cost
+    near-dup discovery use dedup_minhash_lsh, whose star chain is the
+    deliberate O(k) alternative.
 
     The shingle stream is lazily localCheckpoint'd: Spark does not
     share subplans, so its four consumers (df counts, the prefix
@@ -1301,13 +1406,39 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered.filter(
             F.col("i") <= F.col("m") - F.ceil(F.lit(PF_JACCARD_T) * F.col("m")) + 1
         )
-        .select("doc_id", "sh")
+        .select("doc_id", "i", "m", "sh")
         .localCheckpoint(eager=False)
     )
+    # Length + positional filters (see docstring): both thresholds are
+    # relaxed by 0.5 — sizes/overlaps are integers, so half-unit slack
+    # can only ADMIT extra candidates (verified exactly later), never
+    # drop a true pair to t·m landing on a float rounding boundary.
+    overlap_frac = PF_JACCARD_T / (1.0 + PF_JACCARD_T)
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "sh")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        prefix.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("i").alias("ia"),
+            F.col("m").alias("ma"),
+            "sh",
+        )
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("i").alias("ib"),
+                F.col("m").alias("mb"),
+                "sh",
+            ),
+            "sh",
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("ma", "mb")
+            >= PF_JACCARD_T * F.greatest("ma", "mb") - F.lit(0.5)
+        )
+        .filter(
+            1 + F.least(F.col("ma") - F.col("ia"), F.col("mb") - F.col("ib"))
+            >= overlap_frac * (F.col("ma") + F.col("mb")) - F.lit(0.5)
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )

@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import MAX_CHECKPOINT_ENTRIES, dataset_cached, scatter, table
+from ..catalog import (
+    MAX_CHECKPOINT_ENTRIES,
+    checkpoint_frame,
+    dataset_cached,
+    scatter,
+    table,
+)
 from ..functions.vectors import LSH_TABLES, dot, lsh_bucket, norm, sql_lsh_bucket
 from ..registry import register
 
@@ -40,7 +46,7 @@ def vector_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         ("embeddings.parquet",),
-        lambda: _vector_store_frame(spark, sf_dir).localCheckpoint(eager=True),
+        lambda: checkpoint_frame(_vector_store_frame(spark, sf_dir), "vector_store"),
         max_entries=MAX_CHECKPOINT_ENTRIES,
     )
 
@@ -127,7 +133,7 @@ def _lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         ("embeddings.parquet",),
-        lambda: _lsh_index_frame(spark, sf_dir).localCheckpoint(eager=True),
+        lambda: checkpoint_frame(_lsh_index_frame(spark, sf_dir), "lsh_index"),
         max_entries=MAX_CHECKPOINT_ENTRIES,
     )
 
@@ -228,6 +234,21 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # k-means (Lloyd) over the embedding corpus — iterative clustering
 # ---------------------------------------------------------------------------
+# Oracle-baked demo sizing. Capacity contract for the literal-codebook
+# assignment mechanism (_kmeans_assign_expr, and the IVF twin in
+# advanced_ops): the codebook is inlined as K structs × dim literal
+# doubles in ONE SQL expression, which stops working well before any
+# large K — around K in the low THOUSANDS the generated Catalyst tree
+# blows past janino codegen method/constant-pool limits (falling back
+# to interpreted evaluation of K·dim multiply-adds per row), and a
+# production K ~ √N (3×10⁵ at 10¹¹ vectors) would be a ~500 MB SQL
+# string the driver cannot even build. At that scale the assignment
+# step must switch shape: broadcast the codebook as DATA (an array
+# literal per partition via a broadcast variable + Arrow-vectorized
+# mapInPandas matmul, or a broadcast-join against a K-row centroid
+# table with a rank-1 re-rank). The literal form is kept here because
+# it is the fastest shape for the oracle-baked K≤tens demo and keeps
+# the whole iteration inside whole-stage codegen.
 KMEANS_K = 4
 KMEANS_ITERS = 3
 

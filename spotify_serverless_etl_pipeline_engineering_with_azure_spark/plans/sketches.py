@@ -147,6 +147,18 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Count-min sketch parameters -------------------------------------------
+# SIZING CONTRACT (the constants are oracle-baked; the RULE is the
+# contract): count-min overestimates by ε·N with ε ≈ e/width and
+# confidence 1−δ at depth ≈ ln(1/δ), where N is TOTAL stream mass —
+# width must therefore track the heavy-hitter threshold, not stay
+# fixed. To resolve φ-heavy-hitters (count ≥ φ·N) pick
+# width ≈ e/(φ·headroom): at the 100 TB posture (~10¹³ tokens) the
+# demo's 4×512 absorbs ~2×10¹⁰ of collision mass per cell, drowning
+# every real count while the estimate≥truth invariant and oracle
+# parity both still hold — resolving φ = 10⁻⁶ hitters there needs
+# width ~ 10⁷ (a few hundred MB of longs, still one aggregation row
+# per (row_i, pos) and far below any table scan). Depth stays small
+# (4–7): it only sharpens confidence, not resolution.
 CMS_DEPTH = 4
 CMS_WIDTH = 512
 CMS_TOP_K = 30

@@ -508,16 +508,26 @@ GROUP BY p_brand, p_size
 def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN → LEFT ANTI join (the exclusion list has no NULLs — keys
     are a non-null PK — so anti-join semantics match NOT IN), then
-    COUNT DISTINCT per brand/size."""
+    COUNT DISTINCT per brand/size.
+
+    The exclusion side is pruned to the join key and NOT force-
+    broadcast: negative-balance suppliers are a fixed FRACTION (~8%) of
+    a dim that grows linearly with SF — ~8×10⁷ keys at the 100 TB
+    posture, past the broadcast cliff. AQE broadcasts it while it is
+    small and switches to a shuffled anti-join when it is not."""
     part = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & F.col("p_size").isin(1, 9, 14, 23, 36, 45, 49, 3)
     )
     li = table(spark, sf_dir, "lineitem")
-    bad_supp = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0)
+    bad_supp = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
     return (
         li.join(
-            F.broadcast(bad_supp),
+            bad_supp,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -762,8 +772,11 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20's nested-IN shape: suppliers who shipped > 400 units of
     SMALL-type parts in 1997 (partsupp availability replaced by shipped
     quantity). Two nested INs decorrelate to two semi-joins — the inner
-    one a broadcast against the filtered part dim, the outer against a
-    grouped HAVING aggregate."""
+    against the filtered part dim, the outer against a grouped HAVING
+    aggregate. The part side is NOT force-broadcast: SMALL-type parts
+    are ~1/6 of a dim that grows linearly with SF (~3×10⁹ keys at the
+    100 TB posture — past both the 8 GB broadcast cliff and the 512M
+    build-row limit); AQE broadcasts while small, shuffles when not."""
     supp = table(spark, sf_dir, "supplier")
     small = table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
     li = table(spark, sf_dir, "lineitem").filter(
@@ -772,7 +785,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qualified = (
         li.join(
-            F.broadcast(small.select("p_partkey")),
+            small.select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )

@@ -245,7 +245,7 @@ WHERE CAST(c AS DOUBLE) / (sa.m + sb.m - c) >= {PF_JACCARD_T}
 
 
 def test_index_caches_reuse_and_invalidate(spark, sf_dir, tmp_path):
-    """The per-dataset index caches (_minhash_buckets, _ngram_index) must
+    """The per-dataset index caches (_minhash_index, _ngram_index) must
     serve the SAME checkpointed frame for an unchanged corpus snapshot
     and rebuild when the underlying parquet changes — a stale hit would
     silently answer dedup queries from a superseded corpus."""
@@ -257,8 +257,8 @@ def test_index_caches_reuse_and_invalidate(spark, sf_dir, tmp_path):
     ds.mkdir()
     shutil.copy(f"{sf_dir}/documents.parquet", ds / "documents.parquet")
 
-    b1 = dedup._minhash_buckets(spark, str(ds))
-    assert dedup._minhash_buckets(spark, str(ds)) is b1, "unchanged snapshot must hit"
+    b1 = dedup._minhash_index(spark, str(ds))
+    assert dedup._minhash_index(spark, str(ds)) is b1, "unchanged snapshot must hit"
     k1, s1 = dedup._ngram_index(spark, str(ds))
     assert dedup._ngram_index(spark, str(ds))[0] is k1
 
@@ -269,7 +269,7 @@ def test_index_caches_reuse_and_invalidate(spark, sf_dir, tmp_path):
         f"COPY (SELECT * FROM read_parquet('{sf_dir}/documents.parquet') "
         f"WHERE doc_id % 2 = 0) TO '{ds}/documents.parquet' (FORMAT PARQUET)"
     )
-    b2 = dedup._minhash_buckets(spark, str(ds))
+    b2 = dedup._minhash_index(spark, str(ds))
     assert b2 is not b1, "regenerated corpus must rebuild the LSH index"
     k2, s2 = dedup._ngram_index(spark, str(ds))
     assert k2 is not k1
@@ -278,7 +278,7 @@ def test_index_caches_reuse_and_invalidate(spark, sf_dir, tmp_path):
     for cache in (dedup._MINHASH_INDEX_CACHE, dedup._NGRAM_INDEX_CACHE):
         assert sum(1 for k in cache if k[0][0] == str(ds)) == 1
     # Rebuilt index reflects the new corpus: no odd doc_id anywhere.
-    odd = b2.select(F.explode("ids").alias("d")).filter(F.col("d") % 2 == 1).count()
+    odd = b2[0].filter(F.col("doc_id") % 2 == 1).count()
     assert odd == 0
     assert s2.filter(F.col("doc_id") % 2 == 1).count() == 0
 
@@ -360,3 +360,64 @@ def test_run_to_parquet_sweeps_dead_process_dirs(spark, tmp_path, monkeypatch):
     live = glob.glob(f"{base}/app_{os.getpid()}_*/run_*")
     assert live, "this invocation's run dir must exist"
     assert back.count() > 0, "returned frame must read the landed parquet"
+
+
+def test_connected_components_pointer_jumping_on_a_drift_chain(spark):
+    """A 300-link path graph — the drifting-template shape, where only
+    consecutive versions share an LSH band — must converge in O(log
+    diameter) rounds. The max_rounds=15 budget FAILS without the
+    pointer-jumping shortcut (plain min-label propagation moves the min
+    one hop per round and needs 300), so this is a mutation check on
+    the jump itself; labels must still be the exact component min."""
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.dedup import (
+        _min_label_components,
+    )
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    labels = _min_label_components(pairs, max_rounds=15).toPandas()
+    assert len(labels) == n + 1
+    assert set(labels.label) == {0}
+
+
+def test_durable_index_store_roundtrip_and_sweep(spark, sf_dir, tmp_path, monkeypatch):
+    """SPARK_GRAFT_INDEX_DIR flips index materialization from executor-
+    local localCheckpoint blocks (unreplicated — lost with an executor)
+    to a durable parquet round-trip, the production shape: replicated
+    by the storage layer, survives executor loss, readable across jobs.
+    The durable index must serve identical results, write under this
+    process's app_<pid> dir, and sweep dead-PID debris on build."""
+    import glob
+    import os
+    import shutil
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans import dedup
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", ds / "documents.parquet")
+    baseline = dedup.dedup_minhash_lsh(spark, str(ds)).toPandas()
+
+    store = tmp_path / "index_store"
+    dead = store / "app_999999999_deadbeef"
+    dead.mkdir(parents=True)
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(store))
+    # Fresh dataset identity so the cache cannot serve the
+    # localCheckpoint-mode build.
+    ds2 = tmp_path / "ds2"
+    ds2.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", ds2 / "documents.parquet")
+    durable = dedup.dedup_minhash_lsh(spark, str(ds2)).toPandas()
+
+    assert not dead.exists(), "dead-app index dir must be swept on build"
+    live = glob.glob(str(store / f"app_{os.getpid()}_*" / "minhash_*"))
+    assert len(live) >= 2, "bands + pairs must land as parquet index tables"
+
+    def key(pdf):
+        return sorted(
+            map(tuple, pdf[["doc_a", "doc_b", "n_shared_bands"]].itertuples(index=False))
+        )
+
+    assert key(durable) == key(baseline)

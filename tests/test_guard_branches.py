@@ -92,8 +92,10 @@ def hot_bucket_dir(tmp_path_factory):
 # ---------------------------------------------------------------------------
 def test_minhash_hot_bucket_fixture_actually_trips_the_cap(spark, hot_bucket_dir):
     width = (
-        _dedup._minhash_buckets_frame(spark, hot_bucket_dir)
-        .agg(F.max(F.size("ids")).alias("w"))
+        _dedup._minhash_bands_frame(spark, hot_bucket_dir)
+        .groupBy("band", "sig")
+        .count()
+        .agg(F.max("count").alias("w"))
         .collect()[0]["w"]
     )
     assert width == len(HOT_CLUSTER_IDS) > _dedup.MINHASH_BUCKET_CAP, (

@@ -97,7 +97,10 @@ def test_no_cartesian_product_anywhere(spark, name):
 # those queries the sweep above cannot see (and, at 100 TB, the part
 # that actually processes the corpus).
 INDEX_BUILD_FRAMES = {
-    "minhash_buckets": lambda s: _dedup._minhash_buckets_frame(s, SF_SMOKE),
+    "minhash_bands": lambda s: _dedup._minhash_bands_frame(s, SF_SMOKE),
+    "minhash_pairs": lambda s: _dedup._minhash_pairs_frame(
+        _dedup._minhash_index(s, SF_SMOKE)[0]
+    ),
     "ngram_index": lambda s: _dedup._ngram_index_frame(s, SF_SMOKE),
     "semdedup_member": lambda s: _dedup._semdedup_member_frame(s, SF_SMOKE),
     "lsh_index": lambda s: _similarity._lsh_index_frame(s, SF_SMOKE),
@@ -331,7 +334,7 @@ HEADLINE_EXCHANGE_BUDGET = {
     "json_extract_events": (1, 0),
     "dedup_exact": (1, 0),
     # index-build shuffles (shingle scatter + minhash agg + bucket
-    # groupBy) live in _minhash_buckets / _ngram_index, not the
+    # groupBy) live in _minhash_index / _ngram_index, not the
     # per-query search plan — same split as sim_ann_ivf below
     "dedup_minhash_lsh": (1, 0),
     # 1 of the 2 is scatter()'s RoundRobin small-input repair — the pin

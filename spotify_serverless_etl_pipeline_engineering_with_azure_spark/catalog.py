@@ -137,41 +137,73 @@ def checkpoint_frame(df: DataFrame, tag: str = "frame") -> DataFrame:
     describe. Lifecycle mirrors streaming.pipeline.run_to_parquet:
     each build writes a fresh run-unique directory (a fixed overwrite
     path would be silently re-read — or broken — under superseded
-    cached frames that still point at it), dirs nest under
-    ``app_<pid>_<apphash>`` and dead-PID dirs are swept on the next
-    build, and within one live session superseded builds accumulate
+    cached frames that still point at it), dirs nest under this
+    application's ``app_scoped_dir`` and same-host dead-PID dirs are
+    swept on the next build, and within one live session superseded
+    builds accumulate
     bounded by build count (kilobytes-to-megabytes at test SF; an
     orchestrator owning a real shared store would instead key paths by
     corpus snapshot and run retention there).
     """
-    import hashlib
     import os
 
     root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
     if not root:
         return df.localCheckpoint(eager=True)
     spark = df.sparkSession
-    _sweep_dead_app_dirs(root)
-    apphash = hashlib.md5(spark.sparkContext.applicationId.encode()).hexdigest()[:8]
-    path = os.path.join(
-        root, f"app_{os.getpid()}_{apphash}", f"{tag}_{next(_INDEX_SEQ)}"
-    )
+    path = os.path.join(app_scoped_dir(root, spark), f"{tag}_{next(_INDEX_SEQ)}")
     df.write.mode("error").parquet(path)
     return spark.read.parquet(path)
 
 
+def _host_hash() -> str:
+    import hashlib
+    import socket
+
+    return hashlib.md5(socket.gethostname().encode()).hexdigest()[:8]
+
+
+def app_scoped_dir(root: str, spark: SparkSession) -> str:
+    """THE per-application scratch-dir convention (index store, stream
+    drains, bucketed layouts): sweep dead same-host app dirs under
+    ``root``, then return this application's directory
+    ``root/app_<pid>_<hosthash>_<apphash>`` (not created). Callers nest
+    run-/build-unique subdirs under it and never delete them while the
+    application lives, so previously returned lazy frames stay valid;
+    debris is reclaimed by the NEXT process's sweep."""
+    import hashlib
+    import os
+
+    _sweep_dead_app_dirs(root)
+    apphash = hashlib.md5(spark.sparkContext.applicationId.encode()).hexdigest()[:8]
+    return os.path.join(root, f"app_{os.getpid()}_{_host_hash()}_{apphash}")
+
+
 def _sweep_dead_app_dirs(root: str) -> None:
-    """Remove ``app_<pid>_*`` dirs whose owning process is gone (same
-    convention as run_to_parquet's drain sweep)."""
+    """Remove ``app_<pid>_<hosthash>_*`` dirs whose owning process is
+    gone. PID liveness is only knowable on the process's own host, so
+    dirs stamped with another host's hash are left alone (on a shared
+    DFS/object-store root, deleting a foreign app's dir would destroy
+    LIVE index tables another driver is reading — exactly the loss the
+    durable store exists to prevent); entries that don't parse as our
+    naming convention are skipped, never deleted (the root is a
+    user-supplied directory that may hold unrelated data)."""
     import glob
     import os
     import shutil
 
+    ours = _host_hash()
     for stale in glob.glob(os.path.join(root, "app_*")):
+        parts = os.path.basename(stale).split("_")
         try:
-            pid = int(os.path.basename(stale).split("_")[1])
+            pid = int(parts[1])
+        except (ValueError, IndexError):
+            continue  # not our convention — never delete
+        if len(parts) < 3 or parts[2] != ours:
+            continue  # another host's dir — liveness unknowable here
+        try:
             os.kill(pid, 0)  # raises if the owning process is gone
-        except (ValueError, IndexError, ProcessLookupError):
+        except ProcessLookupError:
             shutil.rmtree(stale, ignore_errors=True)
         except PermissionError:
             pass  # alive under another uid — leave it alone

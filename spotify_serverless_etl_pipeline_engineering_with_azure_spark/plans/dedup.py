@@ -342,11 +342,14 @@ def _minhash_pairs_frame(bands: DataFrame) -> DataFrame:
     single stats row (min → each member), never materializing a hot
     bucket in one row. ``bands`` must be materialized (checkpointed) —
     Spark shares no subplans, so an un-checkpointed frame would re-run
-    the signature pipeline for each of the three consumers here.
+    the signature pipeline for each of the three consumers here. The
+    stats frame is lazily localCheckpoint'd for the same reason: both
+    the small and star legs consume it, and without the truncation the
+    full-posting-table stats shuffle runs twice per index build
+    (verified in the executed plan — no ReusedExchange dedups it);
+    its build shape stays explain-visible via _minhash_stats_frame.
     """
-    stats = bands.groupBy("band", "sig").agg(
-        F.count(F.lit(1)).alias("width"), F.min("doc_id").alias("mn")
-    )
+    stats = _minhash_stats_frame(bands).localCheckpoint(eager=False)
     small = (
         bands.join(
             stats.filter(
@@ -368,6 +371,16 @@ def _minhash_pairs_frame(bands: DataFrame) -> DataFrame:
         .select(F.col("mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     return _bucket_pairs(small).unionByName(star)
+
+
+def _minhash_stats_frame(bands: DataFrame) -> DataFrame:
+    """Per-bucket width stats (band, sig, width, mn) — O(1)-wide rows,
+    no arrays. Split out so plan tests can assert on the aggregation's
+    shape (its consumer lazily checkpoints it, which truncates the
+    lineage explain-based checks would otherwise see)."""
+    return bands.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("width"), F.min("doc_id").alias("mn")
+    )
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
@@ -1099,11 +1112,21 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
             .groupBy(F.col("b").alias("nv"))
             .agg(F.min("label").alias("nlabel"))
         )
-        hooked = labels.join(neighbor_min, labels.v == F.col("nv"), "left").select(
-            "v",
-            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                "label"
-            ),
+        # Lazily checkpointed: both sides of the jump self-join consume
+        # hooked, and Spark shares no subplans — without the truncation
+        # the hook subtree (edge join + neighbor-min shuffle) executes
+        # twice per round, which at web-scale edge sets doubles the
+        # round's dominant cost. Lazy (not eager) so the materialization
+        # rides the round's existing new_labels checkpoint action.
+        hooked = (
+            labels.join(neighbor_min, labels.v == F.col("nv"), "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
         )
         # Pointer jump: label(v) <- label(label(v)). Every label IS a
         # vertex id present in the label table (initial labels are the

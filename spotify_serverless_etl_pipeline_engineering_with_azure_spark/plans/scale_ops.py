@@ -76,12 +76,6 @@ def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_close_pairs"))
 
 
-# sf_dir → (suffix, table names, files dir) of the CURRENT bucketed
-# layout, so a regenerated dataset evicts its superseded layout (full
-# fact-table copies + metastore entries) instead of stranding it.
-_BUCKETED_LAYOUTS: dict[str, tuple] = {}
-
-
 @register(
     "bucketed_join_colocated",
     oracle="""
@@ -113,9 +107,8 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import hashlib
     import os
-    import shutil
 
-    from ..catalog import _sweep_dead_app_dirs
+    from ..catalog import app_scoped_dir
 
     # Cache key = source-data identity (path + parquet mtime/size), not
     # just the path: regenerated test data invalidates the layout, and a
@@ -129,24 +122,18 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = hashlib.md5("|".join(fingerprint).encode()).hexdigest()[:8]
     # Layout LIFECYCLE (a bucketed layout is a full copy of both fact
     # tables — table-sized at any SF, so leaks here dwarf every other
-    # cache): dirs nest under an app_<pid> root swept for dead owners
-    # (run_to_parquet's convention), and regenerating a dataset EVICTS
-    # the superseded suffix's tables + files via _BUCKETED_LAYOUTS —
-    # without that, a long-lived driver sweeping N corpus snapshots
-    # would pin N full fact-table copies on disk plus N metastore
-    # entries for the application's lifetime.
-    root = "/tmp/sse_bucketed"
-    _sweep_dead_app_dirs(root)
-    apphash = hashlib.md5(spark.sparkContext.applicationId.encode()).hexdigest()[:8]
-    base = f"{root}/app_{os.getpid()}_{apphash}/{suffix}"
+    # cache): layouts nest under app_scoped_dir's per-application root,
+    # so a dead application's layouts are swept by the NEXT process.
+    # A superseded suffix is deliberately NOT dropped synchronously
+    # while this application lives — lazy DataFrames previously
+    # returned by this function still reference the old catalog tables
+    # and files (the same held-frame invalidation run_to_parquet's
+    # run-unique dirs exist to prevent); within one application,
+    # superseded layouts accumulate bounded by dataset-regeneration
+    # count (an orchestrator owning a production layout store would
+    # key tables by corpus snapshot and run retention there).
+    base = f"{app_scoped_dir('/tmp/sse_bucketed', spark)}/{suffix}"
     names = {"orders": f"sse_orders_b_{suffix}", "lineitem": f"sse_lineitem_b_{suffix}"}
-    prev = _BUCKETED_LAYOUTS.get(sf_dir)
-    if prev is not None and prev[0] != suffix:
-        for stale_name in prev[1].values():
-            if spark.catalog.tableExists(stale_name):
-                spark.sql(f"DROP TABLE {stale_name}")
-        shutil.rmtree(prev[2], ignore_errors=True)
-    _BUCKETED_LAYOUTS[sf_dir] = (suffix, names, base)
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         cached = spark.catalog.tableExists(names[tbl]) and os.path.isdir(f"{base}/{tbl}")
         if not cached:

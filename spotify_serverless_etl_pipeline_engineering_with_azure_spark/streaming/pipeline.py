@@ -230,35 +230,23 @@ def run_to_parquet(
       files under a previously returned lazy DataFrame (a fixed
       rmtree'd path would FileNotFound any held frame, and would race
       a concurrent process on the same dataset);
-    - run dirs nest under ``app_<pid>_...``, and dirs whose PID is no
-      longer alive are swept on entry — dead sessions' debris is
-      collected by the next user of the same (query, dataset) instead
-      of accumulating forever;
+    - run dirs nest under ``catalog.app_scoped_dir``'s per-application
+      directory, and same-host dirs whose PID is no longer alive are
+      swept on entry — dead sessions' debris is collected by the next
+      user of the same (query, dataset) instead of accumulating
+      forever;
     - within one live session, runs accumulate (bounded by invocation
       count, megabytes at test SF) exactly like the uuid-named memory
       sinks they replaced, and are swept by the next session.
     """
-    import glob as _glob
     import hashlib
-    import os
-    import shutil
     import uuid
+
+    from ..catalog import app_scoped_dir
 
     spark = df.sparkSession
     base = f"/tmp/sse_drain_{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    for stale in _glob.glob(f"{base}/app_*"):
-        try:
-            pid = int(os.path.basename(stale).split("_")[1])
-            os.kill(pid, 0)  # raises if the owning process is gone
-        except (ValueError, IndexError, ProcessLookupError):
-            shutil.rmtree(stale, ignore_errors=True)
-        except PermissionError:
-            pass  # alive under another uid — leave it alone
-    run = (
-        f"{base}/app_{os.getpid()}_"
-        f"{hashlib.md5(spark.sparkContext.applicationId.encode()).hexdigest()[:8]}"
-        f"/run_{uuid.uuid4().hex[:8]}"
-    )
+    run = f"{app_scoped_dir(base, spark)}/run_{uuid.uuid4().hex[:8]}"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_transform(batch_df) if batch_transform else batch_df

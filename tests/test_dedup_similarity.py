@@ -339,9 +339,13 @@ def test_run_to_parquet_sweeps_dead_process_dirs(spark, tmp_path, monkeypatch):
         run_to_parquet,
     )
 
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.catalog import (
+        _host_hash,
+    )
+
     sf_dir = "/root/testdata/sf0.001"
     base = f"/tmp/sse_drain_sweeptest_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    dead = f"{base}/app_999999999_deadbeef"
+    dead = f"{base}/app_999999999_{_host_hash()}_dead0000"
     os.makedirs(f"{dead}/run_old", exist_ok=True)
 
     from spotify_serverless_etl_pipeline_engineering_with_azure_spark.streaming.pipeline import (
@@ -388,11 +392,18 @@ def test_durable_index_store_roundtrip_and_sweep(spark, sf_dir, tmp_path, monkey
     to a durable parquet round-trip, the production shape: replicated
     by the storage layer, survives executor loss, readable across jobs.
     The durable index must serve identical results, write under this
-    process's app_<pid> dir, and sweep dead-PID debris on build."""
+    process's app_<pid> dir, and sweep same-host dead-PID debris on
+    build — while leaving foreign-host app dirs (PID liveness is not
+    knowable across hosts on a shared store) and entries that don't
+    parse as the naming convention (user data under a user-supplied
+    root) strictly alone."""
     import glob
     import os
     import shutil
 
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.catalog import (
+        _host_hash,
+    )
     from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans import dedup
 
     ds = tmp_path / "ds"
@@ -401,8 +412,12 @@ def test_durable_index_store_roundtrip_and_sweep(spark, sf_dir, tmp_path, monkey
     baseline = dedup.dedup_minhash_lsh(spark, str(ds)).toPandas()
 
     store = tmp_path / "index_store"
-    dead = store / "app_999999999_deadbeef"
+    dead = store / f"app_999999999_{_host_hash()}_dead0000"
     dead.mkdir(parents=True)
+    foreign = store / "app_999999999_0ther0st_dead0000"
+    foreign.mkdir(parents=True)
+    unparseable = store / "app_metadata"
+    unparseable.mkdir(parents=True)
     monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(store))
     # Fresh dataset identity so the cache cannot serve the
     # localCheckpoint-mode build.
@@ -412,6 +427,8 @@ def test_durable_index_store_roundtrip_and_sweep(spark, sf_dir, tmp_path, monkey
     durable = dedup.dedup_minhash_lsh(spark, str(ds2)).toPandas()
 
     assert not dead.exists(), "dead-app index dir must be swept on build"
+    assert foreign.exists(), "foreign-host app dirs must never be swept"
+    assert unparseable.exists(), "non-convention entries must never be deleted"
     live = glob.glob(str(store / f"app_{os.getpid()}_*" / "minhash_*"))
     assert len(live) >= 2, "bands + pairs must land as parquet index tables"
 

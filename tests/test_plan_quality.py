@@ -101,6 +101,12 @@ INDEX_BUILD_FRAMES = {
     "minhash_pairs": lambda s: _dedup._minhash_pairs_frame(
         _dedup._minhash_index(s, SF_SMOKE)[0]
     ),
+    # The width-stats agg is lazily checkpointed inside the pairs frame
+    # (single evaluation across the small/star legs), which truncates it
+    # out of minhash_pairs' explain — so pin its build shape directly.
+    "minhash_stats": lambda s: _dedup._minhash_stats_frame(
+        _dedup._minhash_index(s, SF_SMOKE)[0]
+    ),
     "ngram_index": lambda s: _dedup._ngram_index_frame(s, SF_SMOKE),
     "semdedup_member": lambda s: _dedup._semdedup_member_frame(s, SF_SMOKE),
     "lsh_index": lambda s: _similarity._lsh_index_frame(s, SF_SMOKE),

@@ -179,6 +179,38 @@ def app_scoped_dir(root: str, spark: SparkSession) -> str:
     return os.path.join(root, f"app_{os.getpid()}_{_host_hash()}_{apphash}")
 
 
+def sink_run_dir(spark: SparkSession, kind: str, sf_dir: str) -> str:
+    """Run-unique output directory for sink round-trip queries:
+    ``/tmp/sse_sinks/app_<pid>_<host>_<app>/<kind>_<dshash>_<uuid>``.
+
+    Three lifecycle properties every sink query shares:
+    - RUN-UNIQUE: a registry builder must never destroy the files
+      backing a DataFrame it returned earlier (a fixed per-dataset
+      dir, wiped or overwritten on rebuild, would FileNotFound a
+      previously returned lazy frame mid-read); each build writes
+      fresh and leaves prior runs alone.
+    - APP-SCOPED + SWEPT: dirs nest under ``app_scoped_dir``, so a
+      dead application's accumulated runs are reclaimed by the next
+      same-host process; within one live application runs accumulate
+      bounded by invocation count.
+    - LOCAL-MODE STAND-IN: a file:/tmp path is only meaningful in
+      local mode — on a real cluster every executor commits part
+      files to its OWN node's disk and a driver-side read-back
+      silently sees a partial dataset, so production points this at
+      shared storage (HDFS/object store), where the identical sink
+      layout is exactly what a 100 TB table materialization does.
+    """
+    import hashlib
+    import os
+    import uuid
+
+    ds = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(
+        app_scoped_dir("/tmp/sse_sinks", spark),
+        f"{kind}_{ds}_{uuid.uuid4().hex[:8]}",
+    )
+
+
 def _sweep_dead_app_dirs(root: str) -> None:
     """Remove ``app_<pid>_<hosthash>_*`` dirs whose owning process is
     gone. PID liveness is only knowable on the process's own host, so

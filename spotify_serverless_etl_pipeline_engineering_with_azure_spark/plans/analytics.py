@@ -198,17 +198,32 @@ LIMIT 10
     tags=("join", "agg", "topk", "flagship"),
 )
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: region-filtered 5-table join → revenue per customer → top 10."""
+    """Flagship: region-filtered 5-table join → revenue per customer →
+    top 10.
+
+    The ASIA restriction is applied EARLY: the ≤25-row region⋈nation
+    broadcast cuts customer to ~1/5 BEFORE the orders join, so the
+    o_custkey shuffle, the l_orderkey join output, and the final
+    per-customer aggregation shuffle all carry only qualifying rows —
+    filtering after the fact joins (Catalyst keeps the written order)
+    would move the full facts through two shuffles first and drop 80%
+    at the end."""
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = table(spark, sf_dir, "nation")
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    asia_nation = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust2 = cust.join(
+        F.broadcast(asia_nation), cust.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "n_name")
+    ord2 = orders.join(cust2, orders.o_custkey == cust2.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_name", "n_name"
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        li.join(ord2, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(_revenue_col(), 6).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))

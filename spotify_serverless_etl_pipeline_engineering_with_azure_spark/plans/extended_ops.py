@@ -356,16 +356,18 @@ def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     partition — the scan lists only status=O directories (partition
     pruning, the layout that matters at 100 TB).
 
-    The /tmp destination is the LOCAL-MODE stand-in for a table
-    location: on a real cluster a file:/tmp path is per-node (each
-    executor would commit to its own disk and the read-back would
-    silently see a partial dataset), so production points this at
-    shared storage (HDFS/object store) — where the identical
-    partitionBy layout and pruned read are exactly what a 100 TB
-    table does. Write volume is the full input by design: this op IS
-    the table-materialization job.
+    Output dir: catalog.sink_run_dir's lifecycle/scale contract —
+    run-unique (never destroys a previously returned frame's files),
+    app-scoped and swept, and a LOCAL-MODE stand-in for shared
+    storage (per-node file:/tmp would give the read-back a partial
+    dataset on a real cluster; production points this at HDFS/object
+    store, where the identical partitionBy layout and pruned read are
+    exactly what a 100 TB table does). Write volume is the full input
+    by design: this op IS the table-materialization job.
     """
-    out = f"/tmp/sse_part_roundtrip_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    from ..catalog import sink_run_dir
+
+    out = sink_run_dir(spark, "part_roundtrip", sf_dir)
     orders = table(spark, sf_dir, "orders")
     (
         orders.write.mode("overwrite")

@@ -1,15 +1,18 @@
 """Remaining surface: sink round-trip (K1/K2 as an oracle-checked
-query), SQL-API GROUPING SETS, and batch session_window."""
+query), SQL-API GROUPING SETS, and batch session_window.
+
+Every sink here writes through ``catalog.sink_run_dir`` — run-unique,
+app-scoped, swept-on-death dirs whose /tmp location is the LOCAL-MODE
+stand-in for shared storage (see that helper's docstring for the full
+three-part lifecycle/scale contract)."""
 
 from __future__ import annotations
-
-import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import register_views, table
+from ..catalog import register_views, sink_run_dir, table
 from ..functions.exact import dsum
 from ..registry import register
 
@@ -28,11 +31,12 @@ def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1/K2 made verifiable: write orders to a header CSV sink, read it
     back with an explicit schema, aggregate — must equal aggregating the
     source directly (doubles survive: Spark writes shortest-roundtrip
-    representations).
+    representations). Output dir: sink_run_dir's lifecycle/scale
+    contract.
     """
     from ..operators.sinks import write_csv
 
-    out = f"/tmp/sse_csv_roundtrip_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    out = sink_run_dir(spark, "csv_roundtrip", sf_dir)
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -72,23 +76,18 @@ def ref_x2_runid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     result. The timestamp itself can't be in a deterministic oracle —
     its shape and the data round-trip are.
     """
-    import uuid
-
     from ..operators.sinks import run_output_dir
 
     run_id = spark.range(1).select(
         F.date_format(F.current_timestamp(), "yyyyMMddHHmmss").alias("rid")
     ).first()[0]
-    # Fresh base per invocation (NOT a fixed dir wiped with rmtree): a
-    # registry builder must never destroy the files backing a DataFrame
-    # it returned earlier — a harness that builds several queries before
-    # executing them would hit FileNotFound on the first one. The uuid
-    # also keeps the run_id=* glob scoped to exactly this run; the few-KB
-    # leftovers live under /tmp with ordinary tmpdir lifetime.
-    base = (
-        f"/tmp/sse_runid_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-        f"_{uuid.uuid4().hex[:8]}"
-    )
+    # sink_run_dir: fresh base per invocation (a fixed dir wiped with
+    # rmtree would destroy files backing previously returned frames),
+    # and — unlike the old bare-uuid /tmp dirs, which nothing ever
+    # reclaimed — nested under the swept app root so a long-lived
+    # driver's leftovers are bounded and dead apps' are collected. The
+    # run-unique base also keeps the run_id=* glob scoped to this run.
+    base = sink_run_dir(spark, "runid", sf_dir)
     out = run_output_dir(base, "orders", run_id)
     agg = (
         table(spark, sf_dir, "orders")
@@ -125,9 +124,12 @@ def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold both). The read-back filter and 3-column projection push into
     the ORC scan exactly as with parquet (predicate pushdown + column
     pruning over ORC stripe stats), so the aggregate must equal
-    computing it straight from the source table.
+    computing it straight from the source table. Output dir:
+    sink_run_dir's lifecycle/scale contract; write volume is the
+    4-column projection of the full input by design — this op IS the
+    table-materialization job.
     """
-    out = f"/tmp/sse_orc_roundtrip_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    out = sink_run_dir(spark, "orc_roundtrip", sf_dir)
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_shipdate"
     )
@@ -217,8 +219,9 @@ def json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     spotifyextract.py:92-101), read back with explicit schema,
     aggregate — must equal aggregating the source. Timestamps excluded
     from the payload on purpose: JSON round-trips them as strings and
-    the aggregate proves the numeric/string columns survive exactly."""
-    out = f"/tmp/sse_json_roundtrip_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    the aggregate proves the numeric/string columns survive exactly.
+    Output dir: sink_run_dir's lifecycle/scale contract."""
+    out = sink_run_dir(spark, "json_roundtrip", sf_dir)
     ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     ev.write.mode("overwrite").json(out)
     schema = T.StructType(

@@ -358,10 +358,14 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite), never one 4-way coalesce over the whole table — at 10¹¹
     orders that would be 4 tasks of ~25 TB each.
     """
-    import hashlib
     import os
 
-    base = f"/tmp/sse_compact_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    from ..catalog import sink_run_dir
+
+    # Run-unique, app-scoped, swept (sink_run_dir's contract): the old
+    # fixed per-dataset dir meant a second build's overwrite raced any
+    # previously returned frame's lazy read of the same files.
+    base = sink_run_dir(spark, "compact", sf_dir)
     frag, compacted = f"{base}/frag", f"{base}/compact"
     orders = table(spark, sf_dir, "orders")
     orders.repartition(48).write.mode("overwrite").parquet(frag)

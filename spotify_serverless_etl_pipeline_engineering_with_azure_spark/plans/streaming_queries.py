@@ -266,22 +266,24 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint + deterministic paths, spotifytransform.py:101-158).
     Reading the landed files back and aggregating must equal
     aggregating the source directly."""
-    import hashlib
-    import shutil
-    import uuid
+    from ..catalog import sink_run_dir
 
-    out = f"/tmp/sse_feb_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    shutil.rmtree(out, ignore_errors=True)
+    # Run-unique, app-scoped, swept (sink_run_dir's contract): the old
+    # fixed per-dataset dir was rmtree'd on every build — destroying
+    # the files backing any previously returned frame — and its
+    # uuid-named checkpoint dirs leaked outside every swept root. The
+    # checkpoint now lives inside the run dir.
+    out = sink_run_dir(spark, "feb", sf_dir)
 
     def sink(batch_df, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+        batch_df.write.mode("overwrite").parquet(f"{out}/data/batch_id={batch_id}")
 
     with narrow_state_partitions(spark):
         q = (
             events_stream(spark, sf_dir)
             .select("event_id", "event_type", "value")
             .writeStream.foreachBatch(sink)
-            .option("checkpointLocation", f"/tmp/sse_feb_ckpt_{uuid.uuid4().hex[:8]}")
+            .option("checkpointLocation", f"{out}/_ckpt")
             .trigger(availableNow=True)
             .start()
         )
@@ -291,7 +293,9 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError("foreachBatch stream did not drain")
     from ..functions.exact import dsum
 
-    back = spark.read.option("basePath", out).parquet(f"{out}/batch_id=*")
+    back = spark.read.option("basePath", f"{out}/data").parquet(
+        f"{out}/data/batch_id=*"
+    )
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("sum_value")
     )
@@ -337,15 +341,15 @@ def streaming_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     failing leaves 0 files archived after the 60 s bounded poll and
     flips the row red.
     """
-    import hashlib
-    import shutil
-
-    from ..catalog import table
+    from ..catalog import sink_run_dir, table
     from ..functions.exact import dsum
     from ..operators.sinks import write_csv
 
-    base = f"/tmp/sse_stream_csv_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    shutil.rmtree(base, ignore_errors=True)
+    # Run-unique, app-scoped, swept (sink_run_dir's contract) — the
+    # old fixed dir was rmtree'd per build, destroying prior frames'
+    # files; the staged src/archive/ckpt/out quartet now lives and
+    # dies together inside one run dir.
+    base = sink_run_dir(spark, "stream_csv", sf_dir)
     src, archive, ckpt, out = (f"{base}/{d}" for d in ("src", "archive", "ckpt", "out"))
 
     ev = table(spark, sf_dir, "events").select(

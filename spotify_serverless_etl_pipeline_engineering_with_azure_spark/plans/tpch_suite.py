@@ -157,15 +157,25 @@ GROUP BY supp_nation, cust_nation, l_year
     tags=("join", "agg", "multi-join"),
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five-way join with a disjunctive cross-nation predicate; nation
-    joins broadcast, the fact tables shuffle once on their join keys."""
+    """Five-way join with a disjunctive cross-nation predicate.
+
+    The nation restriction is applied EARLY: only the two qualifying
+    nations' rows of the (tiny, broadcast) nation slices attach to
+    supplier and customer BEFORE any fact join, so both dim sides — and
+    therefore the lineitem and orders shuffles they key — carry ~2/25
+    of their rows instead of filtering the full five-way join output at
+    the end (Catalyst keeps the written join order; a late dim filter
+    would shuffle the full facts first). Only the DISJUNCTIVE pair
+    predicate, which needs both sides, stays post-join."""
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
     )
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     supp = table(spark, sf_dir, "supplier")
-    nation = table(spark, sf_dir, "nation")
+    nation = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
     n1 = nation.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
@@ -175,12 +185,18 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
         F.col("supp_nation") == "NATION_2"
     ) & (F.col("cust_nation") == "NATION_1")
+    supp2 = supp.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust2 = cust.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    ord2 = orders.join(cust2, F.col("c_custkey") == F.col("o_custkey")).select(
+        "o_orderkey", "cust_nation"
+    )
     return (
-        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        li.join(supp2, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(ord2, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(pair)
         .select(
             "supp_nation",
@@ -222,7 +238,14 @@ GROUP BY o_year
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eight-way join + conditional-aggregate ratio. Both sums are
-    decimal-exact, so the final double division is bit-identical."""
+    decimal-exact, so the final double division is bit-identical.
+
+    The ASIA restriction is applied EARLY: region⋈nation (a ≤25-row
+    broadcast) cuts customer to ~1/5 BEFORE the orders join, so the
+    o_custkey and l_orderkey shuffles carry only qualifying rows
+    instead of region-filtering the full join output last; the
+    supplier's nation name likewise attaches to the supplier dim
+    before the fact join."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     supp = table(spark, sf_dir, "supplier")
@@ -232,18 +255,27 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    n1 = nation.select("n_nationkey", "n_regionkey")
+    asia_nations = (
+        nation.join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        ).select("n_nationkey")
+    )
     n2 = nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
+    cust2 = cust.join(
+        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    ord2 = orders.join(cust2, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp2 = supp.join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")).select(
+        "s_suppkey", "nation"
+    )
     joined = (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
-        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(supp2, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(ord2, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             _rev().alias("volume"),
@@ -557,11 +589,27 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated AVG subquery, decorrelated: per-part average quantity
     pre-aggregated once and joined back to the probe rows. The oracle's
     inline alias trick (the subquery returns `0.2 * (...) AS a` via an
-    expression) mirrors davg's exact decimal arithmetic."""
+    expression) mirrors davg's exact decimal arithmetic.
+
+    The aggregation input is semi-joined to the Brand#3 part keys
+    FIRST: only ~1/25 of partkeys are ever consulted after the inner
+    join, and Catalyst cannot push that restriction into the
+    independent aggregation subtree by itself — without the semi-join
+    the per-part pass shuffle-aggregates the full fact into a
+    part-cardinality group space for nothing. Per-part averages are
+    unchanged (the restriction drops whole partkeys, never rows
+    within one). The part side is not force-broadcast — it is a fixed
+    fraction of an SF-linear dim; AQE broadcasts while small."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        davg(F.col("l_quantity"), 2).alias("avg_qty")
+    per_part = (
+        li.join(
+            part.select(F.col("p_partkey").alias("brand_pk")),
+            F.col("l_partkey") == F.col("brand_pk"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(davg(F.col("l_quantity"), 2).alias("avg_qty"))
     )
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))

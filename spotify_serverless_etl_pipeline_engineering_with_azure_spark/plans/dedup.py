@@ -546,12 +546,29 @@ def _ngram_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
 
 def _ngram_index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRE-checkpoint plan of the pruned inverted-index build (see
-    _minhash_bands_frame for why this is exposed)."""
+    _minhash_bands_frame for why this is exposed).
+
+    Width BEFORE collection (the same discipline as
+    _minhash_pairs_frame): df comes from a count window over the
+    ``sh`` partitioning and over-cap rows are filtered BEFORE any
+    collect_list, so the aggregation buffer and the ids array are both
+    ≤ NGRAM_DF_CAP — collecting first and filtering on size after
+    would build a hot stop-shingle's full ids array (a 10⁸-member
+    boilerplate shingle is a multi-GB single aggregation buffer, and
+    past 2³¹ members a hard JVM array limit) just to throw it away.
+    The window buffers one shingle's rows in a spillable sorter, never
+    one JVM array, and the subsequent groupBy reuses the window's
+    hash partitioning — one shuffle total, same as the old shape.
+    """
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    index = _shingles(docs).groupBy("sh").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    sh = _shingles(docs).withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
     )
-    return index.filter(F.size("ids") <= NGRAM_DF_CAP)
+    return (
+        sh.filter(F.col("df") <= NGRAM_DF_CAP)
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    )
 
 
 @register(
@@ -922,11 +939,14 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The curation question behind dedup: which pairs of sources share
     near-duplicate content (mirrors, scrapes, cross-posts)? MinHash+LSH
     candidate pairs (the scale-safe generator) are labeled with each
-    side's source via two key joins against the documents dimension,
-    then counted per unordered source pair. The pair set is orders of
-    magnitude smaller than the corpus, so both label joins broadcast
-    the pair side at any scale; LEAST/GREATEST canonicalizes the
-    unordered pair so (A,B) and (B,A) fold together.
+    side's source via two KEYED joins against the documents dimension,
+    then counted per unordered source pair. The pair stream grows with
+    the corpus (star chains alone contribute Θ(N) rows), so neither
+    label join is force-broadcast — AQE broadcasts the pair side while
+    it is small and switches to a shuffled keyed join when it is not;
+    both shapes move only (id, source)-width rows, never document
+    text. LEAST/GREATEST canonicalizes the unordered pair so (A,B)
+    and (B,A) fold together.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     docs = table(spark, sf_dir, "documents")

@@ -219,7 +219,18 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     docs = table(spark, sf_dir, "documents")
     tok = scatter(docs).select(F.explode(F.split("text", " ")).alias("term"))
-    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # Lazily checkpointed: THREE subtrees of the one action consume the
+    # exact-count aggregate (cells, the top-k, the probe expansion) and
+    # Spark shares no subplans — measured on the executed plan, only
+    # one exchange gets reused and the corpus-dominant token groupBy
+    # runs multiple times without the truncation. The materialized
+    # frame is vocab-sized (distinct terms), far below the token
+    # stream it replaces re-scanning.
+    counts = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
 
     def pos(i: int) -> F.Column:
         return md5_int48(F.concat(F.lit(f"cms{i}|"), F.col("term"))) % CMS_WIDTH

@@ -10,8 +10,11 @@ order-insensitive digest row:
     (qname, n_rows, h1, h2)
 
 where h = md5(canonical row string) folded to a 48-bit int mod 2^31-1,
-h1 = Σ h and h2 = Σ (31·h + 7 mod M) — two independent order-free
-folds, ~62 bits of discrimination plus the exact row count. The DuckDB
+h1 = Σ h mod M and h2 = Σ (h² mod M) mod M — the first two POWER SUMS
+of the row-hash multiset, genuinely independent constraints (~62 bits
+of discrimination) plus the exact row count. An affine second fold
+(a·h + b) would be fully determined by h1 and n_rows — see the h2
+comment in digest_spark. The DuckDB
 oracle computes the IDENTICAL digest over the member's oracle SQL, so
 one green suite row certifies hash-level parity of every member's full
 result set. Any value/row/schema drift in any member flips the suite
@@ -417,6 +420,34 @@ def _sig_hash(sig: str) -> int:
     return int(hashlib.md5(sig.encode("utf-8")).hexdigest()[:12], 16) % MERSENNE31
 
 
+def digest_fold_exprs(h) -> tuple:
+    """The two order-free digest folds over a row-hash column h < M:
+    h1 = Σh mod M and h2 = Σ(h² mod M) mod M — the first two POWER SUMS
+    of the hash multiset.
+
+    h2 must NOT be an affine map of h: an earlier (31·h + 7) fold made
+    h2 ≡ 31·h1 + 7·n_rows (mod M) identically — fully determined by h1
+    and the row count, so any corruption whose row-hash deltas
+    cancelled in h1 passed h2 automatically and the "two folds"
+    carried ~31 bits, not ~62. The quadratic power sum is an
+    independent constraint (tests pin this with an engineered
+    equal-h1 multiset pair). h < 2³¹ so h² < 2⁶² stays inside int64
+    before the DECIMAL cast.
+
+    Per-row terms are summed in DECIMAL(38,0) and reduced mod M AFTER
+    the aggregate: a plain long SUM overflows (loudly, ANSI) at ~4.3e9
+    member rows for h1 — row-per-token/row-per-pair members reach that
+    inside the 100 TB envelope, and the certification mechanism must
+    not be the first thing to die there.
+    """
+    wide = "decimal(38,0)"
+    h1 = (F.coalesce(F.sum(h.cast(wide)), F.lit(0)) % MERSENNE31).cast("long")
+    h2 = (
+        F.coalesce(F.sum(((h * h) % MERSENNE31).cast(wide)), F.lit(0)) % MERSENNE31
+    ).cast("long")
+    return h1, h2
+
+
 def digest_spark(df: DataFrame, qname: str) -> DataFrame:
     """Reduce a member query's result to its (qname, n_rows, h1, h2, h3)
     digest. h3 pins the member's EXACT dtype signature: the Spark side
@@ -446,27 +477,13 @@ def digest_spark(df: DataFrame, qname: str) -> DataFrame:
     )
     row = F.concat_ws(_SEP, *[_canon_spark(c, kinds[c]) for c in cols])
     h = md5_int48(row) % MERSENNE31
-    # The per-row hashes (< 2^31) are summed in DECIMAL(38,0) and
-    # reduced mod M AFTER the aggregate: a plain long SUM overflows
-    # (loudly, ANSI) at ~4.3e9 member rows — row-per-token/row-per-pair
-    # members reach that inside the 100 TB envelope, and the
-    # certification mechanism must not be the first thing to die there.
-    wide = "decimal(38,0)"
+    h1, h2 = digest_fold_exprs(F.col("h"))
     return (
         df.select(h.alias("h"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            (F.coalesce(F.sum(F.col("h").cast(wide)), F.lit(0)) % MERSENNE31)
-            .cast("long")
-            .alias("h1"),
-            (
-                F.coalesce(
-                    F.sum(((F.col("h") * 31 + 7) % MERSENNE31).cast(wide)), F.lit(0)
-                )
-                % MERSENNE31
-            )
-            .cast("long")
-            .alias("h2"),
+            h1.alias("h1"),
+            h2.alias("h2"),
         )
         .select(
             F.lit(qname).alias("qname"),
@@ -494,7 +511,7 @@ SELECT '{qname}' AS qname,
        COUNT(*) AS n_rows,
        COALESCE(CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT)
                      % {MERSENNE31} AS BIGINT), 0) AS h1,
-       COALESCE(CAST(CAST(SUM(CAST((h * 31 + 7) % {MERSENNE31} AS HUGEINT))
+       COALESCE(CAST(CAST(SUM(CAST((h * h) % {MERSENNE31} AS HUGEINT))
                           AS HUGEINT) % {MERSENNE31} AS BIGINT), 0) AS h2,
        CAST({h3} AS BIGINT) AS h3
 FROM (

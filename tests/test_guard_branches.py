@@ -269,6 +269,31 @@ def test_ngram_df_cap_prunes_hot_shingle_both_engines(spark, hot_shingle_dir):
     assert (200, 205) in set(zip(pdf.doc_a, pdf.doc_b))
 
 
+def test_ngram_index_filters_width_before_collecting(spark, hot_shingle_dir):
+    """The DF cap must prune BEFORE collect_list aggregates a bucket:
+    collecting first and filtering on array size after builds a hot
+    stop-shingle's full ids array (multi-GB aggregation buffer at web
+    scale; hard JVM limit past 2³¹ members) just to throw it away. The
+    build plan therefore counts shingle df in a Window over the sh
+    partitioning and filters over-cap rows below the aggregate —
+    reverting to collect-then-size-filter removes the Window and fails
+    here."""
+    plan = (
+        _dedup._ngram_index_frame(spark, hot_shingle_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Window" in plan, "df count must run below the collect_list"
+    win_pos = plan.index("Window")
+    collect_pos = plan.index("collect_list")
+    # optimizedPlan prints consumers above producers: the aggregate
+    # consuming the filtered rows must appear ABOVE the window.
+    assert collect_pos < win_pos, (
+        "collect_list must consume width-filtered rows, not feed the filter"
+    )
+
+
 # ---------------------------------------------------------------------------
 # (f) prefix-filter join: hot prefixes STREAM pairs, never array rows
 # ---------------------------------------------------------------------------

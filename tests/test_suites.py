@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.suites import (
     MEMBER_KINDS,
     SUITES,
+    digest_fold_exprs,
     digest_spark,
 )
 from spotify_serverless_etl_pipeline_engineering_with_azure_spark.registry import (
@@ -148,3 +149,25 @@ def test_suites_match_oracle_at_smoke_scale(spark, suite):
         assert not compare(s, o)
     finally:
         con.close()
+
+
+def test_digest_second_fold_separates_equal_first_fold_multisets(spark):
+    """The two folds must be INDEPENDENT constraints: for two distinct
+    hash multisets with equal row count and equal h1 (Σh mod M), h2
+    must still separate them. Under an affine second fold a·h+b — the
+    pre-fix shape — h2 ≡ a·h1 + b·n_rows (mod M) identically, so every
+    equal-h1 corruption (paired +d/−d value drifts, any deltas summing
+    to 0 mod M) passed both folds; this test fails for ANY affine h2."""
+    a = spark.createDataFrame([(1,), (10,)], "h long")
+    b = spark.createDataFrame([(4,), (7,)], "h long")
+
+    def fold(df):
+        h1, h2 = digest_fold_exprs(F.col("h"))
+        return df.agg(h1.alias("h1"), h2.alias("h2")).collect()[0]
+
+    ra, rb = fold(a), fold(b)
+    assert ra.h1 == rb.h1, "fixture must collide in the first fold"
+    assert ra.h2 != rb.h2, (
+        "second fold is a function of (h1, n_rows) — it adds no "
+        "discrimination beyond the first"
+    )

@@ -192,7 +192,13 @@ def sink_run_dir(spark: SparkSession, kind: str, sf_dir: str) -> str:
     - APP-SCOPED + SWEPT: dirs nest under ``app_scoped_dir``, so a
       dead application's accumulated runs are reclaimed by the next
       same-host process; within one live application runs accumulate
-      bounded by invocation count.
+      bounded by invocation count. For table-sized payloads (the
+      compaction/partitioned-roundtrip ops) that is a real disk cost
+      under repeated in-app invocation — accepted DELIBERATELY: the
+      fixed-dir alternative silently broke every previously returned
+      frame, and scratch retention inside a live application belongs
+      to the orchestrator that owns the rerun loop, exactly as
+      checkpoint_frame's production note says for index snapshots.
     - LOCAL-MODE STAND-IN: a file:/tmp path is only meaningful in
       local mode — on a real cluster every executor commits part
       files to its OWN node's disk and a driver-side read-back

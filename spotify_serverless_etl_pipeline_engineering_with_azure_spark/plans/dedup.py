@@ -343,13 +343,18 @@ def _minhash_pairs_frame(bands: DataFrame) -> DataFrame:
     bucket in one row. ``bands`` must be materialized (checkpointed) —
     Spark shares no subplans, so an un-checkpointed frame would re-run
     the signature pipeline for each of the three consumers here. The
-    stats frame is lazily localCheckpoint'd for the same reason: both
-    the small and star legs consume it, and without the truncation the
-    full-posting-table stats shuffle runs twice per index build
-    (verified in the executed plan — no ReusedExchange dedups it);
-    its build shape stays explain-visible via _minhash_stats_frame.
+    stats frame goes through checkpoint_frame for the same reason:
+    both the small and star legs consume it, and without the
+    truncation the full-posting-table stats shuffle runs twice per
+    index build (verified in the executed plan — no ReusedExchange
+    dedups it). checkpoint_frame rather than a bare localCheckpoint so
+    the durable-index mode covers the BUILD too: a mid-build executor
+    loss of lazily-checkpointed stats blocks has no recompute path and
+    would abort the whole build — the failure class the durable store
+    exists to remove. Its build shape stays explain-visible via
+    _minhash_stats_frame.
     """
-    stats = _minhash_stats_frame(bands).localCheckpoint(eager=False)
+    stats = checkpoint_frame(_minhash_stats_frame(bands), "minhash_stats")
     small = (
         bands.join(
             stats.filter(
@@ -1132,12 +1137,17 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
             .groupBy(F.col("b").alias("nv"))
             .agg(F.min("label").alias("nlabel"))
         )
-        # Lazily checkpointed: both sides of the jump self-join consume
-        # hooked, and Spark shares no subplans — without the truncation
-        # the hook subtree (edge join + neighbor-min shuffle) executes
-        # twice per round, which at web-scale edge sets doubles the
-        # round's dominant cost. Lazy (not eager) so the materialization
-        # rides the round's existing new_labels checkpoint action.
+        # persist(): both sides of the jump self-join consume hooked,
+        # and Spark shares no subplans — without caching, the hook
+        # subtree (edge join + neighbor-min shuffle) executes twice per
+        # round, which at web-scale edge sets doubles the round's
+        # dominant cost. persist, NOT localCheckpoint: it is explicitly
+        # unpersist()ed at the end of the round (a per-round checkpoint
+        # would pin one vertex-sized block set per round, released only
+        # at GC's leisure), it keeps lineage (executor loss recomputes
+        # instead of aborting the loop), and plan growth is not a
+        # concern because new_labels' eager checkpoint below re-roots
+        # every round's plan.
         hooked = (
             labels.join(neighbor_min, labels.v == F.col("nv"), "left")
             .select(
@@ -1146,7 +1156,7 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)
+            .persist()
         )
         # Pointer jump: label(v) <- label(label(v)). Every label IS a
         # vertex id present in the label table (initial labels are the
@@ -1167,6 +1177,10 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # new_labels is materialized (eager checkpoint) and the round's
+        # convergence count is done — release hooked's blocks now
+        # instead of waiting for driver GC.
+        hooked.unpersist()
         labels = new_labels
         if changed == 0:
             break

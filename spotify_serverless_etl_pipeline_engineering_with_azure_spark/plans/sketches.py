@@ -199,6 +199,17 @@ GROUP BY p.term, p.true_count
 """
 
 
+def _cms_counts_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-checkpoint plan of the exact token-count aggregate (the
+    corpus-dominant subtree of the count-min query) — exposed
+    separately because the query lazily checkpoints it, which truncates
+    it out of every explain-based check (same convention as
+    dedup._minhash_bands_frame)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = scatter(docs).select(F.explode(F.split("text", " ")).alias("term"))
+    return tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 @register(
     "sketch_countmin_heavy_hitters",
     oracle=_cms_oracle(),
@@ -217,20 +228,16 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     exact groupBy — the operator exists so that, at 100 TB, frequency
     QUERIES don't.)
     """
-    docs = table(spark, sf_dir, "documents")
-    tok = scatter(docs).select(F.explode(F.split("text", " ")).alias("term"))
     # Lazily checkpointed: THREE subtrees of the one action consume the
     # exact-count aggregate (cells, the top-k, the probe expansion) and
     # Spark shares no subplans — measured on the executed plan, only
     # one exchange gets reused and the corpus-dominant token groupBy
     # runs multiple times without the truncation. The materialized
     # frame is vocab-sized (distinct terms), far below the token
-    # stream it replaces re-scanning.
-    counts = (
-        tok.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
+    # stream it replaces re-scanning. The checkpoint hides the
+    # explode+groupBy subtree from this query's explain, so its build
+    # shape is exposed via _cms_counts_frame and pinned in plan tests.
+    counts = _cms_counts_frame(spark, sf_dir).localCheckpoint(eager=False)
 
     def pos(i: int) -> F.Column:
         return md5_int48(F.concat(F.lit(f"cms{i}|"), F.col("term"))) % CMS_WIDTH

@@ -17,6 +17,7 @@ from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans import (
     advanced_ops as _advanced_ops,
     dedup as _dedup,
     similarity as _similarity,
+    sketches as _sketches,
 )
 
 from .conftest import SF_SMOKE
@@ -101,12 +102,16 @@ INDEX_BUILD_FRAMES = {
     "minhash_pairs": lambda s: _dedup._minhash_pairs_frame(
         _dedup._minhash_index(s, SF_SMOKE)[0]
     ),
-    # The width-stats agg is lazily checkpointed inside the pairs frame
+    # The width-stats agg is checkpointed inside the pairs frame
     # (single evaluation across the small/star legs), which truncates it
     # out of minhash_pairs' explain — so pin its build shape directly.
     "minhash_stats": lambda s: _dedup._minhash_stats_frame(
         _dedup._minhash_index(s, SF_SMOKE)[0]
     ),
+    # Same convention: the count-min query lazily checkpoints the exact
+    # token-count aggregate, hiding the corpus-dominant explode+groupBy
+    # from its own explain.
+    "cms_counts": lambda s: _sketches._cms_counts_frame(s, SF_SMOKE),
     "ngram_index": lambda s: _dedup._ngram_index_frame(s, SF_SMOKE),
     "semdedup_member": lambda s: _dedup._semdedup_member_frame(s, SF_SMOKE),
     "lsh_index": lambda s: _similarity._lsh_index_frame(s, SF_SMOKE),

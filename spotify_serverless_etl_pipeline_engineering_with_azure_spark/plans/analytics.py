@@ -102,8 +102,12 @@ LIMIT 10
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer ⋈ orders ⋈ lineitem → grouped revenue → top-10.
 
-    The customer filter reduces the build side before the join; the
-    final top-k is TakeOrderedAndProject (limit pushed into the sort).
+    The BUILDING-segment restriction is applied EARLY: the filtered
+    customer dim prunes orders to ~1/5 BEFORE the lineitem join
+    (Catalyst keeps the written join order — joining lineitem⋈orders
+    first would shuffle the full orders side and drop 80% of the join
+    output afterwards). The final top-k is TakeOrderedAndProject
+    (limit pushed into the sort).
     """
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").filter(
@@ -112,9 +116,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
+    ord2 = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(ord2, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(_revenue_col(), 6).alias("revenue"))
         .select(
@@ -151,9 +157,15 @@ GROUP BY n_name
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six-table star join with a local-supplier equi-constraint.
 
-    region/nation are broadcast unconditionally (bounded cardinality at
-    any SF); supplier is broadcast-sized here and at much larger SFs;
-    the customer⋈orders⋈lineitem chain shuffles on its join keys once.
+    The EUROPE restriction is applied EARLY: the ≤25-row region⋈nation
+    broadcast prunes BOTH supplier and customer to the EU nations
+    BEFORE any fact join (the local-supplier constraint
+    c_nationkey = s_nationkey means a non-EU customer can never match
+    an EU supplier, so pre-filtering customer is equivalence-
+    preserving), cutting the orders and lineitem join volumes ~5×
+    versus region-filtering the full five-way join output at the end.
+    region/nation broadcast unconditionally (bounded cardinality at
+    any SF); the fact chain shuffles on its join keys once.
     """
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     nation = table(spark, sf_dir, "nation")
@@ -164,15 +176,25 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = table(spark, sf_dir, "lineitem")
+    eu = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    supp2 = supplier.join(
+        F.broadcast(eu.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust2 = cust.join(
+        F.broadcast(eu.select(F.col("n_nationkey").alias("cn_key"))),
+        cust.c_nationkey == F.col("cn_key"),
+    ).select("c_custkey", "c_nationkey")
+    ord2 = orders.join(cust2, orders.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey"
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(ord2, li.l_orderkey == F.col("o_orderkey"))
         .join(
-            supplier,
-            (li.l_suppkey == supplier.s_suppkey) & (cust.c_nationkey == supplier.s_nationkey),
+            supp2,
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(dsum(_revenue_col(), 6).alias("revenue"))
     )

@@ -329,7 +329,13 @@ _SHUFFLE_NODE = re.compile(
 HEADLINE_EXCHANGE_BUDGET = {
     "q1_pricing_summary": (1, 0),
     "q3_shipping_priority": (1, 2),
-    "q5_local_supplier_volume": (1, 5),
+    # (3, 6) since the early-EU-pruning rewrite: supplier/customer are
+    # pre-joined with the broadcast nation slice, so the fact joins see
+    # JOIN OUTPUTS (no static size stats → statically planned as
+    # shuffle joins; AQE broadcasts them at runtime while small). The
+    # two extra static shuffles carry ~5× less data than the single
+    # pre-rewrite shuffle whose output was region-filtered at the end.
+    "q5_local_supplier_volume": (3, 6),
     "q6_forecast_revenue": (1, 0),
     "q9_product_profit": (1, 4),
     "q13_customer_distribution": (2, 1),

@@ -69,10 +69,20 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE plans the (shrinking) right sides as broadcasts at small scale.
     At 100 TB the per-step frames only ever carry (user_id, ts): the
     event payload never moves.
+
+    Each step frame is persist()ed: every frame is consumed TWICE —
+    by the next step's join and by the counts union — and Spark shares
+    no subplans, so uncached the chain re-executes cumulatively (step 1
+    would run three times, step 2 twice: six fact-scale event scans and
+    six user-keyed shuffles instead of three, making the docstring's
+    "three shuffles" claim false in the executed plan).
     """
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    prev = ev.filter(F.col("event_type") == _FUNNEL_STEPS[0]).groupBy("user_id").agg(
-        F.min("ts").alias("t_prev")
+    prev = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_prev"))
+        .persist()
     )
     step_frames = [prev]
     for step_type in _FUNNEL_STEPS[1:]:
@@ -82,6 +92,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("ts") > F.col("t_prev"))
             .groupBy("user_id")
             .agg(F.min("ts").alias("t_prev"))
+            .persist()
         )
         step_frames.append(nxt)
         prev = nxt
@@ -629,9 +640,16 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     and nothing downstream ever touches raw events again.
     """
     ev = table(spark, sf_dir, "events")
-    pairs = ev.select(
-        F.date_trunc("day", "ts").alias("day"), "user_id"
-    ).distinct()
+    # persist(): the distinct (day, user) reduction — the only
+    # fact-scale stage — feeds BOTH the observed-days list and the
+    # fan-out side; uncached, the raw-event scan + distinct shuffle
+    # execute twice and the "ONLY pass over raw events" claim above is
+    # false in the executed plan.
+    pairs = (
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+        .persist()
+    )
     days = pairs.select("day").distinct().withColumnRenamed("day", "report_day")
     fanned = pairs.withColumn(
         "report_day",

@@ -349,8 +349,13 @@ def top_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     round; in_top20pct flags the Pareto head.
     """
     li = table(spark, sf_dir, "lineitem")
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(dec(F.col("l_extendedprice"), 2)).cast("double").alias("revenue")
+    # persist(): the per-part aggregate feeds BOTH the 1-row totals and
+    # the distributed top-100; uncached, the lineitem-wide revenue
+    # aggregation — the only fact-scale stage — executes twice.
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(dec(F.col("l_extendedprice"), 2)).cast("double").alias("revenue"))
+        .persist()
     )
     tot = per_part.agg(
         F.sum("revenue").alias("total_revenue"),

@@ -532,12 +532,17 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training side streams through a row-local shingle explode and
     one map-side-combining hash join probe per gram — the 100 TB corpus
     is never shuffled, only its hit counts are (per-doc aggregation).
-    The fraction divides exact integers → bit-identical doubles.
+    The per-doc gram total rides the exploded stream as a constant
+    column and is recovered by first() in the SAME aggregation as the
+    hit count — a separate sizes aggregation would re-run the gram
+    transform+explode over the whole training corpus a second time
+    (Spark shares no subplans). The fraction divides exact integers →
+    bit-identical doubles.
     """
     docs = table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == DECON_BENCH_REM
 
-    def grams(df: DataFrame) -> DataFrame:
+    def gram_arrays(df: DataFrame) -> DataFrame:
         toks = F.split(F.col("text"), " ")
         g = F.transform(
             F.sequence(F.lit(0), F.size(toks) - DECON_G),
@@ -548,12 +553,22 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             scatter(df)
             .filter(F.size(toks) >= DECON_G)
-            .select("doc_id", F.explode(F.array_distinct(g)).alias("sh"))
+            .select("doc_id", F.array_distinct(g).alias("gs"))
         )
 
-    bench = grams(docs.filter(is_bench)).select("sh").distinct()
-    train = grams(docs.filter(~is_bench))
-    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    bench = (
+        gram_arrays(docs.filter(is_bench))
+        .select(F.explode("gs").alias("sh"))
+        .distinct()
+    )
+    train = gram_arrays(docs.filter(~is_bench)).select(
+        "doc_id",
+        # cast: size() is INT; the published schema (and the old
+        # count-based aggregate) is BIGINT — the h3 dtype pin catches
+        # exactly this drift.
+        F.size("gs").cast("long").alias("n_grams"),
+        F.explode("gs").alias("sh"),
+    )
     hits = (
         # bench grows with its source set (here ~1/23 of the corpus), so the
         # join strategy is left to AQE: broadcast while it fits, shuffle
@@ -561,10 +576,13 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounded and AQE will broadcast it.
         train.join(bench, "sh")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated_grams"),
+            F.first("n_grams").alias("n_grams"),
+        )
     )
     frac = F.col("n_contaminated_grams").cast("double") / F.col("n_grams")
-    return hits.join(sizes, "doc_id").select(
+    return hits.select(
         "doc_id", "n_contaminated_grams", "n_grams", frac.alias("contamination_frac")
     )
 

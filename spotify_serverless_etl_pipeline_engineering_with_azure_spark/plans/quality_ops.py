@@ -254,9 +254,14 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     wide = "decimal(38,0)"
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # persist(): the daily matrix feeds BOTH the moment totals and the
+    # scored join's probe side; uncached, the raw-event aggregation —
+    # the only data-sized stage — executes twice (no subplan sharing).
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .persist()
+    )
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast(wide).alias("n"),
         F.sum("n_events").cast(wide).alias("s"),

@@ -347,11 +347,17 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(x, i) -> struct(x AS w1, element_at(split(text, ' '), i + 2) AS w2))"
     )
     bg = scatter(docs).select(F.explode(bigram).alias("b")).select("b.w1", "b.w2")
+    # persist(): the unigram table is consumed by BOTH enrich joins
+    # (u1/u2 aliases) and Spark shares no subplans — without the cache
+    # the corpus-wide token explode + vocab shuffle executes twice in
+    # the one returned plan. persist (not localCheckpoint) keeps the
+    # subtree visible to plan sweeps and keeps lineage for recompute.
     uni = (
         scatter(docs)
         .select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     n_uni = docs.select(F.sum(F.size(toks)).alias("n_uni"))
     pairs = (
@@ -359,7 +365,12 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= MIN_PAIR_COUNT)
     )
-    n_bi = bg.agg(F.count(F.lit(1)).alias("n_bi"))
+    # Total bigram count derived ROW-LOCALLY from the token arrays
+    # (size-1 per doc; split() never returns an empty array, so the
+    # term is never negative) — counting the exploded bigram stream
+    # here would re-run the corpus-wide explode a second time for a
+    # single scalar.
+    n_bi = docs.select(F.sum(F.size(toks) - 1).alias("n_bi"))
     pmi = F.round(
         F.log(
             (F.col("n_pair").cast("double") / F.col("n_bi"))
@@ -419,11 +430,15 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are exact integers; only the final share divides, 6dp.
     """
     docs = table(spark, sf_dir, "documents")
+    # persist(): both the grand total and the top-k consume the vocab
+    # aggregate; uncached, the corpus-wide explode + vocab shuffle — the
+    # only data-sized stage here — executes twice (no subplan sharing).
     uni = (
         scatter(docs)
         .select(F.explode(_tokens()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     tot = uni.agg(F.sum("cnt").alias("n_total"))
     top = uni.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_CURVE_N)
@@ -485,7 +500,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     tok = scatter(docs).select("doc_id", F.explode(_tokens()).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persist(): tf — the heaviest aggregation here, near-corpus
+    # cardinality — feeds BOTH the df derivation and the scoring join's
+    # probe side; uncached it executes twice (no subplan sharing). The
+    # production analogue materializes the TF table once per corpus
+    # snapshot for exactly this reason.
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.round(
@@ -548,7 +568,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     toks = scatter(docs).select("doc_id", F.explode(_tokens()).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # persist(): the vocab aggregate feeds BOTH the grand total and the
+    # scoring join — uncached, its corpus-wide shuffle executes twice.
+    # The token STREAM (toks) is deliberately NOT cached: its second
+    # derivation is a map-side scan+explode (no shuffle), far cheaper
+    # than materializing a corpus-sized row stream.
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
     total = vocab.agg(F.sum("cnt").alias("n_total"))
     lp = F.round(
         F.log2(F.col("cnt").cast("double") / F.col("n_total").cast("double")), 6

@@ -89,6 +89,26 @@ def dsum(col: Column, scale: int) -> Column:
     while keeping the per-row aggregate update in codegen'd long math.
     """
     hi, lo = _unit_sums(col, scale)
+    return dsum_from_parts(hi, lo, scale)
+
+
+def dsum_parts(col: Column, scale: int, prefix: str) -> list[Column]:
+    """The dsum split accumulator EXPOSED as two named aggregate
+    columns (``<prefix>_hi``, ``<prefix>_lo``) so one keyed aggregation
+    can serve BOTH a per-group exact sum and coarser re-aggregations:
+    long partials are associative, so SUM of per-group hi/lo re-summed
+    across groups is bit-identical to a direct global dsum — one fact
+    scan instead of two when a query needs per-key values AND their
+    grand total. Capacity is the module contract's: the re-summed
+    group is the union, so the global bound applies to the final
+    rollup exactly as it would to a direct global dsum."""
+    hi, lo = _unit_sums(col, scale)
+    return [hi.alias(f"{prefix}_hi"), lo.alias(f"{prefix}_lo")]
+
+
+def dsum_from_parts(hi: Column, lo: Column, scale: int) -> Column:
+    """Recombine (hi, lo) long partial sums into the exact double —
+    the tail of dsum, usable row-level on dsum_parts columns."""
     total_units = (hi.cast("decimal(28,0)") * _LIM + lo).cast("decimal(28,0)")
     # decimal(28,0) / 10^scale: result scale = max(6, scale+2) >= scale
     # and precision = 28 + result scale <= 38 -> the quotient is exact,

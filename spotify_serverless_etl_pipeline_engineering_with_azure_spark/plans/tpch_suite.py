@@ -398,10 +398,28 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts whose revenue exceeds a fraction of TOTAL revenue — the
     uncorrelated scalar subquery becomes a 1-row broadcast cross join.
     Both the per-part and global sums are decimal-exact, so the
-    threshold comparison is deterministic across engines."""
+    threshold comparison is deterministic across engines.
+
+    ONE lineitem pass: the per-part aggregation keeps dsum's long
+    (hi, lo) partials, and the grand total re-sums those partials
+    across parts — long partial sums are associative, so the rollup is
+    bit-identical to a direct global dsum (which would otherwise scan
+    and aggregate the full fact a second time). The partial frame is
+    persist()ed because both the threshold and the probe consume it."""
+    from ..functions.exact import dsum_from_parts, dsum_parts
+
     li = table(spark, sf_dir, "lineitem")
-    per_part = li.groupBy("l_partkey").agg(dsum(_rev(), 6).alias("part_value"))
-    total = li.agg(dsum(_rev(), 6).alias("total_value"))
+    per = li.groupBy("l_partkey").agg(*dsum_parts(_rev(), 6, "pv")).persist()
+    per_part = per.select(
+        "l_partkey",
+        dsum_from_parts(F.col("pv_hi"), F.col("pv_lo"), 6).alias("part_value"),
+    )
+    total = (
+        per.agg(F.sum("pv_hi").alias("t_hi"), F.sum("pv_lo").alias("t_lo"))
+        .select(
+            dsum_from_parts(F.col("t_hi"), F.col("t_lo"), 6).alias("total_value")
+        )
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("part_value") > F.col("total_value") * 0.0006)
@@ -499,16 +517,18 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier(s) hitting the quarter's max revenue. The derived table
-    feeds both the probe and the scalar MAX; a rank-1 window over a
-    single ordering column evaluates it ONCE (the CTE-reuse problem a
-    self-join would reintroduce)."""
+    feeds both the probe and the scalar MAX — persist()ed, because
+    Spark shares no subplans and the uncached frame would re-run the
+    quarter's lineitem aggregation once per consumer."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-01-01"))
         & (F.col("l_shipdate") < _ts("1997-04-01"))
     )
     supp = table(spark, sf_dir, "supplier")
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(_rev(), 6).alias("total_revenue")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(_rev(), 6).alias("total_revenue"))
+        .persist()
     )
     # Scalar MAX + equality join (the q2 pattern), NOT rank() over an
     # unpartitioned window: the per-supplier aggregate grows linearly

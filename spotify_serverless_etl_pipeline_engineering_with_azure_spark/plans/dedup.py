@@ -1121,8 +1121,14 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    labels = edges.select(F.col("a").alias("v")).distinct().withColumn(
-        "label", F.col("v")
+    # persist(): the initial label table is consumed up to three times
+    # in round 1 (neighbor-min join, hook join, convergence count)
+    # before the first checkpointed new_labels replaces it.
+    labels = (
+        edges.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .persist()
     )
     # Loop to the FIXPOINT (changed == 0), not a fixed round cap:
     # returning unconverged labels would silently disagree with the
@@ -1315,7 +1321,14 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    deg = edges.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    # persist(): deg is consumed by the n count, the rank init, AND the
+    # contribution join in EVERY iteration — uncached, the degree
+    # shuffle over the edge set re-executes once per PageRank round.
+    deg = (
+        edges.groupBy(F.col("a").alias("v"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
     n = deg.count()
     quant = lambda c: F.round(c, 6).cast("decimal(18,6)").cast("double")  # noqa: E731
     ranks = deg.select("v", quant(F.lit(1.0) / F.lit(float(n))).alias("r"))
@@ -1499,7 +1512,10 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    # persist(): both join sides (ma/mb) consume the per-doc size
+    # aggregate — uncached, its shuffle over the shingle stream runs
+    # twice.
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m")).persist()
     shared = (
         cand.join(toks.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
         .join(toks.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])

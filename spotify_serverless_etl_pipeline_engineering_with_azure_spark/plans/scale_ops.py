@@ -206,7 +206,9 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     in this repo whose candidate count is bounded by rare-token DF
     rather than by block width.
     """
-    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    # persist(): both self-join sides consume the distinct-names frame;
+    # uncached, the part scan + distinct shuffle execute twice.
+    names = table(spark, sf_dir, "part").select("p_name").distinct().persist()
     a = names.select(
         F.col("p_name").alias("name_a"),
         F.substring("p_name", 1, 1).alias("blk_a"),
@@ -297,6 +299,9 @@ def bloom_filter_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("widx")
         .agg(F.bit_or("bit").alias("word"))
+        # persist(): both per-hash broadcast probes consume the word
+        # table; uncached, the build-side scan + bit-fold execute twice.
+        .persist()
     )
     o0, o1 = positions(F.col("o_custkey"))
     probed = (

@@ -334,7 +334,10 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = F.when(F.col("w") == 0, F.lit(HLL_RANK_BITS + 1)).otherwise(
         F.lit(HLL_RANK_BITS + 1) - F.length(F.bin("w"))
     )
-    regs = split.groupBy("grp", "reg").agg(F.max(rank).alias("mx"))
+    # persist(): the per-sketch register table feeds BOTH the sketch
+    # count and the merge — uncached, the full event-hash scan +
+    # register shuffle below it execute twice.
+    regs = split.groupBy("grp", "reg").agg(F.max(rank).alias("mx")).persist()
     n_sketches = regs.agg(F.count_distinct("grp").alias("n_sketches"))
     merged = regs.groupBy("reg").agg(F.max("mx").alias("mx"))
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RANK_BITS + 1} - mx)")

@@ -237,6 +237,32 @@ def test_dsum_scale_above_max_raises(spark):
         dsum(F.col("v"), 11)
 
 
+def test_dsum_parts_rollup_matches_direct_global_dsum(spark):
+    """dsum_parts' contract: re-summing per-group (hi, lo) long
+    partials across groups must be bit-identical to a direct global
+    dsum — the associativity that lets q11 serve per-key values AND
+    the grand total from ONE fact pass. Near-cap magnitudes with mixed
+    signs exercise the hi/lo carry behavior across the rollup."""
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.functions.exact import (
+        dsum_from_parts,
+        dsum_parts,
+    )
+
+    vals = [
+        (1, 9999999999999.98), (1, 0.01), (2, -9999999999999.97),
+        (2, 123.45), (3, 0.005), (3, -0.015), (4, 9999999999999.97),
+    ]
+    df = spark.createDataFrame(vals, "k int, v double")
+    direct = df.agg(dsum(F.col("v"), 2).alias("s")).collect()[0]["s"]
+    per = df.groupBy("k").agg(*dsum_parts(F.col("v"), 2, "p"))
+    rolled = (
+        per.agg(F.sum("p_hi").alias("h"), F.sum("p_lo").alias("l"))
+        .select(dsum_from_parts(F.col("h"), F.col("l"), 2).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert rolled == direct
+
+
 # ---------------------------------------------------------------------------
 # (e) n-gram DF cap: hot stop-shingles are pruned on both engines
 # ---------------------------------------------------------------------------

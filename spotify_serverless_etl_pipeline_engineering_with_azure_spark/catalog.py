@@ -50,7 +50,7 @@ MAX_CHECKPOINT_ENTRIES = 16
 
 def dataset_cached(cache: dict, spark: SparkSession, sf_dir: str,
                    files: tuple[str, ...], build, params: tuple = (),
-                   max_entries: int | None = None):
+                   max_entries: int | None = None, on_evict=None):
     """Memoize a per-dataset artifact (a loaded table, a checkpointed
     index) and EVICT the superseded snapshot on regeneration.
 
@@ -106,13 +106,60 @@ def dataset_cached(cache: dict, spark: SparkSession, sf_dir: str,
     for stale in [
         k for k in cache if (k[0] == ident and k != key) or k[0][3] != appid
     ]:
+        # on_evict (opt-in): persist()ed frames live in Spark's
+        # CacheManager, which never releases entries on driver GC —
+        # unlike checkpointed RDD blocks, dropping the dict reference
+        # is NOT enough, so such caches pass an explicit unpersist.
+        if on_evict is not None:
+            on_evict(cache[stale])
         del cache[stale]
     val = build()
     cache[key] = val
     if max_entries is not None:
         while len(cache) > max_entries:
-            del cache[next(iter(cache))]
+            k0 = next(iter(cache))
+            if on_evict is not None:
+                on_evict(cache[k0])
+            del cache[k0]
     return val
+
+
+# Shared registry for persisted() — entries pin executor storage, so a
+# larger-than-MAX_CHECKPOINT_ENTRIES cap bounds a snapshot-sweeping
+# driver without thrashing the many (tag × dataset) combinations a test
+# session holds live; a wrong eviction only costs a rebuild.
+MAX_PERSISTED_ENTRIES = 64
+_PERSISTED_FRAMES: dict[tuple, DataFrame] = {}
+
+
+def persisted(spark: SparkSession, sf_dir: str, files: tuple[str, ...],
+              tag: str, build) -> DataFrame:
+    """persist() with dataset freshness and cross-call reuse, for
+    in-query aggregates consumed by multiple branches of one plan.
+
+    A bare ``df.persist()`` inside a query function has two traps this
+    helper exists to close:
+    - STALENESS: Spark's CacheManager keys entries by canonicalized
+      plan — root paths + schema, with NO data-freshness component —
+      so after an in-place dataset regeneration a rebuilt query plan
+      canonically equals the stale entry and silently serves the OLD
+      aggregate (the exact hole dataset_cached's (mtime_ns, size)
+      freshness keys close for checkpointed indexes).
+    - LIFETIME: CacheManager entries are never released by driver GC
+      (unlike checkpointed RDD blocks) — per-call persists accumulate
+      for the application's lifetime.
+    Same snapshot → the SAME persisted frame (cross-call reuse, the
+    index-cache discipline); superseded, dead-app, or cap-evicted →
+    explicit unpersist(), which is SAFE for persisted frames: lineage
+    is intact, so any still-held consumer frame recomputes instead of
+    breaking.
+    """
+    return dataset_cached(
+        _PERSISTED_FRAMES, spark, sf_dir, files,
+        lambda: build().persist(), params=(tag,),
+        max_entries=MAX_PERSISTED_ENTRIES,
+        on_evict=lambda df: df.unpersist(),
+    )
 
 
 _INDEX_SEQ = iter(range(1 << 62))

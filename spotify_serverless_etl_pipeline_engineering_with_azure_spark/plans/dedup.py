@@ -27,6 +27,7 @@ from ..catalog import (
     MAX_CHECKPOINT_ENTRIES,
     checkpoint_frame,
     dataset_cached,
+    persisted,
     scatter,
     table,
 )
@@ -1123,8 +1124,11 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
     )
     # persist(): the initial label table is consumed up to three times
     # in round 1 (neighbor-min join, hook join, convergence count)
-    # before the first checkpointed new_labels replaces it.
-    labels = (
+    # before the first checkpointed new_labels replaces it; released
+    # explicitly at the end of round 1 (CacheManager entries outlive
+    # driver GC, and this plan is rooted in the per-call edges
+    # checkpoint, so it would leak one vertex-table entry per call).
+    init_labels = labels = (
         edges.select(F.col("a").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
@@ -1185,8 +1189,11 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
         )
         # new_labels is materialized (eager checkpoint) and the round's
         # convergence count is done — release hooked's blocks now
-        # instead of waiting for driver GC.
+        # instead of waiting for driver GC (and the initial label cache
+        # after round 1, its last consumer).
         hooked.unpersist()
+        if round_no == 1:
+            init_labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -1351,6 +1358,11 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").alias("v"),
             quant(F.lit(base) + PR_DAMPING * F.col("contrib").cast("double")).alias("r"),
         ).localCheckpoint()
+    # ranks is checkpoint-rooted — nothing in the returned plan needs
+    # deg, and CacheManager entries are never GC-released, so the
+    # per-call cache (rooted in this call's fresh edges checkpoint,
+    # never deduped across calls) must be released explicitly.
+    deg.unpersist()
     return ranks.select(F.col("v").alias("doc_id"), F.col("r").alias("pagerank"))
 
 
@@ -1512,10 +1524,18 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # persist(): both join sides (ma/mb) consume the per-doc size
+    # persisted(): both join sides (ma/mb) consume the per-doc size
     # aggregate — uncached, its shuffle over the shingle stream runs
-    # twice.
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m")).persist()
+    # twice. Dataset-freshness-keyed, so repeat calls reuse one cached
+    # frame instead of registering a per-call CacheManager entry rooted
+    # in that call's toks checkpoint.
+    sizes = persisted(
+        spark,
+        sf_dir,
+        ("documents.parquet",),
+        "pf_sizes",
+        lambda: toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m")),
+    )
     shared = (
         cand.join(toks.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
         .join(toks.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])

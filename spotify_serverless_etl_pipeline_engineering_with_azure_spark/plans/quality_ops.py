@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import persisted, table
 from ..registry import register
 
 # (relationship label, child table, child FK, parent table, parent key)
@@ -254,13 +254,18 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     wide = "decimal(38,0)"
-    # persist(): the daily matrix feeds BOTH the moment totals and the
-    # scored join's probe side; uncached, the raw-event aggregation —
-    # the only data-sized stage — executes twice (no subplan sharing).
-    daily = (
-        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .persist()
+    # persisted(): the daily matrix feeds BOTH the moment totals and
+    # the scored join's probe side; uncached, the raw-event aggregation
+    # — the only data-sized stage — executes twice (no subplan
+    # sharing). Dataset-freshness-keyed with unpersist-on-supersession.
+    daily = persisted(
+        spark,
+        sf_dir,
+        ("events.parquet",),
+        "zscore_daily",
+        lambda: ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n_events")),
     )
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast(wide).alias("n"),

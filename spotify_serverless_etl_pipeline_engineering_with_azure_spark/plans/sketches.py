@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import scatter, table
+from ..catalog import persisted, scatter, table
 from ..functions.hashing import md5_int48, sql_md5_int48
 from ..registry import register
 
@@ -334,10 +334,17 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = F.when(F.col("w") == 0, F.lit(HLL_RANK_BITS + 1)).otherwise(
         F.lit(HLL_RANK_BITS + 1) - F.length(F.bin("w"))
     )
-    # persist(): the per-sketch register table feeds BOTH the sketch
+    # persisted(): the per-sketch register table feeds BOTH the sketch
     # count and the merge — uncached, the full event-hash scan +
-    # register shuffle below it execute twice.
-    regs = split.groupBy("grp", "reg").agg(F.max(rank).alias("mx")).persist()
+    # register shuffle below it execute twice. Dataset-freshness-keyed
+    # with unpersist-on-supersession.
+    regs = persisted(
+        spark,
+        sf_dir,
+        ("events.parquet",),
+        "hllm_regs",
+        lambda: split.groupBy("grp", "reg").agg(F.max(rank).alias("mx")),
+    )
     n_sketches = regs.agg(F.count_distinct("grp").alias("n_sketches"))
     merged = regs.groupBy("reg").agg(F.max("mx").alias("mx"))
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RANK_BITS + 1} - mx)")

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import scatter, table
+from ..catalog import persisted, scatter, table
 from ..functions.hashing import md5_int48, sql_md5_int48
 from ..registry import register
 
@@ -347,17 +347,22 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(x, i) -> struct(x AS w1, element_at(split(text, ' '), i + 2) AS w2))"
     )
     bg = scatter(docs).select(F.explode(bigram).alias("b")).select("b.w1", "b.w2")
-    # persist(): the unigram table is consumed by BOTH enrich joins
+    # persisted(): the unigram table is consumed by BOTH enrich joins
     # (u1/u2 aliases) and Spark shares no subplans — without the cache
     # the corpus-wide token explode + vocab shuffle executes twice in
-    # the one returned plan. persist (not localCheckpoint) keeps the
-    # subtree visible to plan sweeps and keeps lineage for recompute.
-    uni = (
-        scatter(docs)
+    # the one returned plan. The helper keys the cache by dataset
+    # freshness (a bare persist would serve a STALE aggregate after an
+    # in-place regeneration — CacheManager keys by plan, not data) and
+    # unpersists on supersession.
+    uni = persisted(
+        spark,
+        sf_dir,
+        ("documents.parquet",),
+        "pmi_uni",
+        lambda: scatter(docs)
         .select(F.explode(toks).alias("w"))
         .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .agg(F.count(F.lit(1)).alias("c")),
     )
     n_uni = docs.select(F.sum(F.size(toks)).alias("n_uni"))
     pairs = (
@@ -430,15 +435,19 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are exact integers; only the final share divides, 6dp.
     """
     docs = table(spark, sf_dir, "documents")
-    # persist(): both the grand total and the top-k consume the vocab
+    # persisted(): both the grand total and the top-k consume the vocab
     # aggregate; uncached, the corpus-wide explode + vocab shuffle — the
     # only data-sized stage here — executes twice (no subplan sharing).
-    uni = (
-        scatter(docs)
+    # Dataset-freshness-keyed: see pmi_uni above.
+    uni = persisted(
+        spark,
+        sf_dir,
+        ("documents.parquet",),
+        "vocab_uni",
+        lambda: scatter(docs)
         .select(F.explode(_tokens()).alias("token"))
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
+        .agg(F.count(F.lit(1)).alias("cnt")),
     )
     tot = uni.agg(F.sum("cnt").alias("n_total"))
     top = uni.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_CURVE_N)
@@ -500,12 +509,19 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     tok = scatter(docs).select("doc_id", F.explode(_tokens()).alias("term"))
-    # persist(): tf — the heaviest aggregation here, near-corpus
+    # persisted(): tf — the heaviest aggregation here, near-corpus
     # cardinality — feeds BOTH the df derivation and the scoring join's
     # probe side; uncached it executes twice (no subplan sharing). The
     # production analogue materializes the TF table once per corpus
-    # snapshot for exactly this reason.
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # snapshot for exactly this reason; dataset-freshness-keyed, see
+    # pmi_uni.
+    tf = persisted(
+        spark,
+        sf_dir,
+        ("documents.parquet",),
+        "tfidf_tf",
+        lambda: tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.round(
@@ -568,12 +584,19 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     toks = scatter(docs).select("doc_id", F.explode(_tokens()).alias("tok"))
-    # persist(): the vocab aggregate feeds BOTH the grand total and the
-    # scoring join — uncached, its corpus-wide shuffle executes twice.
-    # The token STREAM (toks) is deliberately NOT cached: its second
-    # derivation is a map-side scan+explode (no shuffle), far cheaper
-    # than materializing a corpus-sized row stream.
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    # persisted(): the vocab aggregate feeds BOTH the grand total and
+    # the scoring join — uncached, its corpus-wide shuffle executes
+    # twice (dataset-freshness-keyed, see pmi_uni). The token STREAM
+    # (toks) is deliberately NOT cached: its second derivation is a
+    # map-side scan+explode (no shuffle), far cheaper than
+    # materializing a corpus-sized row stream.
+    vocab = persisted(
+        spark,
+        sf_dir,
+        ("documents.parquet",),
+        "logprob_vocab",
+        lambda: toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")),
+    )
     total = vocab.agg(F.sum("cnt").alias("n_total"))
     lp = F.round(
         F.log2(F.col("cnt").cast("double") / F.col("n_total").cast("double")), 6

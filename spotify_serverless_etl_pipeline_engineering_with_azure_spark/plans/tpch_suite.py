@@ -22,8 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
-from ..functions.exact import davg, dec, dsum, sql_davg, sql_dsum
+from ..catalog import persisted, table
+from ..functions.exact import (
+    davg,
+    dec,
+    dsum,
+    dsum_from_parts,
+    dsum_parts,
+    sql_davg,
+    sql_dsum,
+)
 from ..registry import register
 
 REVENUE = "l_extendedprice * (1 - l_discount)"  # exact at 4 dp
@@ -404,12 +412,18 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hi, lo) partials, and the grand total re-sums those partials
     across parts — long partial sums are associative, so the rollup is
     bit-identical to a direct global dsum (which would otherwise scan
-    and aggregate the full fact a second time). The partial frame is
-    persist()ed because both the threshold and the probe consume it."""
-    from ..functions.exact import dsum_from_parts, dsum_parts
-
+    and aggregate the full fact a second time). The partial frame goes
+    through persisted() because both the threshold and the probe
+    consume it (dataset-freshness-keyed; a bare persist would serve a
+    stale aggregate after in-place regeneration)."""
     li = table(spark, sf_dir, "lineitem")
-    per = li.groupBy("l_partkey").agg(*dsum_parts(_rev(), 6, "pv")).persist()
+    per = persisted(
+        spark,
+        sf_dir,
+        ("lineitem.parquet",),
+        "q11_parts",
+        lambda: li.groupBy("l_partkey").agg(*dsum_parts(_rev(), 6, "pv")),
+    )
     per_part = per.select(
         "l_partkey",
         dsum_from_parts(F.col("pv_hi"), F.col("pv_lo"), 6).alias("part_value"),
@@ -517,18 +531,23 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier(s) hitting the quarter's max revenue. The derived table
-    feeds both the probe and the scalar MAX — persist()ed, because
+    feeds both the probe and the scalar MAX — persisted(), because
     Spark shares no subplans and the uncached frame would re-run the
-    quarter's lineitem aggregation once per consumer."""
+    quarter's lineitem aggregation once per consumer
+    (dataset-freshness-keyed with unpersist-on-supersession)."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-01-01"))
         & (F.col("l_shipdate") < _ts("1997-04-01"))
     )
     supp = table(spark, sf_dir, "supplier")
-    revenue = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(dsum(_rev(), 6).alias("total_revenue"))
-        .persist()
+    revenue = persisted(
+        spark,
+        sf_dir,
+        ("lineitem.parquet",),
+        "q15_revenue",
+        lambda: li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            dsum(_rev(), 6).alias("total_revenue")
+        ),
     )
     # Scalar MAX + equality join (the q2 pattern), NOT rank() over an
     # unpartitioned window: the per-supplier aggregate grows linearly

@@ -438,3 +438,51 @@ def test_durable_index_store_roundtrip_and_sweep(spark, sf_dir, tmp_path, monkey
         )
 
     assert key(durable) == key(baseline)
+
+
+def test_persisted_frames_refresh_on_dataset_regeneration(spark, sf_dir, tmp_path):
+    """catalog.persisted must serve the SAME cached frame for an
+    unchanged snapshot, REBUILD when the parquet is regenerated in
+    place (Spark's CacheManager keys by canonicalized plan with no
+    data-freshness component — a bare persist() would silently serve
+    the STALE aggregate), and unpersist the superseded frame (cache
+    entries are never released by driver GC)."""
+    import shutil
+
+    import duckdb
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark import catalog
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", ds / "documents.parquet")
+
+    def build():
+        return (
+            spark.read.parquet(str(ds / "documents.parquet"))
+            .groupBy("source")
+            .count()
+        )
+
+    f1 = catalog.persisted(spark, str(ds), ("documents.parquet",), "t", build)
+    assert catalog.persisted(spark, str(ds), ("documents.parquet",), "t", build) is f1
+    n1 = f1.agg(F.sum("count")).collect()[0][0]
+
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id % 2 = 0) TO '{ds}/documents.parquet' (FORMAT PARQUET)"
+    )
+    f2 = catalog.persisted(spark, str(ds), ("documents.parquet",), "t", build)
+    assert f2 is not f1, "regenerated snapshot must rebuild"
+    n2 = f2.agg(F.sum("count")).collect()[0][0]
+    assert n2 < n1, "rebuilt frame must read the NEW data, not the stale cache"
+    # (f1.storageLevel is NOT probed here: the rebuilt plan is
+    # canonically equal to the stale one, so after f2's persist both
+    # handles report f2's cache entry — the meaningful invariants are
+    # the fresh VALUES above and that exactly one registry entry
+    # survives, the superseded one having been unpersisted on_evict.)
+    assert f2.storageLevel.useMemory or f2.storageLevel.useDisk
+    entries = [
+        k for k in catalog._PERSISTED_FRAMES if k[0][0] == str(ds) and k[0][2] == ("t",)
+    ]
+    assert len(entries) == 1, "superseded registry entry must be evicted"

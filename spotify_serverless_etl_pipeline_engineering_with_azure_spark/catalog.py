@@ -110,7 +110,13 @@ def dataset_cached(cache: dict, spark: SparkSession, sf_dir: str,
         # CacheManager, which never releases entries on driver GC —
         # unlike checkpointed RDD blocks, dropping the dict reference
         # is NOT enough, so such caches pass an explicit unpersist.
-        if on_evict is not None:
+        # DEAD-APPLICATION entries skip it: their CacheManager (and
+        # BlockManager) died with the old SparkContext, so there is
+        # nothing Spark-side to release — and calling unpersist() into
+        # the stopped context raises a Py4J NullPointerException, which
+        # would crash the FIRST query of every restarted session (the
+        # exact recovery path this purge exists to serve).
+        if on_evict is not None and stale[0][3] == appid:
             on_evict(cache[stale])
         del cache[stale]
     val = build()
@@ -149,10 +155,12 @@ def persisted(spark: SparkSession, sf_dir: str, files: tuple[str, ...],
       (unlike checkpointed RDD blocks) — per-call persists accumulate
       for the application's lifetime.
     Same snapshot → the SAME persisted frame (cross-call reuse, the
-    index-cache discipline); superseded, dead-app, or cap-evicted →
-    explicit unpersist(), which is SAFE for persisted frames: lineage
-    is intact, so any still-held consumer frame recomputes instead of
-    breaking.
+    index-cache discipline); superseded or cap-evicted → explicit
+    unpersist(), which is SAFE for persisted frames: lineage is
+    intact, so any still-held consumer frame recomputes instead of
+    breaking. Dead-app entries are dropped WITHOUT unpersist — their
+    CacheManager died with the old SparkContext, and unpersisting into
+    a stopped context is a hard Py4J error, not a release.
     """
     return dataset_cached(
         _PERSISTED_FRAMES, spark, sf_dir, files,
@@ -160,6 +168,26 @@ def persisted(spark: SparkSession, sf_dir: str, files: tuple[str, ...],
         max_entries=MAX_PERSISTED_ENTRIES,
         on_evict=lambda df: df.unpersist(),
     )
+
+
+def release(*frames: DataFrame | None) -> None:
+    """Best-effort unpersist for ``finally`` blocks around iterative
+    persist lifecycles (pointer-jumping components, PageRank rounds).
+
+    CacheManager entries are never GC-released, so a mid-iteration
+    failure (executor loss, ANSI overflow) would leak every persisted
+    round frame for the application's lifetime unless the loop releases
+    them on the error path too. Already-unpersisted frames are a no-op;
+    unpersist() itself raising (the failure that aborted the loop was
+    the context dying) is swallowed so cleanup never masks the original
+    error."""
+    for f in frames:
+        if f is None:
+            continue
+        try:
+            f.unpersist()
+        except Exception:
+            pass
 
 
 _INDEX_SEQ = iter(range(1 << 62))

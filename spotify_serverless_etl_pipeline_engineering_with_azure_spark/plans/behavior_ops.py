@@ -359,6 +359,17 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Past this many shuffle partitions, _distributed_ntile swaps its
+# literal (pid → offset) create_map for a broadcast-joined offset frame:
+# janino rejects methods over 64 KB of bytecode and each literal pair
+# costs constants + branch code, so the map literal has a hard codegen
+# ceiling at roughly a few thousand pairs — while the cluster posture
+# this module documents (SPARK_GRAFT_SHUFFLE_INITIAL) runs 1e5-1e6
+# range partitions. 512 stays an order of magnitude under the cliff
+# while keeping every test/local shape on the no-join fast path.
+_NTILE_MAP_LITERAL_MAX = 512
+
+
 def _distributed_ntile(
     df: DataFrame, order_cols: list, n_tiles: int, score_name: str
 ) -> DataFrame:
@@ -390,12 +401,39 @@ def _distributed_ntile(
     for p in sorted(sizes):
         offsets[p] = acc
         acc += sizes[p]
-    off_map = F.create_map(
-        *[x for p in sorted(offsets) for x in (F.lit(p), F.lit(offsets[p]))]
-    )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    rank = (F.row_number().over(w) + off_map[F.col("_pid")]).cast("long")
-    ranked = pid.withColumn("_rn_global", rank)
+    if len(offsets) <= _NTILE_MAP_LITERAL_MAX:
+        # Small partition counts: a literal (pid → offset) map keeps the
+        # offset lookup inside the same whole-stage-codegen'd projection
+        # as the row_number — no join, no extra exchange.
+        off_map = F.create_map(
+            *[x for p in sorted(offsets) for x in (F.lit(p), F.lit(offsets[p]))]
+        )
+        rank = (F.row_number().over(w) + off_map[F.col("_pid")]).cast("long")
+        ranked = pid.withColumn("_rn_global", rank)
+    else:
+        # Cluster posture (SPARK_GRAFT_SHUFFLE_INITIAL ~1e5-1e6 range
+        # partitions): one literal pair per partition would be a
+        # multi-MB expression past janino's 64 KB method / constant-pool
+        # limits — the same codegen cliff the kmeans literal-codebook
+        # note documents. Broadcast-join a tiny (pid, offset) frame
+        # instead: the build side is bounded by the partition COUNT
+        # (kilobytes per thousand partitions), never by data, and the
+        # window's partitioning is untouched (the join adds no
+        # exchange on the ranked side).
+        spark = df.sparkSession
+        off_df = spark.createDataFrame(
+            [(int(p), int(offsets[p])) for p in sorted(offsets)],
+            "_pid int, _pid_offset long",
+        )
+        ranked = (
+            pid.withColumn("_rn_local", F.row_number().over(w))
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn(
+                "_rn_global",
+                (F.col("_rn_local") + F.col("_pid_offset")).cast("long"),
+            )
+        )
     q, r = divmod(n, n_tiles)
     if q == 0:
         tile_col = F.col("_rn_global")  # n < n_tiles: tile i = row i

@@ -28,6 +28,7 @@ from ..catalog import (
     checkpoint_frame,
     dataset_cached,
     persisted,
+    release,
     scatter,
     table,
 )
@@ -1134,6 +1135,7 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
         .withColumn("label", F.col("v"))
         .persist()
     )
+    hooked = None
     # Loop to the FIXPOINT (changed == 0), not a fixed round cap:
     # returning unconverged labels would silently disagree with the
     # oracle's recursive-CTE fixpoint. The hard ceiling only guards
@@ -1141,66 +1143,76 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
     # pointer jumping, the default 200 rounds allows components of
     # astronomically large diameter (reach doubles per round), not
     # merely 200 hops.
-    for round_no in range(1, max_rounds + 1):
-        neighbor_min = (
-            edges.join(labels, edges.a == labels.v)
-            .groupBy(F.col("b").alias("nv"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        # persist(): both sides of the jump self-join consume hooked,
-        # and Spark shares no subplans — without caching, the hook
-        # subtree (edge join + neighbor-min shuffle) executes twice per
-        # round, which at web-scale edge sets doubles the round's
-        # dominant cost. persist, NOT localCheckpoint: it is explicitly
-        # unpersist()ed at the end of the round (a per-round checkpoint
-        # would pin one vertex-sized block set per round, released only
-        # at GC's leisure), it keeps lineage (executor loss recomputes
-        # instead of aborting the loop), and plan growth is not a
-        # concern because new_labels' eager checkpoint below re-roots
-        # every round's plan.
-        hooked = (
-            labels.join(neighbor_min, labels.v == F.col("nv"), "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
+    #
+    # try/finally: the happy path releases each round's persists inline
+    # (below), but a mid-round failure — executor loss, ANSI overflow,
+    # the convergence count dying — would otherwise leak the round's
+    # CacheManager entries (never GC-released) for the application's
+    # lifetime; `release` re-unpersisting an already-released frame is
+    # a no-op, so the finally only matters on the error path.
+    try:
+        for round_no in range(1, max_rounds + 1):
+            neighbor_min = (
+                edges.join(labels, edges.a == labels.v)
+                .groupBy(F.col("b").alias("nv"))
+                .agg(F.min("label").alias("nlabel"))
             )
-            .persist()
-        )
-        # Pointer jump: label(v) <- label(label(v)). Every label IS a
-        # vertex id present in the label table (initial labels are the
-        # vertices themselves; mins of labels stay labels), so the
-        # lookup always resolves; coalesce is belt-and-braces.
-        jump = hooked.select(F.col("v").alias("jv"), F.col("label").alias("jlabel"))
-        new_labels = (
-            hooked.join(jump, hooked.label == F.col("jv"), "left")
-            .select(
-                "v",
-                F.coalesce(F.col("jlabel"), F.col("label")).alias("label"),
+            # persist(): both sides of the jump self-join consume hooked,
+            # and Spark shares no subplans — without caching, the hook
+            # subtree (edge join + neighbor-min shuffle) executes twice per
+            # round, which at web-scale edge sets doubles the round's
+            # dominant cost. persist, NOT localCheckpoint: it is explicitly
+            # unpersist()ed at the end of the round (a per-round checkpoint
+            # would pin one vertex-sized block set per round, released only
+            # at GC's leisure), it keeps lineage (executor loss recomputes
+            # instead of aborting the loop), and plan growth is not a
+            # concern because new_labels' eager checkpoint below re-roots
+            # every round's plan.
+            hooked = (
+                labels.join(neighbor_min, labels.v == F.col("nv"), "left")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # new_labels is materialized (eager checkpoint) and the round's
-        # convergence count is done — release hooked's blocks now
-        # instead of waiting for driver GC (and the initial label cache
-        # after round 1, its last consumer).
-        hooked.unpersist()
-        if round_no == 1:
-            init_labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected components did not converge in {max_rounds} rounds"
-        )
+            # Pointer jump: label(v) <- label(label(v)). Every label IS a
+            # vertex id present in the label table (initial labels are the
+            # vertices themselves; mins of labels stay labels), so the
+            # lookup always resolves; coalesce is belt-and-braces.
+            jump = hooked.select(F.col("v").alias("jv"), F.col("label").alias("jlabel"))
+            new_labels = (
+                hooked.join(jump, hooked.label == F.col("jv"), "left")
+                .select(
+                    "v",
+                    F.coalesce(F.col("jlabel"), F.col("label")).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            # new_labels is materialized (eager checkpoint) and the round's
+            # convergence count is done — release hooked's blocks now
+            # instead of waiting for driver GC (and the initial label cache
+            # after round 1, its last consumer).
+            hooked.unpersist()
+            if round_no == 1:
+                init_labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected components did not converge in {max_rounds} rounds"
+            )
+    finally:
+        release(hooked, init_labels)
     return labels
 
 
@@ -1322,6 +1334,14 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     irregular graphs rank hubs above leaves with the same plan.)
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return _pagerank_on_pairs(pairs)
+
+
+def _pagerank_on_pairs(pairs: DataFrame) -> DataFrame:
+    """PageRank loop behind graph_pagerank_neardup, exposed on a raw
+    (doc_a, doc_b) pair frame so tests can drive it with synthetic
+    graphs (the injected-failure test proves the persist lifecycle is
+    exception-safe). Returns (doc_id, pagerank)."""
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -1336,33 +1356,38 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
         .persist()
     )
-    n = deg.count()
-    quant = lambda c: F.round(c, 6).cast("decimal(18,6)").cast("double")  # noqa: E731
-    ranks = deg.select("v", quant(F.lit(1.0) / F.lit(float(n))).alias("r"))
-    # Same IEEE op sequence as the oracle's (1.0 − 0.85)/n in DOUBLE:
-    # DuckDB's bare `1 - 0.85` is DECIMAL subtraction (0.1499999…944 as
-    # a double), Python's is double subtraction (0.1500000…002) — a
-    # ~1e-17 teleport drift that can flip a 6dp rounding boundary, so
-    # the oracle now casts to DOUBLE first and both engines compute the
-    # identical base.
-    base = (1.0 - PR_DAMPING) / float(n)
-    for _ in range(PR_ITERS):
-        contribs = (
-            edges.join(ranks.withColumnRenamed("v", "rv"), F.col("rv") == F.col("a"))
-            .join(deg.select(F.col("v").alias("dv"), "deg"), F.col("dv") == F.col("a"))
-            .select("b", F.round(F.col("r") / F.col("deg"), 9).cast("decimal(28,12)").alias("c"))
-            .groupBy("b")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = contribs.select(
-            F.col("b").alias("v"),
-            quant(F.lit(base) + PR_DAMPING * F.col("contrib").cast("double")).alias("r"),
-        ).localCheckpoint()
-    # ranks is checkpoint-rooted — nothing in the returned plan needs
-    # deg, and CacheManager entries are never GC-released, so the
-    # per-call cache (rooted in this call's fresh edges checkpoint,
-    # never deduped across calls) must be released explicitly.
-    deg.unpersist()
+    # try/finally: ranks is checkpoint-rooted, so nothing in the
+    # returned plan needs deg — and CacheManager entries are never
+    # GC-released, so the per-call cache (rooted in this call's fresh
+    # edges checkpoint, never deduped across calls) must be released
+    # explicitly on BOTH paths: a failure mid-iteration (executor loss,
+    # ANSI overflow) would otherwise leak deg's entry for the
+    # application's lifetime.
+    try:
+        n = deg.count()
+        quant = lambda c: F.round(c, 6).cast("decimal(18,6)").cast("double")  # noqa: E731
+        ranks = deg.select("v", quant(F.lit(1.0) / F.lit(float(n))).alias("r"))
+        # Same IEEE op sequence as the oracle's (1.0 − 0.85)/n in DOUBLE:
+        # DuckDB's bare `1 - 0.85` is DECIMAL subtraction (0.1499999…944 as
+        # a double), Python's is double subtraction (0.1500000…002) — a
+        # ~1e-17 teleport drift that can flip a 6dp rounding boundary, so
+        # the oracle now casts to DOUBLE first and both engines compute the
+        # identical base.
+        base = (1.0 - PR_DAMPING) / float(n)
+        for _ in range(PR_ITERS):
+            contribs = (
+                edges.join(ranks.withColumnRenamed("v", "rv"), F.col("rv") == F.col("a"))
+                .join(deg.select(F.col("v").alias("dv"), "deg"), F.col("dv") == F.col("a"))
+                .select("b", F.round(F.col("r") / F.col("deg"), 9).cast("decimal(28,12)").alias("c"))
+                .groupBy("b")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            ranks = contribs.select(
+                F.col("b").alias("v"),
+                quant(F.lit(base) + PR_DAMPING * F.col("contrib").cast("double")).alias("r"),
+            ).localCheckpoint()
+    finally:
+        release(deg)
     return ranks.select(F.col("v").alias("doc_id"), F.col("r").alias("pagerank"))
 
 

@@ -239,6 +239,7 @@ def run_to_parquet(
       count, megabytes at test SF) exactly like the uuid-named memory
       sinks they replaced, and are swept by the next session.
     """
+    import glob
     import hashlib
     import uuid
 
@@ -264,6 +265,18 @@ def run_to_parquet(
     if q.isActive:
         q.stop()
         raise TimeoutError(f"stream {prefix} did not drain in {timeout_s}s")
+    if not glob.glob(f"{run}/data/batch_id=*"):
+        # Zero DATA batches (an empty bounded source never invokes
+        # foreachBatch) → the glob target was never created, and
+        # spark.read.parquet on it raises a confusing path-not-found
+        # AnalysisException. Return an empty frame with the same shape
+        # the read-back would have: batch_transform applied (it may
+        # change the schema) plus the batch_id partition column the
+        # directory layout adds.
+        empty = spark.createDataFrame([], df.schema)
+        if batch_transform is not None:
+            empty = batch_transform(empty)
+        return empty.withColumn("batch_id", F.lit(None).cast("int")), q
     back = spark.read.option("basePath", f"{run}/data").parquet(
         f"{run}/data/batch_id=*"
     )

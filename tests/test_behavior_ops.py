@@ -201,3 +201,37 @@ def test_distributed_ntile_matches_window_ntile(spark, n):
         ).collect()
     }
     assert got == want
+
+
+def test_distributed_ntile_broadcast_offset_path(spark, monkeypatch):
+    """Past _NTILE_MAP_LITERAL_MAX partitions the offset lookup swaps
+    from a literal create_map (janino has a 64 KB method ceiling — a
+    map literal over 1e5-1e6 range partitions is a multi-MB expression)
+    to a broadcast-joined (pid, offset) frame. Force that path with a
+    zero threshold and pin (a) exact parity with the window NTILE and
+    (b) that the offset join is a broadcast, not a shuffle."""
+    from pyspark.sql import Window as W
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans import (
+        behavior_ops,
+    )
+
+    monkeypatch.setattr(behavior_ops, "_NTILE_MAP_LITERAL_MAX", 0)
+    df = (
+        spark.range(97)
+        .select((F.col("id") * 7919 % 104729).alias("metric"), F.col("id").alias("user_id"))
+        .repartition(5)
+    )
+    order = [F.desc("metric"), F.asc("user_id")]
+    out = behavior_ops._distributed_ntile(df, order, 4, "score")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    got = {r["user_id"]: r["score"] for r in out.collect()}
+    want = {
+        r["user_id"]: r["t"]
+        for r in df.select(
+            "user_id", F.ntile(4).over(W.orderBy(*order)).alias("t")
+        ).collect()
+    }
+    assert got == want

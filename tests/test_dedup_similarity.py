@@ -327,6 +327,94 @@ def test_dataset_cached_lru_cap_and_dead_app_purge(spark, tmp_path):
     assert dead_key not in cache, "dead-application entries must be purged"
 
 
+def test_dataset_cached_skips_on_evict_for_dead_app_entries(spark, tmp_path):
+    """Dead-application entries must be dropped WITHOUT on_evict: the
+    frame's CacheManager died with its SparkContext, so there is nothing
+    to unpersist — and on a real frame the call raises a Py4J NPE into
+    the stopped context, crashing the first persisted()-backed query of
+    every restarted session (reproduced in round 4's verdict). Same-app
+    supersession must still evict explicitly."""
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.catalog import (
+        dataset_cached,
+    )
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    (d / "x.parquet").write_bytes(b"stub")
+    ds = str(d)
+
+    evicted: list[str] = []
+
+    def boom_if_dead(val):
+        evicted.append(val)
+        if val == "dead-app-frame":
+            raise RuntimeError("unpersist() into a stopped SparkContext")
+
+    cache: dict = {}
+    dead_key = ((ds, ("x.parquet",), (), "app-dead-123"), ((0, 4),))
+    cache[dead_key] = "dead-app-frame"
+    # First miss after a "restart": must purge the dead entry silently.
+    got = dataset_cached(
+        cache, spark, ds, ("x.parquet",), lambda: "live-1", on_evict=boom_if_dead
+    )
+    assert got == "live-1" and dead_key not in cache
+    assert evicted == [], "dead-app purge must not call on_evict"
+    # Same-app supersession still releases Spark-side state explicitly.
+    (d / "x.parquet").write_bytes(b"regenerated!")
+    got = dataset_cached(
+        cache, spark, ds, ("x.parquet",), lambda: "live-2", on_evict=boom_if_dead
+    )
+    assert got == "live-2"
+    assert evicted == ["live-1"], "same-app supersession must on_evict"
+
+
+def test_persisted_survives_session_restart(tmp_path):
+    """TWO-SESSION regression for the round-4 crash: build a persisted()
+    frame, stop the session, open a new one in the same process (the
+    module-level registry still holds the old-app entry), and call
+    persisted() again — the dead-app purge must rebuild cleanly, not
+    raise Py4JError from unpersist() into the stopped context. Runs in a
+    subprocess so stopping a SparkContext can't poison the suite's
+    shared session."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        from spotify_serverless_etl_pipeline_engineering_with_azure_spark import catalog, get_spark
+
+        SF = "/root/testdata/sf0.001"
+        build = lambda s: lambda: (
+            s.read.parquet(SF + "/nation.parquet").groupBy("n_regionkey").count()
+        )
+        s1 = get_spark("sse_restart_a", shuffle_partitions=2, driver_memory="2g")
+        f1 = catalog.persisted(s1, SF, ("nation.parquet",), "restart_probe", build(s1))
+        assert f1.count() > 0
+        s1.stop()
+        s2 = (
+            SparkSession.builder.master("local[2]")
+            .appName("sse_restart_b")
+            .config("spark.sql.shuffle.partitions", "2")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        f2 = catalog.persisted(s2, SF, ("nation.parquet",), "restart_probe", build(s2))
+        assert f2.count() > 0
+        s2.stop()
+        print("RESTART_OK")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, f"restart repro failed:\n{proc.stderr[-4000:]}"
+    assert "RESTART_OK" in proc.stdout
+
+
 def test_run_to_parquet_sweeps_dead_process_dirs(spark, tmp_path, monkeypatch):
     """A drain base dir left by a process that no longer exists must be
     swept on the next invocation; the current invocation's own run dir
@@ -384,6 +472,55 @@ def test_connected_components_pointer_jumping_on_a_drift_chain(spark):
     labels = _min_label_components(pairs, max_rounds=15).toPandas()
     assert len(labels) == n + 1
     assert set(labels.label) == {0}
+
+
+def test_iterative_persist_lifecycles_are_exception_safe(spark, monkeypatch):
+    """A failure mid-iteration (executor loss, ANSI overflow — the
+    events the durable-index work anticipates) must not leak
+    CacheManager entries: entries are never GC-released, so without a
+    try/finally every aborted loop pins its round's persisted frames
+    for the application's lifetime. Inject a failure at the first
+    action each loop runs after persisting (the convergence/degree
+    count) and assert every frame the loop persisted was unpersisted."""
+    import pytest
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.dedup import (
+        _min_label_components,
+        _pagerank_on_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
+    )
+    # Patch the CONCRETE class: pyspark 4's classic DataFrame subclass
+    # overrides count/persist, so patching pyspark.sql.DataFrame (the
+    # abstract parent) would never intercept the loop's calls.
+    DataFrame = type(pairs)
+
+    for loop_fn in (_min_label_components, _pagerank_on_pairs):
+        persisted_frames: list = []
+        orig_persist = DataFrame.persist
+
+        def recording_persist(self, *a, **k):
+            out = orig_persist(self, *a, **k)
+            persisted_frames.append(out)
+            return out
+
+        def failing_count(self):
+            raise RuntimeError("injected mid-iteration failure")
+
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(DataFrame, "persist", recording_persist)
+            mp.setattr(DataFrame, "count", failing_count)
+            with pytest.raises(RuntimeError, match="injected"):
+                loop_fn(pairs)
+        assert persisted_frames, f"{loop_fn.__name__} persisted nothing?"
+        for f in persisted_frames:
+            lvl = f.storageLevel
+            assert not (lvl.useMemory or lvl.useDisk), (
+                f"{loop_fn.__name__} leaked a CacheManager entry on the "
+                f"error path: {lvl}"
+            )
 
 
 def test_durable_index_store_roundtrip_and_sweep(spark, sf_dir, tmp_path, monkeypatch):

@@ -94,3 +94,35 @@ def test_stream_checkpoint_no_reprocess(spark, tmp_path):
     q2.awaitTermination(240)
     second = spark.read.option("header", True).csv(f"{out}/songs_data/batch_id=*").count()
     assert first == second
+
+
+def test_run_to_parquet_empty_bounded_stream_returns_empty_frame(spark, tmp_path):
+    """Zero data batches (an empty bounded source never invokes
+    foreachBatch) must return an EMPTY frame with the post-transform
+    schema — not raise a path-not-found AnalysisException because the
+    batch_id=* glob target was never created."""
+    from pyspark.sql import functions as F
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.streaming.pipeline import (
+        run_to_parquet,
+    )
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = spark.readStream.schema("user_id long, value double").parquet(str(src))
+    back, q = run_to_parquet(stream, "emptyprobe", str(src))
+    assert back.count() == 0
+    assert dict(back.dtypes) == {
+        "user_id": "bigint", "value": "double", "batch_id": "int",
+    }
+    # batch_transform may change the schema — the empty frame must
+    # reflect the POST-transform shape.
+    stream2 = spark.readStream.schema("user_id long, value double").parquet(str(src))
+    back2, _ = run_to_parquet(
+        stream2, "emptyprobe2", str(src),
+        batch_transform=lambda b: b.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    assert back2.count() == 0
+    assert dict(back2.dtypes) == {"user_id": "bigint", "n": "bigint", "batch_id": "int"}

@@ -224,33 +224,38 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       silent collisions at production corpus sizes; at 2¹²⁰ the
       expectation is ~4·10⁻¹⁵ at 10¹¹ docs.
 
-    The md5 runs ONCE per token (array pre-transform); the four folds
-    consume the hashed longs in one struct-accumulator pass. Every
-    intermediate stays < 2⁴⁹ (acc·43 + 2⁴⁸) — exact in int64 on both
-    engines. Still map-side only: zero shuffles.
+    The md5 runs ONCE per token: the hashed-long array is BOUND in its
+    own projection (CollapseProject keeps it single-evaluated — it
+    refuses to inline an alias consumed more than once), then each fold
+    is its own scalar-long F.aggregate over that array. Cost anatomy,
+    measured INTERLEAVED at sf0.1 (sequential per-variant timing is
+    untrustworthy on this host — a sequential run once showed a phantom
+    1.6× gap between formulations that interleaving erased): tokenize
+    + scan ≈ 0.14 s, + per-token md5+conv ≈ 0.35 s, + the four folds
+    ≈ 0.62 s median. Three fold formulations (4-field struct
+    accumulator, two packed-pair longs, four scalar passes) are
+    indistinguishable under interleaving — higher-order lambdas
+    evaluate interpreted per element, and that per-element walk, not
+    accumulator shape, is the cost — so the fold price is the price of
+    the ~120-bit identity itself; the scalar form is kept for being
+    the simplest. Every intermediate stays < 2⁴⁹ (acc·43 + 2⁴⁸) —
+    exact in int64 on both engines. Still map-side only: zero
+    shuffles.
     """
     docs = table(spark, sf_dir, "documents")
     hv = F.transform(_tokens(), lambda t: md5_int48(t))
-    init = F.struct(
-        *[F.lit(0).cast("long").alias(f"h{i}") for i in range(len(FP_FOLDS))]
-    )
-    fp = F.aggregate(
-        hv,
-        init,
-        lambda acc, v: F.struct(
-            *[
-                ((acc.getField(f"h{i}") * b + v) % p).alias(f"h{i}")
-                for i, (b, p) in enumerate(FP_FOLDS)
-            ]
-        ),
-        lambda acc: F.concat(
-            *[
-                F.lpad(acc.getField(f"h{i}").cast("string"), 10, "0")
-                for i in range(len(FP_FOLDS))
-            ]
-        ),
-    )
-    return docs.select("doc_id", fp.alias("fingerprint"))
+    bound = docs.select("doc_id", hv.alias("hv"))
+
+    def fold(b: int, p: int) -> F.Column:
+        return F.aggregate(
+            F.col("hv"),
+            F.lit(0).cast("long"),
+            lambda acc, v: (acc * b + v) % p,
+            lambda acc: F.lpad(acc.cast("string"), 10, "0"),
+        )
+
+    fp = F.concat(*[fold(b, p) for b, p in FP_FOLDS])
+    return bound.select("doc_id", fp.alias("fingerprint"))
 
 
 # GPT-2-style pretokenizer subset: a token is an optionally

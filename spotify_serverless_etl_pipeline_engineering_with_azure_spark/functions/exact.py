@@ -122,12 +122,25 @@ def davg(col: Column, scale: int) -> Column:
 
 
 def sql_dsum(expr: str, scale: int, alias: str, precision: int = 18) -> str:
-    """DuckDB oracle fragment mirroring :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE) AS {alias}"
+    """DuckDB oracle fragment mirroring :func:`dsum`.
+
+    The decimal→double cast is routed through VARCHAR: DuckDB's direct
+    DECIMAL→DOUBLE cast divides the scaled integer by 10^scale in
+    float arithmetic (two roundings), which lands 1 ulp off the
+    correctly-rounded value once the sum exceeds ~2^53 units — found by
+    the sf1 sweep on q1's sum_charge (19 significant digits), invisible
+    at sf0.01 where sums still fit a double exactly. The VARCHAR parse
+    (strtod) is correctly rounded, matching Spark's
+    BigDecimal.doubleValue on the identical exact decimal.
+    """
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale})))"
+        f" AS VARCHAR) AS DOUBLE) AS {alias}"
+    )
 
 
 def sql_davg(expr: str, scale: int, alias: str, precision: int = 18) -> str:
     return (
-        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+        f"CAST(CAST(CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS VARCHAR) AS DOUBLE)"
         f" / COUNT(*) AS DOUBLE) AS {alias}"
     )

@@ -375,7 +375,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_stateful_user_totals",
     oracle="""
 SELECT user_id, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY user_id
 """,
@@ -567,7 +567,7 @@ def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(GROUPING(d) + 2 * GROUPING(h) AS INTEGER) AS gid,
        d AS day, h AS hour, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM (SELECT DATE_TRUNC('DAY', CAST(ts AS TIMESTAMP)) AS d,
              DATE_TRUNC('HOUR', CAST(ts AS TIMESTAMP)) AS h,
              event_type, value
@@ -594,7 +594,7 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(GROUPING(d) + 2 * GROUPING(h) AS INT) AS gid,
                d AS day, h AS hour, event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_value
         FROM _events_rollup_src
         GROUP BY GROUPING SETS ((d, h, event_type), (d, event_type), (event_type))
         """

@@ -453,7 +453,7 @@ purchases AS (
   SELECT user_id,
          CAST(DATEDIFF('day', CAST(MAX(ts) AS DATE), (SELECT anchor_day FROM anchor)) AS BIGINT) AS recency_days,
          COUNT(*) AS frequency,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS monetary
   FROM events WHERE event_type = 'purchase'
   GROUP BY user_id
 )

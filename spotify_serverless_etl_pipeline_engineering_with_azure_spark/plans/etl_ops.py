@@ -39,7 +39,7 @@ merged AS (
   FROM orders t FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey
 )
 SELECT o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
 FROM merged GROUP BY o_orderstatus
 """,
     tags=("merge", "upsert", "etl"),
@@ -123,7 +123,7 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_null_priority,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price,
        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
 FROM orders
 """,
@@ -193,8 +193,8 @@ diff AS (
   FROM orders o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
 )
 SELECT status, COUNT(*) AS n_rows,
-       CAST(SUM(CAST(COALESCE(old_price, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_old,
-       CAST(SUM(CAST(COALESCE(new_price, 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_new
+       CAST(CAST(SUM(CAST(COALESCE(old_price, 0) AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_old,
+       CAST(CAST(SUM(CAST(COALESCE(new_price, 0) AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_new
 FROM diff GROUP BY status
 """,
     tags=("cdc", "diff", "etl"),
@@ -256,7 +256,7 @@ def table_diff_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH monthly AS (
   SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month,
          COUNT(*) AS n_orders,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
   FROM orders GROUP BY 1
 )
 SELECT month, n_orders, revenue,
@@ -311,7 +311,7 @@ def orders_seasonality_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_parts_pareto",
     oracle="""
 WITH per_part AS (
-  SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  SELECT l_partkey, CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
   FROM lineitem GROUP BY l_partkey
 ),
 tot AS (

@@ -74,7 +74,7 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, event_id,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_last7d,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last7d
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS sum_last7d
 FROM events
 WHERE user_id % 7 = 0
 WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
@@ -340,7 +340,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parquet_partitioned_roundtrip",
     oracle="""
 SELECT o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
 FROM orders
 WHERE o_orderstatus = 'O'
 GROUP BY o_orderpriority
@@ -382,7 +382,7 @@ def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     "join_salted",
     oracle="""
 SELECT n_name, COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_bal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """,

@@ -124,7 +124,7 @@ SELECT CAST(shard AS BIGINT) AS shard,
        CAST(bin AS BIGINT) AS bin,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens_packed,
-       CAST(SUM(n_tok) AS DOUBLE) / {PACK_BUDGET} AS fill_ratio
+       CAST(CAST(SUM(n_tok) AS VARCHAR) AS DOUBLE) / {PACK_BUDGET} AS fill_ratio
 FROM placed
 GROUP BY shard, bin
 """,

@@ -21,7 +21,7 @@ from ..registry import register
     "csv_sink_roundtrip",
     oracle="""
 SELECT o_orderstatus, COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
 FROM orders
 GROUP BY o_orderstatus
 """,
@@ -111,7 +111,7 @@ def ref_x2_runid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orc_sink_roundtrip",
     oracle="""
 SELECT l_returnflag, COUNT(*) AS n,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
 FROM lineitem
 WHERE l_shipdate >= DATE '1995-01-01'
 GROUP BY l_returnflag
@@ -206,7 +206,7 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
     "json_sink_roundtrip",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total,
        MIN(event_id) AS min_id, MAX(event_id) AS max_id
 FROM events
 GROUP BY event_type
@@ -243,12 +243,17 @@ def json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One SQL text, two engines: the query below parses and evaluates
 # identically in Spark SQL and DuckDB (shared ANSI subset — joins,
 # YEAR(), CASE, decimal casts), so the oracle IS the implementation.
+# The sum→double cast routes through STRING (a VARCHAR alias in DuckDB,
+# the native string type in Spark — bare VARCHAR needs a length in
+# Spark's parser): the string parse is correctly rounded in both
+# engines, where DuckDB's direct DECIMAL→DOUBLE cast is 1 ulp off once
+# the sum exceeds ~2^53 units.
 _SHARED_DIALECT_SQL = """
 SELECT n_name AS nation,
        CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
        COUNT(*) AS n_lineitems,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-            AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS STRING) AS DOUBLE) AS revenue,
        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_returned
 FROM lineitem

@@ -80,7 +80,7 @@ def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucketed_join_colocated",
     oracle="""
 SELECT o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
          AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -259,7 +259,7 @@ _BF_WORD_BITS = 32
     "bloom_filter_prune_join",
     oracle="""
 SELECT o_orderpriority, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 GROUP BY o_orderpriority
@@ -346,7 +346,7 @@ def bloom_filter_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(48 AS BIGINT) AS n_files_before,
        CAST(4 AS BIGINT) AS n_files_after,
        COUNT(*) AS n_rows,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
 FROM orders
 """,
     tags=("layout", "compaction", "maintenance"),

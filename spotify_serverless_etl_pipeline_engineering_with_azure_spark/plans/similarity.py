@@ -297,7 +297,7 @@ c{k} AS (
   SELECT p.cid, p.pos, COALESCE(u.cval, p.cval) AS cval
   FROM {prev} p LEFT JOIN (
     SELECT a.cid, e.pos,
-           ROUND(CAST(SUM(CAST(ROUND(e.val, 9) AS DECIMAL(28,12))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CAST(ROUND(e.val, 9) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
                  / COUNT(*), 6) AS cval
     FROM a{k} a JOIN exp e ON e.vec_id = a.vec_id
     GROUP BY a.cid, e.pos

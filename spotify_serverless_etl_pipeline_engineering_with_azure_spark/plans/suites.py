@@ -24,12 +24,16 @@ Canonicalization must be byte-identical across engines per column:
 
 - class 'v' (verbatim): strings, ints, dates, booleans, decimals cast
   straight to their canonical string form (identical in both engines).
-- class 'd' (double): ROUND(x, 6) then DECIMAL(28,6) then string. The
-  member queries already produce bit-identical doubles (decimal-cast
-  sum discipline, functions/exact.py), and a double that needs
-  rounding at 6dp is never exactly on a half boundary (half-boundary
-  decimals with >6 digits are not dyadic), so the rounding is
-  deterministic and engine-independent.
+- class 'd' (double): ROUND(x·10⁶) → DECIMAL(38,0) → string (6dp of
+  discrimination). The member queries already produce bit-identical
+  doubles (decimal-cast sum discipline, functions/exact.py); both
+  engines then scale by the same IEEE multiply and round the SAME
+  product double half-away-from-zero — deterministic for every input.
+  (The previous ROUND(x, 6) form was NOT: a double 1 ulp below a 6dp
+  half boundary rounds down under Spark's exact-binary HALF_UP and up
+  under DuckDB's float-arithmetic ROUND; cume_dist = k/1280 at sf1
+  terminates at 7 decimal digits ending in 5 and hit the window
+  systematically.)
 - class 't' (timestamp): epoch MICROSECONDS (unix_micros / EPOCH_US) —
   session-timezone-independent on the Spark side.
 
@@ -80,7 +84,7 @@ _NULL = "∅"
 
 # Canonicalization class per member-query result column, derived from
 # the oracle's DuckDB result schema: 'v' = verbatim string cast,
-# 'd' = double (round 6dp -> decimal(28,6) -> string), 't' = timestamp
+# 'd' = double (round(x·1e6) -> decimal(38,0) -> string), 't' = timestamp
 # (epoch microseconds). Generated from DESCRIBE over the oracle SQL at
 # sf0.01; test_suites.py asserts the Spark result schema maps to the
 # same classes, so type drift on either side fails loudly.
@@ -378,7 +382,20 @@ def _spark_class(dtype: str) -> str:
 def _canon_spark(name: str, cls: str) -> Column:
     col = F.col(name)
     if cls == "d":
-        base = F.round(col, 6).cast("decimal(28,6)").cast("string")
+        # Canonical form: round(x·10⁶) as an exact integer — NOT
+        # ROUND(x, 6). Rounding the raw double at 6dp diverges across
+        # engines for doubles within 1 ulp of a 6dp half boundary:
+        # Spark's ROUND is HALF_UP on the EXACT binary expansion while
+        # DuckDB's is float arithmetic, and the sf1 sweep hit the class
+        # SYSTEMATICALLY (cume_dist = k/1280 terminates at 7 decimal
+        # digits ending in 5 — 125 divergent values in one member).
+        # Multiplying FIRST makes both engines round the SAME IEEE
+        # product double with the same half-away-from-zero tie rule —
+        # deterministic for every input, boundary or not. The
+        # decimal(38,0) cast of an integer-valued double is exact in
+        # both engines; above 2^53·10⁻⁶ the product truncates low
+        # digits IDENTICALLY on both sides (shared product double).
+        base = F.round(col * 1000000.0).cast("decimal(38,0)").cast("string")
     elif cls == "t":
         base = F.unix_micros(col).cast("string")
     else:
@@ -388,7 +405,7 @@ def _canon_spark(name: str, cls: str) -> Column:
 
 def _canon_sql(name: str, cls: str) -> str:
     if cls == "d":
-        base = f"CAST(CAST(ROUND({name}, 6) AS DECIMAL(28,6)) AS VARCHAR)"
+        base = f"CAST(ROUND({name} * 1000000.0) AS DECIMAL(38,0))::VARCHAR"
     elif cls == "t":
         # CAST handles oracle columns that are DATE where Spark has a
         # midnight TIMESTAMP (both land on the same epoch-us value).

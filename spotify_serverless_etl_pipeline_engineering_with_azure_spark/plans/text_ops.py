@@ -561,7 +561,7 @@ scored AS (
   FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
 )
 SELECT doc_id, COUNT(*) AS n_tokens,
-       ROUND(-(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)), 6)
+       ROUND(-(CAST(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)), 6)
          AS h_bits
 FROM scored GROUP BY doc_id
 """,

@@ -224,9 +224,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle=f"""
 SELECT o_year,
-       CAST(SUM(CASE WHEN nation = 'NATION_2'
-                THEN CAST(volume AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
-       / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+       CAST(CAST(SUM(CASE WHEN nation = 'NATION_2'
+                THEN CAST(volume AS DECIMAL(18,6)) ELSE 0 END) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM (
   SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year, {REVENUE} AS volume,
          n2.n_name AS nation
@@ -397,7 +397,7 @@ WITH value_per_part AS (
 )
 SELECT l_partkey, part_value
 FROM value_per_part
-WHERE part_value > (SELECT CAST(SUM(CAST({REVENUE} AS DECIMAL(18,6))) AS DOUBLE)
+WHERE part_value > (SELECT CAST(CAST(SUM(CAST({REVENUE} AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                     FROM lineitem) * 0.0006
 """,
     tags=("subquery", "scalar", "having"),
@@ -483,9 +483,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle=f"""
-SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                        THEN CAST({REVENUE} AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
-       / CAST(SUM(CAST({REVENUE} AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST({REVENUE} AS DECIMAL(18,6)) ELSE 0 END) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(SUM(CAST({REVENUE} AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
 """,
@@ -614,12 +614,12 @@ def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle=f"""
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 7.0
        AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#3'
-  AND l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
-                                       AS DOUBLE) / COUNT(*))
+  AND l_quantity < (SELECT 0.2 * (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                                       AS VARCHAR) AS DOUBLE) / COUNT(*))
                     FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
 """,
     tags=("subquery", "correlated-scalar", "agg"),
@@ -764,9 +764,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_dormant_customers",
     oracle="""
 SELECT c_nationkey, COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
 FROM customer c
-WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                           / COUNT(*)
                    FROM customer c2 WHERE c2.c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey

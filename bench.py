@@ -91,10 +91,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             passes[name].append(time.perf_counter() - t0)
 
-    def median(xs: list[float]) -> float:
-        s = sorted(xs)
-        m = len(s) // 2
-        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+    from statistics import median
 
     timings = {name: round(median(v), 3) for name, v in passes.items()}
     spread = {name: round(max(v) - min(v), 3) for name, v in passes.items()}

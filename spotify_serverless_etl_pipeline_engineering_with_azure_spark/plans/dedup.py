@@ -1267,11 +1267,19 @@ PR_ITERS = 3
 PR_DAMPING = 0.85
 
 # Per-iteration quantization is the cross-engine determinism anchor:
-# ranks are cut to 6dp decimals at every iteration boundary and
-# per-edge contributions to 9dp BEFORE the exact decimal SUM, so
-# float-summation order (Spark's parallel partials vs DuckDB's
-# sequential fold) can never leak into the next iteration's inputs.
-_PR_QUANT = "CAST(CAST(ROUND({x}, 6) AS DECIMAL(18,6)) AS DOUBLE)"
+# ranks are cut to 6dp at every iteration boundary and per-edge
+# contributions to 9dp BEFORE the exact decimal SUM, so float-summation
+# order (Spark's parallel partials vs DuckDB's sequential fold) can
+# never leak into the next iteration's inputs. The quantization is
+# ROUND(x·10^k)/10^k — NOT ROUND(x, k): rounding the raw double at k
+# decimals diverges across engines for values within 1 ulp of a k-dp
+# half boundary (Spark's ROUND is HALF_UP on the exact binary
+# expansion, DuckDB's is float arithmetic — the class the sf1 sweep
+# caught systematically in the digest layer). Multiplying FIRST makes
+# both engines round the SAME IEEE product double with the same
+# half-away-from-zero tie rule, and the final division by the same
+# power of ten is one more shared correctly-rounded IEEE op.
+_PR_QUANT = "(ROUND(({x}) * 1000000.0) / 1000000.0)"
 
 
 def _pagerank_oracle() -> str:
@@ -1283,7 +1291,7 @@ iter{k} AS (
   SELECT d.v,
          {_PR_QUANT.format(x=f"(CAST(1 AS DOUBLE) - CAST({PR_DAMPING} AS DOUBLE)) / CAST(n.cnt AS DOUBLE) + {PR_DAMPING} * CAST(s.contrib AS DOUBLE)")} AS r
   FROM (
-    SELECT e.b AS v, SUM(CAST(ROUND(p.r / d2.deg, 9) AS DECIMAL(28,12))) AS contrib
+    SELECT e.b AS v, SUM(CAST(ROUND(p.r / d2.deg * 1000000000.0) / 1000000000.0 AS DECIMAL(28,12))) AS contrib
     FROM edges e
     JOIN {prev} p ON p.v = e.a
     JOIN deg d2 ON d2.v = e.a
@@ -1365,7 +1373,18 @@ def _pagerank_on_pairs(pairs: DataFrame) -> DataFrame:
     # application's lifetime.
     try:
         n = deg.count()
-        quant = lambda c: F.round(c, 6).cast("decimal(18,6)").cast("double")  # noqa: E731
+        if n == 0:
+            # An empty edge set has no vertices to rank; without this
+            # guard the teleport base below divides by zero. The select
+            # keeps the (doc_id, pagerank) contract on an empty frame.
+            return deg.select(
+                F.col("v").alias("doc_id"), F.lit(0.0).alias("pagerank")
+            )
+        # ROUND(x·1e6)/1e6, not ROUND(x, 6) — see _PR_QUANT: the raw-
+        # double ROUND diverges across engines within 1 ulp of a 6dp
+        # half boundary; scaling first makes both engines round the
+        # same IEEE product double.
+        quant = lambda c: F.round(c * 1000000.0) / 1000000.0  # noqa: E731
         ranks = deg.select("v", quant(F.lit(1.0) / F.lit(float(n))).alias("r"))
         # Same IEEE op sequence as the oracle's (1.0 − 0.85)/n in DOUBLE:
         # DuckDB's bare `1 - 0.85` is DECIMAL subtraction (0.1499999…944 as
@@ -1378,7 +1397,12 @@ def _pagerank_on_pairs(pairs: DataFrame) -> DataFrame:
             contribs = (
                 edges.join(ranks.withColumnRenamed("v", "rv"), F.col("rv") == F.col("a"))
                 .join(deg.select(F.col("v").alias("dv"), "deg"), F.col("dv") == F.col("a"))
-                .select("b", F.round(F.col("r") / F.col("deg"), 9).cast("decimal(28,12)").alias("c"))
+                .select(
+                    "b",
+                    (F.round(F.col("r") / F.col("deg") * 1000000000.0) / 1000000000.0)
+                    .cast("decimal(28,12)")
+                    .alias("c"),
+                )
                 .groupBy("b")
                 .agg(F.sum("c").alias("contrib"))
             )

@@ -272,11 +272,15 @@ def run_to_parquet(
         # AnalysisException. Return an empty frame with the same shape
         # the read-back would have: batch_transform applied (it may
         # change the schema) plus the batch_id partition column the
-        # directory layout adds.
+        # directory layout adds. limit(0) guards the ROW contract, not
+        # just the schema: a GLOBAL-aggregate transform evaluated over
+        # an empty static frame yields one row (count=0 etc.) that the
+        # disk read-back path could never produce — foreachBatch never
+        # ran, so zero rows is the only faithful result.
         empty = spark.createDataFrame([], df.schema)
         if batch_transform is not None:
             empty = batch_transform(empty)
-        return empty.withColumn("batch_id", F.lit(None).cast("int")), q
+        return empty.limit(0).withColumn("batch_id", F.lit(None).cast("int")), q
     back = spark.read.option("basePath", f"{run}/data").parquet(
         f"{run}/data/batch_id=*"
     )

@@ -376,18 +376,22 @@ def test_persisted_survives_session_restart(tmp_path):
     raise Py4JError from unpersist() into the stopped context. Runs in a
     subprocess so stopping a SparkContext can't poison the suite's
     shared session."""
+    import os
     import subprocess
     import sys
     import textwrap
 
+    from .conftest import SF_SMOKE
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = textwrap.dedent(
-        """
+        f"""
         import sys
-        sys.path.insert(0, "/root/repo")
+        sys.path.insert(0, {repo_root!r})
         from pyspark.sql import SparkSession
         from spotify_serverless_etl_pipeline_engineering_with_azure_spark import catalog, get_spark
 
-        SF = "/root/testdata/sf0.001"
+        SF = {SF_SMOKE!r}
         build = lambda s: lambda: (
             s.read.parquet(SF + "/nation.parquet").groupBy("n_regionkey").count()
         )

@@ -70,15 +70,34 @@ def generate_docs(n_docs: int = 4, seed: int = 42) -> list[dict[str, Any]]:
     return [make_playlist_doc(rng, d, rng.randint(50, 100)) for d in range(n_docs)]
 
 
+def blob_name(d: int) -> str:
+    """Raw-zone blob name for doc index d. ZERO-PADDED: keep-first
+    dedup's winner is defined by lexicographic filename order (the
+    'timestamped blobs sort by run' contract), and an unpadded index
+    breaks it at d >= 10 ('...010.json' sorts before '...02.json'),
+    silently changing dedup winners relative to fixture_df's padded
+    doc_order — a divergence both engines would agree on (they read
+    the same filenames), so oracle parity could never catch it. The
+    padding keeps d <= 9 names byte-identical to the historical form."""
+    return f"spotify_raw_2023010100{d:04d}.json"
+
+
 def write_json_dir(out_dir: str, n_docs: int = 4, seed: int = 42) -> list[str]:
     """Write one pretty-printed JSON blob per doc (S2's raw-zone shape:
-    spotify_raw_<ts>.json, spotifyextract.py:92-101)."""
+    spotify_raw_<ts>.json, spotifyextract.py:92-101).
+
+    Each file lands via tmp-write + os.replace, so a concurrent reader
+    (another test session, the DuckDB oracle's glob) never sees a
+    half-flushed JSON document — json.dump in place would expose torn
+    files for the duration of the write."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for d, doc in enumerate(generate_docs(n_docs, seed)):
-        p = os.path.join(out_dir, f"spotify_raw_2023010100000{d}.json")
-        with open(p, "w", encoding="utf-8") as f:
+        p = os.path.join(out_dir, blob_name(d))
+        tmp = f"{p}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
             json.dump(doc, f, indent=2)
+        os.replace(tmp, p)
         paths.append(p)
     return paths
 

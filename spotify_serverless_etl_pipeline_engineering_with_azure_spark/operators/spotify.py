@@ -187,11 +187,15 @@ def make_songs(items: DataFrame) -> DataFrame:
 
 
 def transform(raw: DataFrame) -> dict[str, DataFrame]:
-    """The full reference transform: one exploded scan, three branches.
+    """The full reference transform: one exploded SUBTREE, three branches.
 
     Reference flow at spotifytransform.py:77-99 (three separate passes
-    over data['items']); here the explode is shared and Catalyst prunes
-    each branch's nested reads.
+    over data['items']); here the explode subtree is shared in the PLAN
+    and Catalyst prunes each branch's nested reads — but Spark shares no
+    subplans across ACTIONS, so a consumer that executes all three
+    branches (the streaming sink's per-batch CSV writes) re-reads and
+    re-parses the raw JSON once per branch unless it persists the
+    exploded frame first (streaming/pipeline.py sink_batch does).
     """
     items = explode_items(raw)
     return {

@@ -67,19 +67,30 @@ def _ensure_ds_fixture() -> str:
     generator, concurrent tool) would be silently ingested by BOTH
     engines under a count check — parity green, goldens mysteriously
     red — and a 5-file dir would re-stage on every call without ever
-    converging. On any mismatch the directory is cleared and restaged.
+    converging.
+
+    Repair is CONVERGENT, never destructive-then-rebuild: expected
+    files land first via write_json_dir's atomic per-file replace, THEN
+    stray files are removed. The old rmtree+restage form had a window
+    where a concurrent session (this is a fixed world-shared path by
+    design) saw an empty or partially-staged directory; two sessions
+    staging concurrently now race only on byte-identical seed-42
+    replaces, which os.replace makes harmless.
     """
     import glob as _glob
     import os as _os
-    import shutil as _shutil
 
-    from .fixtures import write_json_dir
+    from .fixtures import blob_name, write_json_dir
 
-    expected = {f"spotify_raw_2023010100000{d}.json" for d in range(4)}
+    expected = {blob_name(d) for d in range(4)}
     have = {_os.path.basename(p) for p in _glob.glob(f"{_DS_FIXTURE_DIR}/*.json")}
     if have != expected:
-        _shutil.rmtree(_DS_FIXTURE_DIR, ignore_errors=True)
         write_json_dir(_DS_FIXTURE_DIR, n_docs=4)
+        for fname in have - expected:
+            try:
+                _os.remove(_os.path.join(_DS_FIXTURE_DIR, fname))
+            except OSError:
+                pass  # a concurrent repairer removed it first
     return _DS_FIXTURE_DIR
 
 

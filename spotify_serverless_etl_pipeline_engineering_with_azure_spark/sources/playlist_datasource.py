@@ -60,6 +60,7 @@ def _load_page(path: str) -> dict[str, Any]:
 class SpotifyPlaylistReader(DataSourceReader):
     def __init__(self, options: dict[str, str]) -> None:
         self.path = options["path"]
+        self.allow_empty = options.get("allowEmpty", "false").lower() == "true"
 
     def partitions(self) -> list[InputPartition]:
         # Pages are enumerated here (listing) and fetched in read()
@@ -68,7 +69,20 @@ class SpotifyPlaylistReader(DataSourceReader):
         # file per task (batch size 1 until the ceiling is reached).
         files = sorted(glob.glob(os.path.join(self.path, "*.json")))
         if not files:
-            return []
+            # Zero matches is almost always a WRONG PATH (glob.glob
+            # does not understand cloud URIs, and a typo'd local dir
+            # matches nothing) — returning an empty frame would make
+            # every downstream table silently empty on a green run.
+            # Mirror Spark's native file sources: fail loudly, with an
+            # explicit allowEmpty opt-out for genuinely-empty raw zones.
+            if self.allow_empty:
+                return []
+            raise FileNotFoundError(
+                f"spotify_playlist source matched no *.json under "
+                f"{self.path!r} (glob does not resolve cloud URIs; set "
+                f"option('allowEmpty', 'true') if an empty raw zone is "
+                f"expected)"
+            )
         per = -(-len(files) // MAX_PARTITIONS)  # ceil division
         return [
             _PagePartition(tuple(files[i : i + per]))

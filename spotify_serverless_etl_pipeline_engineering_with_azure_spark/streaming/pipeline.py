@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..catalog import release
 from ..operators import spotify
 from ..operators.sinks import write_csv
 
@@ -84,9 +85,23 @@ def run_spotify_pipeline(
     )
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tables = spotify.transform(batch_df)
-        for name, df in tables.items():
-            write_csv(df, f"{output_base}/{name}_data/batch_id={batch_id}", mode="overwrite")
+        # persist the shared exploded subtree: Spark shares no subplans,
+        # so the three branch writes would otherwise each re-read and
+        # re-JSON-parse the batch's raw blobs from scratch (three full
+        # scans per micro-batch — an availableNow backfill over a
+        # 100 TB raw zone would parse ~300 TB). Released in finally so
+        # a failed write can't leak the CacheManager entry.
+        items = spotify.explode_items(batch_df).persist()
+        try:
+            tables = {
+                "songs": spotify.make_songs(items),
+                "artists": spotify.make_artists(items),
+                "albums": spotify.make_albums(items),
+            }
+            for name, df in tables.items():
+                write_csv(df, f"{output_base}/{name}_data/batch_id={batch_id}", mode="overwrite")
+        finally:
+            release(items)
 
     writer = (
         raw.writeStream.foreachBatch(sink_batch)

@@ -187,3 +187,44 @@ def test_datasource_packs_files_beyond_partition_ceiling(tmp_path, monkeypatch):
     monkeypatch.setattr(pds, "MAX_PARTITIONS", 4096)
     parts = reader.partitions()
     assert len(parts) == 10 and all(len(p.paths) == 1 for p in parts)
+
+
+def test_datasource_empty_glob_fails_loudly(tmp_path):
+    """Zero glob matches must raise, not return an empty frame: glob
+    does not resolve cloud URIs, so a wrong/typo'd path would otherwise
+    make every downstream table silently empty on a green run. An
+    explicitly-empty raw zone opts out via allowEmpty."""
+    import pytest
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.sources import (
+        playlist_datasource as pds,
+    )
+
+    empty = tmp_path / "nothing_here"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="allowEmpty"):
+        pds.SpotifyPlaylistReader({"path": str(empty)}).partitions()
+    with pytest.raises(FileNotFoundError):
+        pds.SpotifyPlaylistReader(
+            {"path": "abfss://raw@acct.dfs.core.windows.net/pages"}
+        ).partitions()
+    ok = pds.SpotifyPlaylistReader({"path": str(empty), "allowEmpty": "true"})
+    assert ok.partitions() == []
+
+
+def test_write_json_dir_padded_names_sort_in_doc_order(tmp_path):
+    """Blob names must sort lexicographically in doc order past ten
+    docs — keep-first dedup's winner is defined by that order, and the
+    old unpadded index made '...010' sort before '...02', silently
+    flipping winners relative to fixture_df's padded doc_order (both
+    engines read the same filenames, so parity could never catch it)."""
+    import os
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.operators.fixtures import (
+        write_json_dir,
+    )
+
+    paths = write_json_dir(str(tmp_path / "raw"), n_docs=12)
+    names = [os.path.basename(p) for p in paths]
+    assert sorted(names) == names, f"blob names must sort in doc order: {names}"
+    assert not [p for p in os.listdir(tmp_path / "raw") if ".tmp." in p]

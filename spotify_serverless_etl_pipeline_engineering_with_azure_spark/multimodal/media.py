@@ -31,6 +31,22 @@ bytes through synth + parse. A generator or parser bug breaks parity.
 Scale posture: binary payloads never shuffle here; mapInPandas streams
 Arrow batches partition-locally, and the metadata projection is
 JVM-side so pure-metadata queries skip the Python path entirely.
+
+BATCH SIZING CONTRACT (load-bearing at real payload sizes): Arrow's
+binary vectors use int32 offsets, so ONE batch's binary column must
+stay under 2^31 bytes, and the batch is materialized whole in both the
+JVM ArrowWriter and the Python worker.
+- OUTPUT side: every payload-emitting path below chunks its yields at
+  _OUT_BATCH_BYTES (64 MB of payload per pandas frame), so output
+  batches are byte-bounded regardless of row width or 1→N frame
+  expansion — the synthetic ≤10 KB payloads never hit this, MB-scale
+  real media does (~215 KB average payload overflows int32 offsets at
+  the default 10k-record batch).
+- INPUT side: the JVM slices input batches by RECORD COUNT only
+  (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k), so a
+  deployment with MB-scale payloads must size that conf to
+  records × avg_payload ≤ ~64 MB (e.g. 64 for 1 MB media) — a
+  byte-based input cap is not expressible from inside the UDF.
 """
 
 from __future__ import annotations
@@ -52,6 +68,32 @@ from ..registry import register
 WAV_RATE = 8000
 MBMP_FRAME_W = 16
 MBMP_FRAME_H = 9
+
+# Per-yielded-batch payload budget for the binary-emitting mapInPandas
+# paths (see module docstring's BATCH SIZING CONTRACT). 64 MB: far
+# under Arrow's 2^31 offset cliff, large enough that the synthetic
+# fixtures still flow as one batch per input batch.
+_OUT_BATCH_BYTES = 64 << 20
+
+
+def _bounded_frames(
+    rows: "Iterator[dict]", columns: list[str], payload_key: str
+) -> Iterator[pd.DataFrame]:
+    """Yield pandas frames whose cumulative payload bytes stay under
+    _OUT_BATCH_BYTES — byte-bounded output batches for mapInPandas
+    paths that emit binary columns (record-count slicing alone lets a
+    10k-row batch of MB-scale payloads materialize tens of GB and
+    overflow Arrow's int32 offsets)."""
+    buf: list[dict] = []
+    size = 0
+    for r in rows:
+        buf.append(r)
+        size += len(r[payload_key])
+        if size >= _OUT_BATCH_BYTES:
+            yield pd.DataFrame(buf, columns=columns)
+            buf, size = [], 0
+    if buf:
+        yield pd.DataFrame(buf, columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -194,13 +236,31 @@ def decode_media(payload: bytes, media_type: str) -> dict[str, Any]:
             "duration_ms": meta["duration_ms"],
         }
     if media_type == "video/x-mbmp":
-        frames = list(iter_mbmp_frames(payload))
-        w, h = parse_bmp_header(frames[0][1])
+        # Header-only walk: metadata needs the frame COUNT and one
+        # decodable frame, so only frame 0's bytes are sliced — the old
+        # list(iter_mbmp_frames(...)) copied every frame's payload into
+        # a per-row list, doubling per-row memory inside an already
+        # payload-heavy Arrow batch for data it never read.
+        magic, n_frames = struct.unpack_from("<4sI", payload, 0)
+        if magic != b"MBMP":
+            raise ValueError("not an MBMP payload")
+        pos, first = 8, None
+        for _ in range(n_frames):
+            fmagic, _idx, size = struct.unpack_from("<4sII", payload, pos)
+            if fmagic != b"FRM0":
+                raise ValueError("corrupt MBMP frame header")
+            pos += 12
+            if first is None:
+                first = payload[pos : pos + size]
+            pos += size
+        if first is None:
+            raise ValueError("MBMP container has no frames")
+        w, h = parse_bmp_header(first)
         return {
             "n_bytes": len(payload),
             "width": w,
             "height": h,
-            "n_frames": len(frames),
+            "n_frames": n_frames,
             "duration_ms": None,
         }
     raise NotImplementedError(
@@ -248,13 +308,17 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "media_type", "content"]
         for pdf in batches:
-            pdf = pdf.copy()
-            pdf["content"] = [
-                synth_payload(int(d), int(n), mt)
+            rows = (
+                {
+                    "doc_id": int(d),
+                    "media_type": mt,
+                    "content": synth_payload(int(d), int(n), mt),
+                }
                 for d, n, mt in zip(pdf["doc_id"], pdf["text_len"], pdf["media_type"])
-            ]
-            yield pdf[["doc_id", "media_type", "content"]]
+            )
+            yield from _bounded_frames(rows, cols, "content")
 
     return src.mapInPandas(run, schema="doc_id long, media_type string, content binary")
 
@@ -365,25 +429,23 @@ def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
         return w, h, header + bytes(out_px)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
+        cols = ["doc_id", "media_type", "orig_w", "orig_h", "new_w", "new_h", "content"]
+
+        def rows_of(pdf: pd.DataFrame):
             for doc_id, payload, mt in zip(pdf["doc_id"], pdf["content"], pdf["media_type"]):
                 ow, oh, resized = _resize_bmp(payload)
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "media_type": mt,
-                        "orig_w": ow,
-                        "orig_h": oh,
-                        "new_w": target_w,
-                        "new_h": target_h,
-                        "content": resized,
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "media_type", "orig_w", "orig_h", "new_w", "new_h", "content"],
-            )
+                yield {
+                    "doc_id": doc_id,
+                    "media_type": mt,
+                    "orig_w": ow,
+                    "orig_h": oh,
+                    "new_w": target_w,
+                    "new_h": target_h,
+                    "content": resized,
+                }
+
+        for pdf in batches:
+            yield from _bounded_frames(rows_of(pdf), cols, "content")
 
     return media.mapInPandas(
         run,
@@ -440,24 +502,28 @@ def sample_frames(media: DataFrame, every_k: int) -> DataFrame:
     frame is a REAL standalone BMP parsed out of the MBMP container."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
+        cols = ["doc_id", "frame_idx", "frame_w", "frame_h", "frame_bytes"]
+
+        # One generator over the whole 1→N expansion, chunked by BYTES:
+        # accumulating a full input batch's expansion into one list
+        # (the old form) holds input_rows × ceil(n_frames/k) frame
+        # payloads before the first yield — with real video that is the
+        # Arrow offset cliff from the output side.
+        def rows_of(pdf: pd.DataFrame):
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
                 for idx, frame in iter_mbmp_frames(payload):
                     if idx % every_k == 0:
                         w, h = parse_bmp_header(frame)
-                        rows.append(
-                            {
-                                "doc_id": doc_id,
-                                "frame_idx": idx,
-                                "frame_w": w,
-                                "frame_h": h,
-                                "frame_bytes": frame,
-                            }
-                        )
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_w", "frame_h", "frame_bytes"]
-            )
+                        yield {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "frame_w": w,
+                            "frame_h": h,
+                            "frame_bytes": frame,
+                        }
+
+        for pdf in batches:
+            yield from _bounded_frames(rows_of(pdf), cols, "frame_bytes")
 
     return media.mapInPandas(
         run,

@@ -90,9 +90,17 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink would materialize billions of rows in driver JVM
     memory during the drain. The distributed sink is the production
     shape (dedup feeds a table, not the driver); reading the landed
-    files back is the test harness's comparison path. Append mode
-    emits each surviving key exactly once, so the read-back is
-    batch-split-insensitive.
+    files back is the test harness's comparison path.
+
+    ORACLE EQUALITY DEPENDS ON THE SINGLE-DATA-BATCH DRAIN, asserted
+    below: dropDuplicatesWithinWatermark only holds a key's state for
+    the watermark delay, so across a watermark-advancing batch split a
+    key whose duplicates sit more than 24 h apart is re-emitted (two
+    rows vs the oracle's one DISTINCT row). Within one batch the
+    watermark never advances, so the read-back equals DISTINCT exactly
+    — that contract held silently before; now a multi-file staging or
+    a maxFilesPerTrigger regression trips the assert instead of
+    shipping duplicate keys.
     """
     deduped = (
         events_stream(spark, sf_dir)
@@ -100,7 +108,8 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    back, _ = run_to_parquet(deduped, "dedupw", sf_dir)
+    back, q = run_to_parquet(deduped, "dedupw", sf_dir)
+    _assert_single_data_batch(q, "streaming_dedup_watermark")
     return back.select("user_id", "event_type")
 
 
@@ -166,9 +175,13 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated afterwards: at production volume the interval join
     emits O(events) attribution pairs, and a memory sink materializes
     every one of them in driver JVM memory — the one data-sized
-    intermediate in this module. Append-mode emits each joined row
-    exactly once, so summing the per-batch counts is exact across any
-    batch split."""
+    intermediate in this module. Append-mode emits each joined row at
+    most once, but EXACTNESS vs the batch-join oracle still depends on
+    the single-data-batch drain (asserted below): across a
+    watermark-advancing batch split, a click more than 1 h older than
+    the advanced watermark is evicted from join state before a
+    qualifying purchase arrives in a later batch, silently undercounting
+    attribution pairs relative to the batch interval join."""
     purchases = (
         events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -195,7 +208,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts")),
     )
-    back, _ = run_to_parquet(
+    back, q = run_to_parquet(
         joined,
         "ssj",
         sf_dir,
@@ -203,6 +216,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n")
         ),
     )
+    _assert_single_data_batch(q, "streaming_stream_stream_join")
     return back.groupBy(F.col("p_user").alias("user_id")).agg(
         F.sum("n").alias("n_attributed")
     )
@@ -462,9 +476,9 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-min-gap sessions whose state merges windows as events arrive —
     the canonical sessionization a clickstream pipeline runs 24/7.
 
-    Executed file-source → availableNow → memory sink in COMPLETE mode,
-    and complete mode is a TEST-DRAIN compromise, stated honestly:
-    Spark rejects update mode for session-window aggregations
+    Executed file-source → availableNow → foreachBatch parquet in
+    COMPLETE mode, and complete mode is a TEST-DRAIN compromise, stated
+    honestly: Spark rejects update mode for session-window aggregations
     (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION), and append mode
     withholds every session whose end lies inside the watermark delay —
     on the bounded fixture that silently drops the trailing 24 h of
@@ -475,13 +489,22 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     after its close passes the watermark; state evicted with it) and
     accepts that in-flight sessions are not yet visible. The one-batch
     drain here emits everything because nothing is late.
+
+    The drain is run_to_parquet, NOT a memory sink: the output is one
+    row per user-SESSION — data-sized, unlike the bounded-cardinality
+    aggregates the memory-sink siblings hold — so a memory sink would
+    materialize every session in driver JVM memory during the drain
+    (~10⁹ users × sessions at production volume). Complete mode
+    re-emits the whole table per trigger, so the read-back is exact
+    only for a single data batch — asserted, like the other stateful
+    drains.
     """
-    name = _sink_name("stream_sess")
     ev = events_stream(spark, sf_dir).withWatermark("ts", "24 hours")
     agg = (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
-    run_to_memory(agg, name, output_mode="complete")
-    return spark.table(name)
+    back, q = run_to_parquet(agg, "sesswin", sf_dir, output_mode="complete")
+    _assert_single_data_batch(q, "streaming_session_window")
+    return back.select("user_id", "session_start", "n_events")

@@ -160,3 +160,27 @@ def test_resize_preserves_pixels_nearest_neighbor():
             d = resized[dst_off + ty * dst_stride + 3 * tx :][:3]
             s = src[src_off + (ty * 2) * src_stride + 3 * (tx * 2) :][:3]
             assert d == s
+
+
+def test_payload_batches_are_byte_bounded(monkeypatch):
+    """Binary-emitting mapInPandas paths must chunk their yields by
+    payload BYTES: Arrow binary vectors use int32 offsets, so one
+    unbounded output batch of real (MB-scale) media overflows at ~2 GB
+    cumulative payload. Drive the shared chunker directly (a Spark-side
+    monkeypatch would not reach separate Python worker processes) and
+    pin that the byte budget splits batches without changing rows."""
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.multimodal import (
+        media,
+    )
+
+    rows = [{"x": i, "content": bytes([i]) * 10} for i in range(10)]
+    cols = ["x", "content"]
+
+    whole = list(media._bounded_frames(iter(rows), cols, "content"))
+    assert len(whole) == 1 and len(whole[0]) == 10  # fixture sizes: one batch
+
+    monkeypatch.setattr(media, "_OUT_BATCH_BYTES", 25)
+    chunked = list(media._bounded_frames(iter(rows), cols, "content"))
+    assert [len(f) for f in chunked] == [3, 3, 3, 1]  # 30 bytes >= 25 budget
+    flat = [tuple(r) for f in chunked for r in f.itertuples(index=False)]
+    assert flat == [tuple(r) for r in whole[0].itertuples(index=False)]

@@ -48,6 +48,17 @@ _TABLE_CACHE: dict[tuple, DataFrame] = {}
 MAX_CHECKPOINT_ENTRIES = 16
 
 
+def _session_uuid(spark: SparkSession) -> str:
+    """Identity of the concrete SparkSession (clones made with
+    newSession() share an applicationId but have separate catalogs and
+    confs). Falls back to the JVM object's id for builds without
+    sessionUUID."""
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:
+        return f"jvmobj-{id(spark._jsparkSession)}"
+
+
 def dataset_cached(cache: dict, spark: SparkSession, sf_dir: str,
                    files: tuple[str, ...], build, params: tuple = (),
                    max_entries: int | None = None, on_evict=None):
@@ -57,7 +68,8 @@ def dataset_cached(cache: dict, spark: SparkSession, sf_dir: str,
     One identity scheme for every dataset-keyed cache in the engine
     (loaded tables here; the MinHash-LSH buckets, n-gram posting lists,
     sign-LSH and IVF indexes in plans/): identity = (sf_dir, files,
-    params, applicationId), freshness = each file's (mtime_ns, size).
+    params, applicationId, sessionUUID), freshness = each file's
+    (mtime_ns, size).
     A fresh stat → cache hit. A stale one → the old entry is DELETED
     before build() runs, so a long-lived session that regenerates its
     data repeatedly holds at most one artifact per identity — dropping
@@ -94,7 +106,15 @@ def dataset_cached(cache: dict, spark: SparkSession, sf_dir: str,
         for f in files
     )
     appid = spark.sparkContext.applicationId
-    ident = (sf_dir, files, params, appid)
+    # The SESSION uuid is part of the identity, not just the
+    # application id: spark.newSession() clones share one application
+    # (and one CacheManager) but have SEPARATE catalogs and confs — a
+    # frame cached by session A and served to concurrent session B
+    # registers temp views into A's catalog (TABLE_OR_VIEW_NOT_FOUND in
+    # B, or silently the wrong dataset) and executes under A's conf
+    # (A's timezone, not the UTC pin B's caller re-applied). Verified
+    # on 4.1.2; invisible to the single-session driver gate.
+    ident = (sf_dir, files, params, appid, _session_uuid(spark))
     key = (ident, stats)
     val = cache.get(key)
     if val is not None:
@@ -232,10 +252,35 @@ def checkpoint_frame(df: DataFrame, tag: str = "frame") -> DataFrame:
 
 
 def _host_hash() -> str:
+    """Identity of THIS driver's pid-liveness domain, for the dead-app
+    sweep's same-host guard. Hostname alone is NOT enough on a shared
+    storage root: two containers on one node (hostNetwork pods share
+    the node hostname) run in separate PID namespaces, so an os.kill
+    probe from one gives a false dead-verdict for the other's live
+    pids — rmtree would then destroy a LIVE driver's durable index
+    tables. The identity therefore folds in the boot id (distinguishes
+    machines that share a hostname across a fleet) and this process's
+    PID-NAMESPACE inode (distinguishes co-hosted containers; a pid is
+    only probe-able within its own namespace). 12 hex chars (48 bits):
+    a 10^4-driver fleet has ~4e-7 pair-collision odds, vs percent-level
+    at the old 32-bit hostname-only hash. Mismatched dirs are left
+    alone (leak-safe), never deleted."""
     import hashlib
+    import os
     import socket
 
-    return hashlib.md5(socket.gethostname().encode()).hexdigest()[:8]
+    parts = [socket.gethostname()]
+    for probe in ("/proc/sys/kernel/random/boot_id",):
+        try:
+            with open(probe) as f:
+                parts.append(f.read().strip())
+        except OSError:
+            pass  # non-Linux: hostname (+ ns inode if present) only
+    try:
+        parts.append(str(os.stat("/proc/self/ns/pid").st_ino))
+    except OSError:
+        pass
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
 def app_scoped_dir(root: str, spark: SparkSession) -> str:

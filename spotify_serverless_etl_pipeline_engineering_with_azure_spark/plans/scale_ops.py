@@ -18,6 +18,13 @@ from ..catalog import persisted, table
 from ..functions.exact import dsum
 from ..registry import register
 
+import threading
+
+# Serializes bucketed-layout builds within this driver process (see
+# bucketed_join_colocated: concurrent threads / cloned sessions share
+# the external catalog and the app-scoped layout path).
+_BUCKETED_BUILD_LOCK = threading.Lock()
+
 _BIN_S = 300  # range-join bin width = the predicate radius (seconds)
 # Compare at MICROSECOND precision on both engines: events.ts carries
 # sub-second precision, so a whole-second comparison on one side and a
@@ -134,19 +141,29 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key tables by corpus snapshot and run retention there).
     base = f"{app_scoped_dir('/tmp/sse_bucketed', spark)}/{suffix}"
     names = {"orders": f"sse_orders_b_{suffix}", "lineitem": f"sse_lineitem_b_{suffix}"}
-    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        cached = spark.catalog.tableExists(names[tbl]) and os.path.isdir(f"{base}/{tbl}")
-        if not cached:
-            if spark.catalog.tableExists(names[tbl]):  # metastore entry, files gone
-                spark.sql(f"DROP TABLE {names[tbl]}")
-            (
-                table(spark, sf_dir, tbl)
-                .write.bucketBy(8, key)
-                .sortBy(key)
-                .option("path", f"{base}/{tbl}")
-                .mode("overwrite")
-                .saveAsTable(names[tbl])
-            )
+    # Serialize the check-then-build: the layout path is per-application
+    # (app_scoped_dir), but within one application concurrent THREADS —
+    # or newSession() clones, which share the external catalog the
+    # saveAsTable lands in — can both observe cached=False and race
+    # overwrite-writes into the same directory (one job crashes, or a
+    # layout missing bucket files is committed and then served as
+    # cached forever after). An in-process lock is sufficient: one
+    # application is one driver process, and other applications build
+    # under their own app_scoped_dir.
+    with _BUCKETED_BUILD_LOCK:
+        for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            cached = spark.catalog.tableExists(names[tbl]) and os.path.isdir(f"{base}/{tbl}")
+            if not cached:
+                if spark.catalog.tableExists(names[tbl]):  # metastore entry, files gone
+                    spark.sql(f"DROP TABLE {names[tbl]}")
+                (
+                    table(spark, sf_dir, tbl)
+                    .write.bucketBy(8, key)
+                    .sortBy(key)
+                    .option("path", f"{base}/{tbl}")
+                    .mode("overwrite")
+                    .saveAsTable(names[tbl])
+                )
     li = spark.table(names["lineitem"])
     orders = spark.table(names["orders"])
     return (

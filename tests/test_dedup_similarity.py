@@ -627,3 +627,28 @@ def test_persisted_frames_refresh_on_dataset_regeneration(spark, sf_dir, tmp_pat
         k for k in catalog._PERSISTED_FRAMES if k[0][0] == str(ds) and k[0][2] == ("t",)
     ]
     assert len(entries) == 1, "superseded registry entry must be evicted"
+
+
+def test_dataset_caches_are_session_bound(spark, sf_dir):
+    """newSession() clones share one applicationId but have separate
+    catalogs and confs — a cache hit handing session B a frame owned by
+    session A registers temp views into A's catalog (B:
+    TABLE_OR_VIEW_NOT_FOUND) and executes under A's conf. The cache
+    identity must therefore include the session, not just the app."""
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark import catalog
+
+    a_frame = catalog.table(spark, sf_dir, "nation")
+    b = spark.newSession()
+    try:
+        b_frame = catalog.table(b, sf_dir, "nation")
+        assert b_frame.sparkSession is b, "cache must not serve A's frame to B"
+        assert a_frame.sparkSession is spark
+        # the real downstream symptom: SQL over views registered from
+        # the cached frame must resolve in B's own catalog
+        catalog.register_views(b, sf_dir)
+        assert b.sql("SELECT COUNT(*) AS n FROM nation").collect()[0]["n"] == 25
+    finally:
+        # drop B's entries so the shared-session suite state is unchanged
+        for cache in (catalog._TABLE_CACHE,):
+            for k in [k for k in cache if k[0][4] == catalog._session_uuid(b)]:
+                del cache[k]

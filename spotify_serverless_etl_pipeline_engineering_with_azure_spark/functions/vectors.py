@@ -55,6 +55,43 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def round6(col: Column) -> Column:
+    """Engine-deterministic 6dp quantization: ROUND(x·10⁶)/10⁶, NOT
+    ROUND(x, 6). Rounding a raw double at 6dp diverges across engines
+    for values within 1 ulp of a half boundary (Spark's ROUND is
+    HALF_UP on the exact binary expansion, DuckDB's is float
+    arithmetic) — and similarity/jaccard value pools GROW with the
+    corpus, so at 10¹¹-pair volume boundary hits are expected, not
+    rare. Multiplying first makes both engines round the SAME IEEE
+    product double with the same half-away-from-zero tie rule."""
+    return F.round(col * 1000000.0) / 1000000.0
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB fragment mirroring :func:`dot` BIT-FOR-BIT: elementwise
+    double products folded left-to-right. Replaces
+    LIST_COSINE_SIMILARITY in oracles — DuckDB's builtin normalizes
+    with its own internal op order, so its pre-round double differs
+    from Spark's fold in the last ulps, and a rounding-boundary-
+    adjacent cosine then flips between engines no matter how the
+    rounding itself is done."""
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
+        f"LIST_TRANSFORM(LIST_ZIP(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), "
+        f"p -> p[1] * p[2])), (acc, x) -> acc + x)"
+    )
+
+
+def sql_cosine6(a: str, b: str) -> str:
+    """DuckDB fragment bit-identical to ``round6(cosine(a, b))``: the
+    same left-to-right folds, the same norm/divide sequence, the same
+    multiply-then-round quantization."""
+    return (
+        f"(ROUND(({sql_dot(a, b)}) / "
+        f"(SQRT({sql_dot(a, a)}) * SQRT({sql_dot(b, b)})) * 1000000.0) / 1000000.0)"
+    )
+
+
 # Multi-table OR-construction: L tables of k bits each. Calibrated on
 # the synthetic corpus (vectors are near-orthogonal random — labels
 # carry no cosine structure): k=4 gives ~7% of the corpus per bucket;

@@ -4,7 +4,7 @@ map-typed columns, explode variants, unpivot, and sketch aggregates.
 
 These are the operators a 100 TB training-data pipeline needs that
 Spark doesn't ship as single calls — each is expressed as a composition
-of built-in DataFrame ops where semantics allow (as-of join = union +
+of built-in DataFrame ops where semantics allow (as-of join = flagged
 ignore-nulls window; IVF = broadcast centroid assignment + in-cluster
 probe), dropping to the Arrow-batched stateful pandas API only for the
 genuinely stateful streaming case.
@@ -25,6 +25,7 @@ from ..catalog import (
     MAX_CHECKPOINT_ENTRIES,
     checkpoint_frame,
     dataset_cached,
+    persisted,
     scatter,
     table,
 )
@@ -64,19 +65,31 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     or before the purchase time.
 
     Spark has no ASOF JOIN operator; the idiomatic distributed form is
-    union-both-sides + an ignore-nulls last() over (user, time). ONE
-    shuffle on user_id, no range join explosion — at 100 TB this beats
-    any windowed range-join rewrite because state per key is a single
-    carried value. Ties are broken (ts, side, event_id) so clicks at
-    the purchase timestamp count as "before" and results are exactly
-    reproducible.
+    both-sides-in-one-frame + an ignore-nulls last() over (user, time).
+    ONE shuffle on user_id, no range join explosion — at 100 TB this
+    beats any windowed range-join rewrite because state per key is a
+    single carried value. Ties are broken (ts, side, event_id) so
+    clicks at the purchase timestamp count as "before" and results are
+    exactly reproducible.
+
+    ONE fact scan: the sides are distinguished by a computed is_p flag
+    over an isin filter, not two filtered scans unioned — event_type is
+    low-cardinality and unsorted, so row-group stats prune nothing and
+    the two-scan form read the full corpus twice for a query whose
+    scale contract advertises one pass. (The oracle keeps its UNION
+    form: DuckDB's scans are not the thing under test, and the values
+    are identical.)
     """
-    ev = table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", "value", F.lit(1).alias("is_p")
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", "value", F.lit(0).alias("is_p")
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+        )
     )
     w = (
         Window.partitionBy("user_id")
@@ -86,7 +99,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     click_id = F.when(F.col("is_p") == 0, F.col("event_id"))
     click_val = F.when(F.col("is_p") == 0, F.col("value"))
     return (
-        purchases.unionByName(clicks)
+        ev
         .select(
             "user_id",
             "ts",
@@ -116,10 +129,9 @@ _N_PROBE_CLUSTERS = 3  # multi-probe: search the probe's 3 nearest cells
 
 
 def _ivf_oracle() -> str:
-    cos = (
-        "ROUND(LIST_COSINE_SIMILARITY(CAST({a} AS DOUBLE[]), "
-        "CAST({b} AS DOUBLE[])), 6)"
-    )
+    from ..functions.vectors import sql_cosine6
+
+    cos = sql_cosine6("{a}", "{b}")
     asim = cos.format(a="e.embedding", b="c.cemb")
     psim = cos.format(a="a.embedding", b="b.embedding")
     return f"""
@@ -158,26 +170,31 @@ def load_centroids(spark: SparkSession, sf_dir: str, k: int) -> list:
     The codebook is driver-resident in every real IVF/SemDeDup system
     (FAISS keeps the coarse quantizer in memory). Collecting it lets
     cell assignment run entirely map-side as codegen'd literal
-    arithmetic: no N×K crossJoin, no per-vector window shuffle. The
-    collect is cached per dataset identity (a quantizer is loaded once,
-    not per query) — the mtime in the key rebuilds it if the underlying
-    parquet is regenerated.
+    arithmetic: no N×K crossJoin, no per-vector window shuffle. Caching
+    goes through catalog.dataset_cached — the one identity/eviction
+    scheme for every dataset-keyed cache — rather than a hand-rolled
+    dict: a bare mtime-keyed dict never DROPS superseded entries, and
+    under the documented production sizing (K ~ √N → ~10⁵ centroids ×
+    64 doubles ≈ 150 MB of collected Rows per entry) a long-lived
+    driver sweeping N dataset snapshots would pin N codebooks for the
+    process's lifetime. The entry cap bounds the same driver-memory
+    growth for many live datasets.
     """
-    import os
-
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    cache_key = (sf_dir, st.st_mtime_ns, st.st_size, k)
-    cent_rows = _CENTROID_CACHE.get(cache_key)
-    if cent_rows is None:
-        cent_rows = sorted(
+    return dataset_cached(
+        _CENTROID_CACHE,
+        spark,
+        sf_dir,
+        ("embeddings.parquet",),
+        lambda: sorted(
             table(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") < k)
             .select("vec_id", "embedding")
             .collect(),
             key=lambda r: r.vec_id,
-        )
-        _CENTROID_CACHE[cache_key] = cent_rows
-    return cent_rows
+        ),
+        params=(k,),
+        max_entries=MAX_CHECKPOINT_ENTRIES,
+    )
 
 
 def ranked_centroids_expr(cent_rows: list):
@@ -188,10 +205,14 @@ def ranked_centroids_expr(cent_rows: list):
     ROW_NUMBER() OVER (ORDER BY sim DESC, cid) oracle. Requires a
     double ``nrm`` column (the row vector's norm) in scope.
 
-    Centroid norms are Python-side constants (the oracle compares
-    ROUND(...,6) similarities, which absorbs sub-1e-6 summation-order
-    differences — the same tolerance the oracle's own
-    LIST_COSINE_SIMILARITY already relies on); the row norm is folded
+    Centroid norms are Python-side constants computed by the same
+    left-to-right fold the oracle's SQRT(fold) performs (bit-identical
+    doubles), and the quantization is the engine-deterministic
+    round(x·10⁶)/10⁶ form on both sides — the earlier ROUND(x, 6) pair
+    relied on DuckDB's LIST_COSINE_SIMILARITY agreeing within 1e-6,
+    which breaks exactly when a similarity lands within 1 ulp of a 6dp
+    half boundary (expected at production pair volumes, invisible at
+    test SF). The row norm is folded
     once per row, so assignment costs K dot-folds + 1 norm-fold per row
     instead of 3K. The whole ranked-centroids expression is ONE SQL
     string (a single py4j call + one JVM-side parse): per-Column
@@ -216,8 +237,8 @@ def ranked_centroids_expr(cent_rows: list):
         )
 
     structs = ", ".join(
-        f"struct(-round({_sql_dot_lit(r.embedding)} / "
-        f"(nrm * CAST('{_pynorm(r.embedding)!r}' AS DOUBLE)), 6) AS neg_sim, "
+        f"struct(-(round({_sql_dot_lit(r.embedding)} / "
+        f"(nrm * CAST('{_pynorm(r.embedding)!r}' AS DOUBLE)) * 1000000.0) / 1000000.0) AS neg_sim, "
         f"{int(r.vec_id)} AS cid)"
         for r in cent_rows
     )
@@ -348,17 +369,20 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),
     )
-    pair_sim = F.round(
-        dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm")), 6
+    from ..functions.vectors import round6
+
+    pair_sim = round6(
+        dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
     )
     w_rank = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
-    # Vector-store attach joins left UN-hinted: the store is one row
-    # per corpus vector — linear in N — so a forced broadcast would die
-    # past the 8 GB bound at serving scale; AQE broadcasts while it
-    # fits, shuffles on vec_id beyond (the probe_cells hint above is
-    # fine — probes are a bounded request set).
+    # Vector-store attach joins left UN-hinted — and so is probe_cells:
+    # the store is one row per corpus vector and the probe set is a
+    # fixed 1/29 FRACTION of the corpus (vec_id % _PROBE_MOD), both
+    # linear in N, so a forced broadcast of either would die past the
+    # 8 GB bound at serving scale; AQE broadcasts while small, shuffles
+    # on the join keys beyond.
     return (
         cand.join(a, F.col("a_id") == F.col("probe_id"))
         .join(b, F.col("b_id") == F.col("neighbor_id"))
@@ -722,14 +746,28 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual daily counts, zero-fill the holes — the scaffolding every
     time-series chart/model needs. The spine is built from the grouped
     bounds (5 rows → array expansion), so its cost is O(days), not
-    O(events)."""
+    O(events).
+
+    ONE data-sized pass: daily is persisted() and the bounds derive
+    from IT (date_trunc is monotone, so min(day) = trunc(min(ts)) and
+    max(day) = trunc(max(ts))) — the earlier form aggregated the raw
+    events table twice, two full-corpus scans+shuffles for a min/max
+    the days-sized frame already contains. persisted(), not a bare
+    persist: daily is consumed by both the bounds aggregation and the
+    spine join, and Spark shares no subplans."""
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("DAY", "ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    bounds = ev.groupBy("event_type").agg(
-        F.date_trunc("DAY", F.min("ts")).alias("d0"),
-        F.date_trunc("DAY", F.max("ts")).alias("d1"),
+    daily = persisted(
+        spark,
+        sf_dir,
+        ("events.parquet",),
+        "gapfill_daily",
+        lambda: ev.groupBy(
+            "event_type", F.date_trunc("DAY", "ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
     )
     spine = bounds.select(
         "event_type",

@@ -743,10 +743,9 @@ def _member_cte() -> str:
     """DuckDB mirror of the broadcast-codebook cell assignment (the
     cent/assign/member CTE bodies shared by the SemDeDup-family
     oracles)."""
-    asim = (
-        "ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), "
-        "CAST(c.cemb AS DOUBLE[])), 6)"
-    )
+    from ..functions.vectors import sql_cosine6
+
+    asim = sql_cosine6("e.embedding", "c.cemb")
     return f"""
 cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
          WHERE vec_id < {SEMDEDUP_K}),
@@ -762,10 +761,9 @@ member AS (SELECT vec_id, cid AS cluster FROM assign WHERE rn = 1)
 
 
 def _emb_cosine_oracle() -> str:
-    cos = (
-        "ROUND(LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]), "
-        "CAST(eb.embedding AS DOUBLE[])), 6)"
-    )
+    from ..functions.vectors import sql_cosine6
+
+    cos = sql_cosine6("ea.embedding", "eb.embedding")
     return f"""
 WITH {_member_cte()},
 pairs AS (
@@ -811,8 +809,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    cs = F.round(
-        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+    from ..functions.vectors import round6
+
+    cs = round6(
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     )
     return (
         pairs.join(ea, F.col("a_id") == F.col("va"))
@@ -830,11 +830,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup: cluster-bucketed semantic dedup (the embedding-cosine scale path)
 # ---------------------------------------------------------------------------
 def _semdedup_oracle() -> str:
-    cos = (
-        "ROUND(LIST_COSINE_SIMILARITY(CAST({a} AS DOUBLE[]), "
-        "CAST({b} AS DOUBLE[])), 6)"
-    )
-    psim = cos.format(a="ea.embedding", b="eb.embedding")
+    from ..functions.vectors import sql_cosine6
+
+    psim = sql_cosine6("ea.embedding", "eb.embedding")
     return f"""
 WITH {_member_cte()},
 pairs AS (
@@ -895,8 +893,10 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    cs = F.round(
-        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+    from ..functions.vectors import round6
+
+    cs = round6(
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     )
     max_lower = (
         pairs.join(ea, F.col("a_id") == F.col("va"))
@@ -1455,7 +1455,7 @@ inter AS (
 )
 SELECT i.doc_a, i.doc_b, i.n_common,
        sa.m + sb.m - i.n_common AS n_union,
-       ROUND(CAST(i.n_common AS DOUBLE) / (sa.m + sb.m - i.n_common), 6) AS jaccard
+       (ROUND(CAST(i.n_common AS DOUBLE) / (sa.m + sb.m - i.n_common) * 1000000.0) / 1000000.0) AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
@@ -1596,7 +1596,9 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb")), "doc_b")
         .withColumn("n_union", F.col("ma") + F.col("mb") - F.col("n_common"))
         .withColumn(
-            "jaccard", F.round(F.col("n_common").cast("double") / F.col("n_union"), 6)
+            "jaccard",
+        F.round(F.col("n_common").cast("double") / F.col("n_union") * 1000000.0)
+        / 1000000.0
         )
     )
     return joined.filter(

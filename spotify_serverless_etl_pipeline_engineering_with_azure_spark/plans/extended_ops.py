@@ -395,6 +395,16 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At real scale this defeats single-hot-key skew when AQE's skew-join
     splitting isn't applicable (e.g., aggregation-after-join keys).
+
+    SIZING CONTRACT: the salt space IS the hot key's parallelism — each
+    salt value becomes one task holding hot_key_rows / n_salts rows, so
+    a production deployment sizes n_salts ≈ hot_key_rows /
+    target_task_rows (a 4·10⁹-row hot key at ~10⁷ rows/task needs
+    ~400 salts, not 8), capped by cluster cores; the dim side's
+    explode cost is n_salts × dim_rows, which is why salting suits
+    small-dim joins and the cap matters. 8 is the demo shape for the
+    test SFs; the oracle (a plain join) is salt-count-invariant, so
+    nothing but this paragraph flags the sizing.
     """
     n_salts = 8
     cust = table(spark, sf_dir, "customer").withColumn(

@@ -22,8 +22,22 @@ from ..catalog import (
     scatter,
     table,
 )
-from ..functions.vectors import LSH_TABLES, dot, lsh_bucket, norm, sql_lsh_bucket
+from ..functions.vectors import (
+    LSH_TABLES,
+    dot,
+    lsh_bucket,
+    norm,
+    round6,
+    sql_cosine6,
+    sql_lsh_bucket,
+)
 from ..registry import register
+
+# Oracle-side cosine fragments bit-identical to round6(cosine(...)) —
+# see functions/vectors.sql_cosine6 for why LIST_COSINE_SIMILARITY +
+# ROUND(x, 6) is NOT engine-deterministic.
+_COS6_PE_E = sql_cosine6("pe", "e.embedding")
+_COS6_PE_C = sql_cosine6("pe", "c.embedding")
 
 TOPK = 5
 N_PROBES = 10
@@ -65,8 +79,7 @@ def _vector_store_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < {N_PROBES}),
 scored AS (
   SELECT probe_id, e.vec_id AS neighbor_id,
-         ROUND(LIST_COSINE_SIMILARITY(CAST(pe AS DOUBLE[]),
-                                      CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+         {_COS6_PE_E} AS cos_sim
   FROM probes JOIN embeddings e ON e.vec_id <> probe_id
 )
 SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
@@ -98,8 +111,8 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                dot(F.col("pe"), F.col("embedding")) / (F.col("pnrm") * F.col("nrm")), 6
+            round6(
+                dot(F.col("pe"), F.col("embedding")) / (F.col("pnrm") * F.col("nrm"))
             ).alias("cos_sim"),
         )
     )
@@ -158,8 +171,7 @@ def _lsh_index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_scored_sql(t: int) -> str:
     return f"""
   SELECT probe_id, c.vec_id AS neighbor_id,
-         ROUND(LIST_COSINE_SIMILARITY(CAST(pe AS DOUBLE[]),
-                                      CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+         {_COS6_PE_C} AS cos_sim
   FROM (SELECT vec_id AS probe_id, embedding AS pe,
                {sql_lsh_bucket("embedding", t)} AS bucket
         FROM embeddings WHERE vec_id < 20) p
@@ -217,8 +229,8 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                dot(F.col("pe"), F.col("embedding")) / (F.col("pnrm") * F.col("nrm")), 6
+            round6(
+                dot(F.col("pe"), F.col("embedding")) / (F.col("pnrm") * F.col("nrm"))
             ).alias("cos_sim"),
         )
         .groupBy("probe_id", "neighbor_id")

@@ -97,8 +97,11 @@ def main() -> None:
     spread = {name: round(max(v) - min(v), 3) for name, v in passes.items()}
     # queries_min preserves comparability with rounds ≤4, whose recorded
     # numbers were min-of-3: compare min to min across rounds, median to
-    # median within this round's discipline.
-    mins = {name: round(min(v), 3) for name, v in passes.items()}
+    # median within this round's discipline. Min over the FIRST 3 passes
+    # only — a minimum over more passes is biased lower, so min-of-5
+    # would systematically flatter later rounds in the cross-round
+    # comparison (round-5 ADVICE).
+    mins = {name: round(min(v[:3]), 3) for name, v in passes.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -110,7 +113,7 @@ def main() -> None:
                 "spread": spread,
                 "queries_min": mins,
                 "value_min": round(sum(mins.values()), 3),
-                "stat": "median_of_5_interleaved",
+                "stat": "median_of_5_interleaved_min_of_first_3",
                 "sf": sf,
             }
         )

@@ -8,6 +8,9 @@ parquet scan.
 
 from __future__ import annotations
 
+import uuid
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -39,6 +42,15 @@ ALWAYS_BROADCAST = {"region", "nation"}
 # Spark application id (a plan dies with its context).
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
+# sessionUUID-fallback identities, memoized per live Python
+# SparkSession object; weak keys so a dead session's entry vanishes
+# with the session instead of pinning it (and its identity can never
+# be handed to an address-reusing successor — each new session object
+# draws a fresh uuid4).
+_FALLBACK_SESSION_IDS: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
 # Entry cap for caches of CHECKPOINTED index frames (see
 # dataset_cached's max_entries): sized for many live test fixtures/SF
 # dirs at once while bounding a production driver that sweeps unbounded
@@ -51,12 +63,18 @@ MAX_CHECKPOINT_ENTRIES = 16
 def _session_uuid(spark: SparkSession) -> str:
     """Identity of the concrete SparkSession (clones made with
     newSession() share an applicationId but have separate catalogs and
-    confs). Falls back to the JVM object's id for builds without
-    sessionUUID."""
+    confs). Falls back to a uuid4 memoized on the Python session object
+    for builds without sessionUUID (e.g. Spark Connect, where even
+    ``_jsparkSession`` may not exist — the fallback must not touch it):
+    the previous ``id(jvm proxy)`` form could ALIAS two sessions,
+    because CPython reuses addresses after GC, handing a new session a
+    dead session's cache entries (the wrong-catalog/wrong-conf hazard
+    sessionUUID exists to prevent)."""
     try:
         return str(spark._jsparkSession.sessionUUID())
     except Exception:
-        return f"jvmobj-{id(spark._jsparkSession)}"
+        memo = _FALLBACK_SESSION_IDS.setdefault(spark, uuid.uuid4().hex)
+        return f"pyuuid-{memo}"
 
 
 def dataset_cached(cache: dict, spark: SparkSession, sf_dir: str,

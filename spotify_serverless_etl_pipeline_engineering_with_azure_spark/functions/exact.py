@@ -7,11 +7,21 @@ boundary can diverge.
 
 Discipline: the source doubles encode exact decimals (prices with 2dp,
 discount/tax with 2dp, their products with 4/6dp). The ROW-LEVEL
-expression is cast to DECIMAL at the target scale (HALF_UP on the exact
-binary value of the double — identical in Spark and DuckDB), making
-every row an exact fixed-point number; the aggregate over those is then
+expression is cast to DECIMAL at the target scale, making every row an
+exact fixed-point number; the aggregate over those is then
 order-independent, and the final cast to DOUBLE is one correctly-rounded
 conversion on both engines.
+
+CAVEAT (round-6 finding): Spark's double→decimal cast rounds the
+SHORTEST decimal representation of the double (BigDecimal.valueOf),
+while DuckDB rounds the EXACT binary value — the two can disagree when
+a scale-boundary lies between those two readings of the same double.
+That never happens under the discipline above (a double encoding an
+exact ≤scale-dp decimal has its boundary-free shortest repr equal to
+that decimal), but it means ``dec()`` must NOT be fed raw computed
+doubles (logs, ratios, products of irrationals) — quantize them first
+with :func:`roundk`, whose output k/10^k doubles are again
+shortest-repr-exact at the cast scale.
 
 Implementation note (the split accumulator): Spark's SUM over
 DECIMAL(p,s) carries a p+10-digit buffer; above 18 digits that leaves
@@ -144,3 +154,30 @@ def sql_davg(expr: str, scale: int, alias: str, precision: int = 18) -> str:
         f"CAST(CAST(CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS VARCHAR) AS DOUBLE)"
         f" / COUNT(*) AS DOUBLE) AS {alias}"
     )
+
+
+def roundk(col: Column, k: int) -> Column:
+    """Engine-deterministic k-dp quantization: ROUND(x·10^k)/10^k, NOT
+    ROUND(x, k). Rounding a raw double at k dp diverges across engines
+    for values within 1 ulp of a half boundary — Spark's ROUND is
+    HALF_UP on the EXACT binary expansion while DuckDB rounds in float
+    arithmetic — and the class is SYSTEMATIC, not rare, for
+    terminating ratios (cume_dist k/1280: 125 divergent values in one
+    sf1 member; a decimal(·,6) sum divided by a small count landed
+    text_unigram_logprob's h_bits exactly on the 7-digit half
+    boundary). Multiplying first makes both engines round the SAME
+    IEEE product double with the same half-away-from-zero tie rule —
+    deterministic for every input, boundary or not. Every registered
+    query's k-dp quantization of a COMPUTED double must use this form
+    (paired with :func:`sql_roundk` on the oracle side); raw
+    ``F.round(x, k)`` is reserved for doubles that already encode
+    exact ≤k-dp decimals, where no boundary can sit between the
+    engines' views of the value."""
+    scale = float(10**k)
+    return F.round(col * scale) / scale
+
+
+def sql_roundk(expr: str, k: int) -> str:
+    """DuckDB oracle fragment bit-identical to :func:`roundk`."""
+    scale = float(10**k)
+    return f"(ROUND(({expr}) * {scale!r}) / {scale!r})"

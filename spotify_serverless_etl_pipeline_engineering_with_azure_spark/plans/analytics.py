@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.exact import davg, dec, dsum, sql_davg, sql_dsum
+from ..functions.exact import davg, dec, dsum, sql_davg, sql_dsum, roundk
 from ..registry import register
 
 REVENUE = "l_extendedprice * (1 - l_discount)"  # true precision: 4 dp
@@ -790,9 +790,9 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        CAST(LEN(embedding) AS INTEGER) AS dim,
        CAST(embedding[1] AS DOUBLE) AS first_component,
-       ROUND(SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+       (ROUND(SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
              LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-             (a, b) -> a + b)), 6) AS l2_norm
+             (a, b) -> a + b)) * 1000000.0) / 1000000.0) AS l2_norm
 FROM embeddings
 WHERE vec_id % 5 = 0
 """,
@@ -810,7 +810,9 @@ def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").alias("dim"),
         F.get("embedding", 0).cast("double").alias("first_component"),
-        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        # roundk: same left-to-right fold as the oracle's LIST_REDUCE,
+        # multiply-form round on the shared double (functions/exact.roundk).
+        roundk(F.sqrt(sq_sum), 6).alias("l2_norm"),
     )
 
 

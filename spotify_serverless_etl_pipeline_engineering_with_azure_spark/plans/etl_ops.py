@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import persisted, table
-from ..functions.exact import dec, dsum
+from ..functions.exact import dec, dsum, roundk
 from ..registry import register
 
 
@@ -262,8 +262,8 @@ WITH monthly AS (
 SELECT month, n_orders, revenue,
        MAX(revenue) OVER wm AS prev_month_revenue,
        MAX(revenue) OVER wy AS prev_year_revenue,
-       ROUND(revenue / MAX(revenue) OVER wm - 1.0, 6) AS mom_growth,
-       ROUND(revenue / MAX(revenue) OVER wy - 1.0, 6) AS yoy_growth
+       (ROUND((revenue / MAX(revenue) OVER wm - 1.0) * 1000000.0) / 1000000.0) AS mom_growth,
+       (ROUND((revenue / MAX(revenue) OVER wy - 1.0) * 1000000.0) / 1000000.0) AS yoy_growth
 FROM (SELECT *, YEAR(month) * 12 + MONTH(month) AS month_num FROM monthly)
 WINDOW wm AS (ORDER BY month_num RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING),
        wy AS (ORDER BY month_num RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING)
@@ -302,8 +302,10 @@ def orders_seasonality_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         prev_m.alias("prev_month_revenue"),
         prev_y.alias("prev_year_revenue"),
-        F.round(F.col("revenue") / prev_m - 1.0, 6).alias("mom_growth"),
-        F.round(F.col("revenue") / prev_y - 1.0, 6).alias("yoy_growth"),
+        # roundk: growth ratios are raw computed doubles — the
+        # divergent cross-engine ROUND class (functions/exact.roundk).
+        roundk(F.col("revenue") / prev_m - 1.0, 6).alias("mom_growth"),
+        roundk(F.col("revenue") / prev_y - 1.0, 6).alias("yoy_growth"),
     )
 
 
@@ -328,7 +330,7 @@ ranked AS (
   WINDOW w AS (ORDER BY revenue DESC, l_partkey)
 )
 SELECT rnk, l_partkey, revenue,
-       ROUND(cum_revenue / total_revenue, 6) AS cum_share,
+       (ROUND((cum_revenue / total_revenue) * 1000000.0) / 1000000.0) AS cum_share,
        CAST(rnk AS DOUBLE) / n_parts <= 0.2 AS in_top20pct
 FROM ranked CROSS JOIN tot
 """,
@@ -379,6 +381,6 @@ def top_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
         "l_partkey",
         "revenue",
-        F.round(F.col("cum_revenue") / F.col("total_revenue"), 6).alias("cum_share"),
+        roundk(F.col("cum_revenue") / F.col("total_revenue"), 6).alias("cum_share"),
         (F.col("rnk").cast("double") / F.col("n_parts") <= 0.2).alias("in_top20pct"),
     )

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.exact import dec, dsum
+from ..functions.exact import dec, dsum, roundk
 from ..registry import register
 
 
@@ -114,8 +114,8 @@ def window_time_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles",
     oracle="""
 SELECT c_mktsegment,
-       ROUND(MEDIAN(c_acctbal), 4) AS median_bal,
-       ROUND(QUANTILE_CONT(c_acctbal, 0.9), 4) AS p90_bal,
+       (ROUND(MEDIAN(c_acctbal) * 10000.0) / 10000.0) AS median_bal,
+       (ROUND(QUANTILE_CONT(c_acctbal, 0.9) * 10000.0) / 10000.0) AS p90_bal,
        MIN(c_acctbal) AS min_bal,
        MAX(c_acctbal) AS max_bal
 FROM customer
@@ -142,8 +142,10 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = table(spark, sf_dir, "customer")
     return cust.groupBy("c_mktsegment").agg(
-        F.round(F.median("c_acctbal"), 4).alias("median_bal"),
-        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
+        # roundk: engine-deterministic quantization of the computed
+        # interpolants (functions/exact.roundk).
+        roundk(F.median("c_acctbal"), 4).alias("median_bal"),
+        roundk(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
         F.min("c_acctbal").alias("min_bal"),
         F.max("c_acctbal").alias("max_bal"),
     )
@@ -249,12 +251,12 @@ def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math_transcendental",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       ROUND(EXP(l_discount), 6) AS disc_exp,
-       ROUND(LN(l_extendedprice), 6) AS price_ln,
-       ROUND(LOG10(l_extendedprice), 6) AS price_log10,
-       ROUND(SIN(l_discount), 6) AS disc_sin,
-       ROUND(ATAN(l_tax), 6) AS tax_atan,
-       ROUND(POW(1.0 + l_discount, 3.0), 6) AS growth
+       (ROUND(EXP(l_discount) * 1000000.0) / 1000000.0) AS disc_exp,
+       (ROUND(LN(l_extendedprice) * 1000000.0) / 1000000.0) AS price_ln,
+       (ROUND(LOG10(l_extendedprice) * 1000000.0) / 1000000.0) AS price_log10,
+       (ROUND(SIN(l_discount) * 1000000.0) / 1000000.0) AS disc_sin,
+       (ROUND(ATAN(l_tax) * 1000000.0) / 1000000.0) AS tax_atan,
+       (ROUND(POW(1.0 + l_discount, 3.0) * 1000000.0) / 1000000.0) AS growth
 FROM lineitem
 WHERE l_orderkey % 251 = 0
 """,
@@ -268,12 +270,16 @@ def scalar_math_transcendental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
-        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
-        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
-        F.round(F.sin("l_discount"), 6).alias("disc_sin"),
-        F.round(F.atan("l_tax"), 6).alias("tax_atan"),
-        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 3.0), 6).alias("growth"),
+        # roundk everywhere below: transcendental outputs are raw
+        # computed doubles — the divergent cross-engine ROUND class
+        # (functions/exact.roundk); the multiply form also pins the
+        # tie rule against libm last-ulp differences.
+        roundk(F.exp("l_discount"), 6).alias("disc_exp"),
+        roundk(F.log("l_extendedprice"), 6).alias("price_ln"),
+        roundk(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        roundk(F.sin("l_discount"), 6).alias("disc_sin"),
+        roundk(F.atan("l_tax"), 6).alias("tax_atan"),
+        roundk(F.pow(F.lit(1.0) + F.col("l_discount"), 3.0), 6).alias("growth"),
     )
 
 
@@ -431,10 +437,10 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_statistical_moments",
     oracle="""
 SELECT c_mktsegment,
-       ROUND(STDDEV_SAMP(c_acctbal), 4) AS std_bal,
-       ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal,
-       ROUND(CORR(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS corr_bal_key,
-       ROUND(COVAR_SAMP(c_acctbal, CAST(c_nationkey AS DOUBLE)), 4) AS covar_bal_nation
+       (ROUND(STDDEV_SAMP(c_acctbal) * 10000.0) / 10000.0) AS std_bal,
+       (ROUND(VAR_SAMP(c_acctbal) * 10000.0) / 10000.0) AS var_bal,
+       (ROUND(CORR(c_acctbal, CAST(c_custkey AS DOUBLE)) * 1000000.0) / 1000000.0) AS corr_bal_key,
+       (ROUND(COVAR_SAMP(c_acctbal, CAST(c_nationkey AS DOUBLE)) * 10000.0) / 10000.0) AS covar_bal_nation
 FROM customer
 GROUP BY c_mktsegment
 """,
@@ -447,12 +453,20 @@ def agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash is stable across summation orders."""
     cust = table(spark, sf_dir, "customer")
     return cust.groupBy("c_mktsegment").agg(
-        F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
-        F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
-        F.round(
+        # roundk: moment aggregates are raw computed doubles; the
+        # multiply form removes the cross-engine ROUND divergence.
+        # RESIDUAL (documented, not removed): the PRE-round doubles
+        # come from each engine's own merge order of moment partials,
+        # so a pair straddling a k-dp boundary by >1 product-ulp can
+        # still differ — the exact-integer-moment rewrite
+        # (events_anomaly_zscore's discipline) is the full fix if the
+        # sweep ever hits it here.
+        roundk(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+        roundk(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+        roundk(
             F.corr("c_acctbal", F.col("c_custkey").cast("double")), 6
         ).alias("corr_bal_key"),
-        F.round(
+        roundk(
             F.covar_samp("c_acctbal", F.col("c_nationkey").cast("double")), 4
         ).alias("covar_bal_nation"),
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import persisted, table
+from ..functions.exact import roundk
 from ..registry import register
 
 # (relationship label, child table, child FK, parent table, parent key)
@@ -226,8 +227,8 @@ scored AS (
 )
 SELECT event_type, CAST(day AS TIMESTAMP) AS day, n_events,
        CASE WHEN n > 1 AND n * ss - s * s > 0 THEN
-         ROUND(CAST(nx_minus_s AS DOUBLE) * SQRT(CAST(n - 1 AS DOUBLE))
-               / SQRT(CAST(n AS DOUBLE) * CAST(n * ss - s * s AS DOUBLE)), 6)
+         (ROUND(CAST(nx_minus_s AS DOUBLE) * SQRT(CAST(n - 1 AS DOUBLE))
+               / SQRT(CAST(n AS DOUBLE) * CAST(n * ss - s * s AS DOUBLE)) * 1000000.0) / 1000000.0)
        END AS zscore,
        (n - 1) * nx_minus_s * nx_minus_s > 4 * n * (n * ss - s * s) AS is_anomaly
 FROM scored
@@ -281,7 +282,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # between engines — emit NULL on both instead.
     zscore = F.when(
         (F.col("n") > 1) & (var_num > 0),
-        F.round(
+        # roundk: raw computed double (sqrt ratio) — the divergent
+        # cross-engine ROUND class (functions/exact.roundk).
+        roundk(
             F.col("nx_minus_s").cast("double")
             * F.sqrt((F.col("n") - 1).cast("double"))
             / F.sqrt(F.col("n").cast("double") * var_num.cast("double")),
@@ -362,8 +365,8 @@ rolled AS (
                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
 SELECT CAST(day AS TIMESTAMP) AS day, n_total, n_errors,
-       ROUND(CAST(n_errors AS DOUBLE) / n_total, 6) AS error_rate,
-       ROUND(CAST(n_errors_7d AS DOUBLE) / n_total_7d, 6) AS error_rate_7d,
+       (ROUND((CAST(n_errors AS DOUBLE) / n_total) * 1000000.0) / 1000000.0) AS error_rate,
+       (ROUND((CAST(n_errors_7d AS DOUBLE) / n_total_7d) * 1000000.0) / 1000000.0) AS error_rate_7d,
        CAST(n_errors_7d AS DOUBLE) / n_total_7d > 0.25 AS budget_burned
 FROM rolled
 """,
@@ -404,7 +407,9 @@ def events_error_budget_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "n_total",
         "n_errors",
-        F.round(F.col("n_errors").cast("double") / F.col("n_total"), 6).alias("error_rate"),
-        F.round(rate7, 6).alias("error_rate_7d"),
+        # roundk: k/n ratios hit 7-digit half boundaries
+        # systematically (the cume_dist sf1 class).
+        roundk(F.col("n_errors").cast("double") / F.col("n_total"), 6).alias("error_rate"),
+        roundk(rate7, 6).alias("error_rate_7d"),
         (rate7 > 0.25).alias("budget_burned"),
     )

@@ -31,6 +31,7 @@ from ..functions.vectors import (
     sql_cosine6,
     sql_lsh_bucket,
 )
+from ..functions.exact import roundk
 from ..registry import register
 
 # Oracle-side cosine fragments bit-identical to round6(cosine(...)) —
@@ -285,7 +286,7 @@ exp AS (
   )
 ),
 c0 AS (
-  SELECT CAST(vec_id AS INTEGER) AS cid, pos, ROUND(val, 6) AS cval FROM exp
+  SELECT CAST(vec_id AS INTEGER) AS cid, pos, (ROUND(val * 1000000.0) / 1000000.0) AS cval FROM exp
   WHERE vec_id < {KMEANS_K}
 )"""
     ]
@@ -294,7 +295,7 @@ c0 AS (
         parts.append(f"""
 d{k} AS (
   SELECT e.vec_id, c.cid,
-         ROUND(SUM((e.val - c.cval) * (e.val - c.cval)), 6) AS dist_sq
+         (ROUND(SUM((e.val - c.cval) * (e.val - c.cval)) * 1000000.0) / 1000000.0) AS dist_sq
   FROM exp e JOIN {prev} c ON c.pos = e.pos
   GROUP BY e.vec_id, c.cid
 ),
@@ -309,8 +310,8 @@ c{k} AS (
   SELECT p.cid, p.pos, COALESCE(u.cval, p.cval) AS cval
   FROM {prev} p LEFT JOIN (
     SELECT a.cid, e.pos,
-           ROUND(CAST(CAST(SUM(CAST(ROUND(e.val, 9) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
-                 / COUNT(*), 6) AS cval
+           (ROUND(CAST(CAST(SUM(CAST((ROUND(e.val * 1000000000.0) / 1000000000.0) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) * 1000000.0) / 1000000.0) AS cval
     FROM a{k} a JOIN exp e ON e.vec_id = a.vec_id
     GROUP BY a.cid, e.pos
   ) u ON u.cid = p.cid AND u.pos = p.pos
@@ -333,9 +334,11 @@ def _kmeans_assign_expr(centroids: dict[int, list[float]]) -> str:
     def sq_dist(vals: list[float]) -> str:
         lits = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals)
         return (
-            f"round(aggregate(zip_with(embedding, array({lits}), "
+            # multiply-form round (functions/exact.roundk) mirroring
+            # the oracle's dist_sq quantization bit-for-bit.
+            f"(round(aggregate(zip_with(embedding, array({lits}), "
             "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-            "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z), 6)"
+            "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) * 1000000.0D) / 1000000.0D)"
         )
 
     structs = ", ".join(
@@ -377,7 +380,7 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").cast("int").alias("cid"),
             F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
         )
-        .select("cid", "pos", F.round("val", 6).alias("cval"))
+        .select("cid", "pos", roundk(F.col("val"), 6).alias("cval"))
         .collect()
     )
     centroids: dict[int, list[float]] = {}
@@ -396,13 +399,13 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("cid", "pos")
             .agg(
-                F.sum(F.round("val", 9).cast("decimal(28,12)")).alias("s"),
+                F.sum(roundk(F.col("val"), 9).cast("decimal(28,12)")).alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
             .select(
                 "cid",
                 "pos",
-                F.round(F.col("s").cast("double") / F.col("n"), 6).alias("cval"),
+                roundk(F.col("s").cast("double") / F.col("n"), 6).alias("cval"),
             )
             .collect()
         )
@@ -433,7 +436,8 @@ WITH expanded AS (
   )
 )
 SELECT label, pos,
-       ROUND(SUM(val) / COUNT(*), 6) AS centroid_val,
+       (ROUND(CAST(CAST(SUM(CAST((ROUND(val * 1000000000.0) / 1000000000.0) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+              / COUNT(*) * 1000000.0) / 1000000.0) AS centroid_val,
        COUNT(*) AS n_vectors
 FROM expanded
 WHERE pos < 8
@@ -448,14 +452,26 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     array into (label, dim, value) rows so the mean is a plain hash
     aggregate with map-side partials: one shuffle keyed on
     (label, dim), never a driver-side matrix. Output restricted to the
-    first 8 dims to keep the checked surface compact; sums of ~100
-    like-magnitude doubles differ across engines at ~1e-15 relative,
-    far inside the 6-dp rounding."""
+    first 8 dims to keep the checked surface compact. The mean uses the
+    kmeans-update exact discipline (9dp quantize → decimal sum →
+    multiply-form round) so it is summation-order-independent and
+    bit-identical across engines, not merely probably-inside-the-round."""
     emb = table(spark, sf_dir, "embeddings")
     expanded = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
     ).filter(F.col("pos") < 8)
     return expanded.groupBy("label", "pos").agg(
-        F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("centroid_val"),
+        # 9dp-quantize (roundk) then decimal-sum, the kmeans-update
+        # discipline: a raw double SUM is summation-order-dependent
+        # across partitions, so the pre-round mean could straddle a
+        # 6dp boundary differently per engine; the quantized decimal
+        # sum is order-independent and bit-identical, and the final
+        # mean is one shared IEEE division + multiply-form round.
+        roundk(
+            F.sum(roundk(F.col("val"), 9).cast("decimal(28,12)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid_val"),
         F.count(F.lit(1)).alias("n_vectors"),
     )

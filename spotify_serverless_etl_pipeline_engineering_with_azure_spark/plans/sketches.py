@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import persisted, scatter, table
+from ..functions.exact import roundk
 from ..functions.hashing import md5_int48, sql_md5_int48
 from ..registry import register
 
@@ -77,9 +78,9 @@ truth AS (
   FROM orders GROUP BY grp
 )
 SELECT est.grp AS o_orderpriority,
-       ROUND(CASE WHEN e_raw <= {HLL_SMALL_RANGE!r} AND empty_registers > 0
+       (ROUND((CASE WHEN e_raw <= {HLL_SMALL_RANGE!r} AND empty_registers > 0
                   THEN {float(HLL_M)!r} * LN({float(HLL_M)!r} / empty_registers)
-                  ELSE e_raw END, 6) AS hll_estimate,
+                  ELSE e_raw END) * 1000000.0) / 1000000.0) AS hll_estimate,
        empty_registers,
        exact_distinct
 FROM est JOIN truth ON est.grp = truth.grp
@@ -125,7 +126,9 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (HLL_M - F.count(F.lit(1))).alias("empty_registers"),
     )
     e_raw = F.lit(HLL_NUMER) / F.col("s_scaled").cast("double")
-    estimate = F.round(
+    # roundk: the estimate is a raw computed double (division / LN) —
+    # the divergent cross-engine ROUND class (functions/exact.roundk).
+    estimate = roundk(
         F.when(
             (e_raw <= F.lit(HLL_SMALL_RANGE)) & (F.col("empty_registers") > 0),
             F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("empty_registers")),
@@ -296,9 +299,9 @@ est AS (
   FROM folded
 )
 SELECT (SELECT CAST(COUNT(DISTINCT grp) AS BIGINT) FROM regs) AS n_sketches,
-       ROUND(CASE WHEN e_raw <= {HLL_SMALL_RANGE!r} AND empty_registers > 0
+       (ROUND((CASE WHEN e_raw <= {HLL_SMALL_RANGE!r} AND empty_registers > 0
                   THEN {float(HLL_M)!r} * LN({float(HLL_M)!r} / empty_registers)
-                  ELSE e_raw END, 6) AS hll_estimate,
+                  ELSE e_raw END) * 1000000.0) / 1000000.0) AS hll_estimate,
        empty_registers,
        (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct
 FROM est
@@ -357,7 +360,9 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (HLL_M - F.count(F.lit(1))).alias("empty_registers"),
     )
     e_raw = F.lit(HLL_NUMER) / F.col("s_scaled").cast("double")
-    estimate = F.round(
+    # roundk: the estimate is a raw computed double (division / LN) —
+    # the divergent cross-engine ROUND class (functions/exact.roundk).
+    estimate = roundk(
         F.when(
             (e_raw <= F.lit(HLL_SMALL_RANGE)) & (F.col("empty_registers") > 0),
             F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("empty_registers")),

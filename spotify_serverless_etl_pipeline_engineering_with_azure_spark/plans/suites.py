@@ -24,16 +24,21 @@ Canonicalization must be byte-identical across engines per column:
 
 - class 'v' (verbatim): strings, ints, dates, booleans, decimals cast
   straight to their canonical string form (identical in both engines).
-- class 'd' (double): ROUND(x·10⁶) → DECIMAL(38,0) → string (6dp of
-  discrimination). The member queries already produce bit-identical
-  doubles (decimal-cast sum discipline, functions/exact.py); both
-  engines then scale by the same IEEE multiply and round the SAME
-  product double half-away-from-zero — deterministic for every input.
+- class 'd' (double): ROUND(x·10⁶) → exact hi/lo 2³²-split → "hi_lo"
+  string (6dp of discrimination). The member queries already produce
+  bit-identical doubles (decimal-cast sum discipline,
+  functions/exact.py); both engines then scale by the same IEEE
+  multiply and round the SAME product double half-away-from-zero —
+  deterministic for every input.
   (The previous ROUND(x, 6) form was NOT: a double 1 ulp below a 6dp
   half boundary rounds down under Spark's exact-binary HALF_UP and up
   under DuckDB's float-arithmetic ROUND; cume_dist = k/1280 at sf1
   terminates at 7 decimal digits ending in 5 and hit the window
-  systematically.)
+  systematically. The intermediate DECIMAL(38,0) serialization was
+  not either: past 2^53 Spark's double→decimal cast rounds the
+  SHORTEST decimal repr while DuckDB casts the exact binary value —
+  the hi/lo split in _canon_spark/_canon_sql uses only IEEE-exact
+  ops, so no decimal cast of a big double exists anywhere.)
 - class 't' (timestamp): epoch MICROSECONDS (unix_micros / EPOCH_US) —
   session-timezone-independent on the Spark side.
 
@@ -391,11 +396,29 @@ def _canon_spark(name: str, cls: str) -> Column:
         # digits ending in 5 — 125 divergent values in one member).
         # Multiplying FIRST makes both engines round the SAME IEEE
         # product double with the same half-away-from-zero tie rule —
-        # deterministic for every input, boundary or not. The
-        # decimal(38,0) cast of an integer-valued double is exact in
-        # both engines; above 2^53·10⁻⁶ the product truncates low
-        # digits IDENTICALLY on both sides (shared product double).
-        base = F.round(col * 1000000.0).cast("decimal(38,0)").cast("string")
+        # deterministic for every input, boundary or not.
+        #
+        # The integer product is then serialized via an EXACT hi/lo
+        # power-of-two split, NOT a decimal(38,0) cast: Spark's
+        # double→decimal cast goes through BigDecimal.valueOf — the
+        # SHORTEST decimal representation — while DuckDB casts the
+        # exact binary value, and past 2^53 the two differ (found by
+        # the round-6 sf1 sweep: table_diff_snapshot's sum_old
+        # 334364019400.21 ×10⁶ canonicalized to …210050 in Spark vs
+        # …210048 in DuckDB). The split uses only IEEE-exact ops on
+        # the shared product double: ÷2^32 is an exponent shift,
+        # floor of a double is exact, hi·2^32 is exact for |hi|<2^53,
+        # and the final subtraction's result (<2^32) is representable
+        # — so both engines emit identical (hi, lo) longs for any
+        # |x·10⁶| < 2^63·2^32 (|x| < 4·10^22), with ANSI making the
+        # long overflow loud beyond that.
+        prod = F.round(col * 1000000.0)
+        hi = F.floor(prod / 4294967296.0)
+        lo = (prod - hi.cast("double") * 4294967296.0).cast("long")
+        # concat, not concat_ws: concat_ws SKIPS nulls (a null double
+        # would canonicalize to "" instead of propagating to the
+        # _NULL sentinel); concat propagates, matching SQL's ||.
+        base = F.concat(hi.cast("string"), F.lit("_"), lo.cast("string"))
     elif cls == "t":
         base = F.unix_micros(col).cast("string")
     else:
@@ -405,7 +428,16 @@ def _canon_spark(name: str, cls: str) -> Column:
 
 def _canon_sql(name: str, cls: str) -> str:
     if cls == "d":
-        base = f"CAST(ROUND({name} * 1000000.0) AS DECIMAL(38,0))::VARCHAR"
+        # Mirror of _canon_spark's 'd' class: same product double,
+        # same exact hi/lo split (DuckDB FLOOR returns DOUBLE, so the
+        # multiply-back matches Spark's long→double promotion, which
+        # is exact at these magnitudes).
+        prod = f"ROUND({name} * 1000000.0)"
+        hi = f"FLOOR(({prod}) / 4294967296.0)"
+        base = (
+            f"(CAST({hi} AS BIGINT)::VARCHAR || '_' || "
+            f"CAST(({prod}) - ({hi}) * 4294967296.0 AS BIGINT)::VARCHAR)"
+        )
     elif cls == "t":
         # CAST handles oracle columns that are DATE where Spark has a
         # midnight TIMESTAMP (both land on the same epoch-us value).

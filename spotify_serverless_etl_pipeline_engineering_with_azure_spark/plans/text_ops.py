@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import persisted, scatter, table
+from ..functions.exact import dec, roundk, sql_roundk
 from ..functions.hashing import md5_int48, sql_md5_int48
 from ..registry import register
 
@@ -323,8 +324,8 @@ pairs AS (
   HAVING COUNT(*) >= {MIN_PAIR_COUNT}
 )
 SELECT p.w1, p.w2, p.n_pair,
-       ROUND(LN((CAST(p.n_pair AS DOUBLE) / t.n_bi) /
-                ((CAST(u1.c AS DOUBLE) / t.n_uni) * (CAST(u2.c AS DOUBLE) / t.n_uni))), 6)
+       {sql_roundk('''LN((CAST(p.n_pair AS DOUBLE) / t.n_bi) /
+                ((CAST(u1.c AS DOUBLE) / t.n_uni) * (CAST(u2.c AS DOUBLE) / t.n_uni)))''', 6)}
          AS pmi
 FROM pairs p
 JOIN uni u1 ON u1.w = p.w1
@@ -381,7 +382,10 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here would re-run the corpus-wide explode a second time for a
     # single scalar.
     n_bi = docs.select(F.sum(F.size(toks) - 1).alias("n_bi"))
-    pmi = F.round(
+    # roundk, not ROUND(·, 6): the LN of a ratio is a raw computed
+    # double — the divergent cross-engine rounding class (see
+    # functions/exact.roundk).
+    pmi = roundk(
         F.log(
             (F.col("n_pair").cast("double") / F.col("n_bi"))
             / (
@@ -415,9 +419,9 @@ tot AS (SELECT SUM(cnt) AS n_total FROM uni),
 top AS (SELECT token, cnt FROM uni ORDER BY cnt DESC, token LIMIT {n})
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
        token, cnt,
-       ROUND(CAST(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
-                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
-             / n_total, 6) AS cum_share
+       (ROUND((CAST(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+               / n_total) * 1000000.0) / 1000000.0) AS cum_share
 FROM top CROSS JOIN tot
 """.format(n=VOCAB_CURVE_N),
     tags=("text", "vocab"),
@@ -466,7 +470,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rank"),
             "token",
             "cnt",
-            F.round(F.sum("cnt").over(cum).cast("double") / F.col("n_total"), 6).alias(
+            # roundk: k/n ratios terminate near half boundaries
+            # SYSTEMATICALLY (the cume_dist sf1 class).
+            roundk(F.sum("cnt").over(cum).cast("double") / F.col("n_total"), 6).alias(
                 "cum_share"
             ),
         )
@@ -487,7 +493,7 @@ df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, df.df,
-         ROUND(tf.tf * (LN(CAST(n_docs + 1 AS DOUBLE) / (df.df + 1)) + 1), 6) AS score
+         {sql_roundk('tf.tf * (LN(CAST(n_docs + 1 AS DOUBLE) / (df.df + 1)) + 1)', 6)} AS score
   FROM tf JOIN df USING (term) CROSS JOIN n
 ),
 ranked AS (
@@ -529,7 +535,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    score = F.round(
+    score = roundk(
         F.col("tf")
         * (F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1),
         6,
@@ -557,11 +563,11 @@ vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
 tot AS (SELECT SUM(cnt) AS n_total FROM vocab),
 scored AS (
   SELECT t.doc_id,
-         ROUND(LOG2(CAST(v.cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS lp
+         (ROUND(LOG2(CAST(v.cnt AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000.0) / 1000000.0) AS lp
   FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
 )
 SELECT doc_id, COUNT(*) AS n_tokens,
-       ROUND(-(CAST(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)), 6)
+       (ROUND(-(CAST(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)) * 1000000.0) / 1000000.0)
          AS h_bits
 FROM scored GROUP BY doc_id
 """,
@@ -603,7 +609,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")),
     )
     total = vocab.agg(F.sum("cnt").alias("n_total"))
-    lp = F.round(
+    # roundk on the raw log2 (the divergent cross-engine ROUND class;
+    # the quantized k/10⁶ double then survives dec() exactly — see
+    # functions/exact.py's shortest-repr caveat).
+    lp = roundk(
         F.log2(F.col("cnt").cast("double") / F.col("n_total").cast("double")), 6
     )
     scored = (
@@ -612,11 +621,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select("doc_id", lp.alias("lp"))
     )
-    from ..functions.exact import dec
-
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(
+        # roundk, not ROUND(·, 6): a decimal(·,6) sum divided by a
+        # small integer count terminates ON 7-digit half boundaries
+        # systematically — the sf1 sweep caught exactly this here
+        # (doc with Σlp = −325.579749, n = 66 → quotient −4.93302650:
+        # Spark HALF_UP said …026, DuckDB float-round said …027).
+        roundk(
             -(F.sum(dec(F.col("lp"), 6)).cast("double") / F.count(F.lit(1))), 6
         ).alias("h_bits"),
     )

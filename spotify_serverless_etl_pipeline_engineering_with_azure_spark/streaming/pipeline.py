@@ -296,7 +296,24 @@ def run_to_parquet(
         if batch_transform is not None:
             empty = batch_transform(empty)
         return empty.limit(0).withColumn("batch_id", F.lit(None).cast("int")), q
-    back = spark.read.option("basePath", f"{run}/data").parquet(
-        f"{run}/data/batch_id=*"
-    )
+    if output_mode == "complete":
+        # COMPLETE mode re-emits the ENTIRE result table every
+        # trigger, so the union-of-all-batches read-back is correct
+        # only while exactly one batch ever fires — a trailing
+        # no-data micro-batch (watermark finalization under
+        # availableNow) or a multi-file split would silently double
+        # every row while the data-batch assert stayed green. The
+        # last batch IS the result by definition; read back only the
+        # max batch_id.
+        last = max(
+            glob.glob(f"{run}/data/batch_id=*"),
+            key=lambda d: int(d.rsplit("=", 1)[1]),
+        )
+        back = spark.read.option("basePath", f"{run}/data").parquet(last)
+    else:
+        # append/update emit disjoint per-trigger deltas; the union of
+        # all batch dirs is the stream's full output.
+        back = spark.read.option("basePath", f"{run}/data").parquet(
+            f"{run}/data/batch_id=*"
+        )
     return back, q

@@ -126,3 +126,46 @@ def test_run_to_parquet_empty_bounded_stream_returns_empty_frame(spark, tmp_path
     )
     assert back2.count() == 0
     assert dict(back2.dtypes) == {"user_id": "bigint", "n": "bigint", "batch_id": "int"}
+
+
+def test_run_to_parquet_complete_mode_multi_batch_reads_last_only(spark, tmp_path):
+    """COMPLETE mode re-emits the ENTIRE result table every trigger:
+    with the drain split across 2+ micro-batches (forced here via
+    maxFilesPerTrigger=1 over two source files), a union-of-all-batches
+    read-back double-counts every group that survived into the final
+    table. The contract is: the LAST batch IS the result. This test
+    fails under the old glob-everything read-back (counts doubled) and
+    pins the max-batch_id selection."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.streaming.pipeline import (
+        run_to_parquet,
+    )
+
+    src = tmp_path / "complete_src"
+    src.mkdir()
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], "user_id long, value double") \
+        .coalesce(1).write.parquet(str(src / "f1.parquet"))
+    spark.createDataFrame([(1, 30.0), (3, 40.0)], "user_id long, value double") \
+        .coalesce(1).write.parquet(str(src / "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    prefix = f"completeprobe_{_uuid.uuid4().hex[:6]}"
+    back, q = run_to_parquet(agg, prefix, str(src), output_mode="complete")
+
+    # the scenario really forced 2+ data batches (else this test is
+    # vacuous and the old read-back would pass it)
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 2, [
+        (p["batchId"], p["numInputRows"]) for p in q.recentProgress
+    ]
+    rows = {(r.user_id, r.n) for r in back.select("user_id", "n").collect()}
+    assert rows == {(1, 2), (2, 1), (3, 1)}
+    assert back.count() == 3  # glob-everything would see 3 + partial-batch rows

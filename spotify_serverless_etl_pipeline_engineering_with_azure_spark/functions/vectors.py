@@ -14,6 +14,8 @@ import random
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .exact import roundk
+
 EMB_DIM = 64
 
 # Random ±1 hyperplanes for sign-LSH bucketing, fixed seed, shared
@@ -63,8 +65,10 @@ def round6(col: Column) -> Column:
     arithmetic) — and similarity/jaccard value pools GROW with the
     corpus, so at 10¹¹-pair volume boundary hits are expected, not
     rare. Multiplying first makes both engines round the SAME IEEE
-    product double with the same half-away-from-zero tie rule."""
-    return F.round(col * 1000000.0) / 1000000.0
+    product double with the same half-away-from-zero tie rule.
+    Delegates to :func:`.exact.roundk` — ONE implementation of the
+    quantization discipline."""
+    return roundk(col, 6)
 
 
 def sql_dot(a: str, b: str) -> str:

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import persisted, table
 from ..functions.exact import davg, dec, dsum, sql_davg, sql_dsum, roundk
 from ..registry import register
 
@@ -359,10 +359,15 @@ GROUP BY p_brand
     tags=("join", "agg", "broadcast"),
 )
 def join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-table enrichment with explicitly broadcast dimensions.
+    """Fact-table enrichment against two UN-HINTED dimensions.
 
-    The fact table never shuffles for the joins — both dims ship to the
-    executors; the only exchange is the 25-group aggregation.
+    part and supplier grow linearly with SF, so no broadcast is forced
+    (a forced hint would OOM executors once a dim outgrows memory): at
+    test SF AQE broadcasts both and the fact never shuffles; at the
+    100 TB posture the planner degrades honestly to shuffle joins on
+    l_partkey/l_suppkey — the bounded-dim always-broadcast policy
+    (catalog.ALWAYS_BROADCAST) deliberately covers region/nation only.
+    The deterministic exchange is the 25-group aggregation.
     """
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
@@ -612,16 +617,31 @@ SELECT 'except' AS op, n_nationkey FROM (
     tags=("setop",),
 )
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION / INTERSECT / EXCEPT (distinct semantics), tagged."""
-    cust = (
-        table(spark, sf_dir, "customer")
+    """UNION / INTERSECT / EXCEPT (distinct semantics), tagged.
+
+    The two filtered single-column projections are persisted(): each
+    feeds THREE branches of the one returned plan, and Spark shares no
+    subplans — uncached, six customer/supplier scans run instead of
+    two (customer is SF-scaled; the projections are a few bytes/row
+    cluster-wide, the doubled-subtree discipline's cheapest case).
+    Dataset-freshness-keyed with unpersist-on-supersession."""
+    cust = persisted(
+        spark,
+        sf_dir,
+        ("customer.parquet",),
+        "setops_cust",
+        lambda: table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 9000.0)
-        .select(F.col("c_nationkey").alias("n_nationkey"))
+        .select(F.col("c_nationkey").alias("n_nationkey")),
     )
-    supp = (
-        table(spark, sf_dir, "supplier")
+    supp = persisted(
+        spark,
+        sf_dir,
+        ("supplier.parquet",),
+        "setops_supp",
+        lambda: table(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") > 9000.0)
-        .select(F.col("s_nationkey").alias("n_nationkey"))
+        .select(F.col("s_nationkey").alias("n_nationkey")),
     )
     tagged = lambda op, df: df.select(F.lit(op).alias("op"), "n_nationkey")  # noqa: E731
     return (

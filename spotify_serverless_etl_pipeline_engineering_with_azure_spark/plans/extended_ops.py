@@ -272,8 +272,13 @@ def scalar_math_transcendental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         # roundk everywhere below: transcendental outputs are raw
         # computed doubles — the divergent cross-engine ROUND class
-        # (functions/exact.roundk); the multiply form also pins the
-        # tie rule against libm last-ulp differences.
+        # (functions/exact.roundk). RESIDUAL (documented, not
+        # removed): roundk is deterministic only when both engines
+        # hold the SAME double; if the JVM's and libm's EXP/LN/SIN/
+        # ATAN ever differ by an ulp for some input, the engines
+        # round DIFFERENT products and can still land on opposite
+        # sides of a boundary — no such input has surfaced through
+        # sf1.
         roundk(F.exp("l_discount"), 6).alias("disc_exp"),
         roundk(F.log("l_extendedprice"), 6).alias("price_ln"),
         roundk(F.log10("l_extendedprice"), 6).alias("price_log10"),

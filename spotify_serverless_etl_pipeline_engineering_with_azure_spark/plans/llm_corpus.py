@@ -528,10 +528,15 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination pass every serious pretraining pipeline runs so
     eval answers don't leak into training data.
 
-    The benchmark gram set is small (eval suites are) and BROADCAST;
-    the training side streams through a row-local shingle explode and
-    one map-side-combining hash join probe per gram — the 100 TB corpus
-    is never shuffled, only its hit counts are (per-doc aggregation).
+    A REAL eval suite's gram set is bounded (eval suites are small)
+    and AQE broadcasts it, making the probe a map-side hash join — the
+    100 TB corpus never shuffled, only its hit counts (per-doc
+    aggregation). The bench STAND-IN here (doc_id % 23) is a fixed
+    1/23 FRACTION of the corpus, so at posture it outgrows the 8 GB
+    broadcast bound and AQE degrades honestly to a shuffle join on the
+    gram key — that cost belongs to the stand-in, not the operator;
+    the join is deliberately un-hinted for exactly this reason (see
+    the inline comment at the join).
     The per-doc gram total rides the exploded stream as a constant
     column and is recovered by first() in the SAME aggregation as the
     hit count — a separate sizes aggregation would re-run the gram
@@ -636,8 +641,12 @@ def corpus_end_to_end_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop-reason precedence quality > duplicate > contaminated mirrored
     exactly in the composed-CTE oracle. Scale posture: each member is
     individually scale-audited; the composition adds only doc_id-keyed
-    joins (the near-dup and contamination sides are tiny verdict
-    tables — broadcast) and a final low-cardinality source aggregation.
+    joins and a final low-cardinality source aggregation. The near-dup
+    and contamination verdict sides are NOT tiny — each is a fixed
+    fraction of the corpus (one row per near-dup doc / per
+    contaminated train doc) — so their joins are un-hinted: AQE
+    broadcasts at test SF and shuffle-joins on doc_id at posture (the
+    inline comment at the join is the contract).
     """
     from .dedup import dedup_connected_components
 
@@ -782,11 +791,17 @@ def corpus_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus); this keeps a COUNT (output fixed at K·|strata|
     regardless of input size — what an eval-set or human-review draw
     needs). Plan: one shuffle on lang for the per-stratum top-K. A
-    pathologically hot stratum is the skew case: at cluster scale the
-    rank-filter becomes a per-partition top-K (take K smallest within
-    each map partition, then re-rank the K·P survivors) — the same
-    two-phase shape as agg_salted_skew; the window form here IS that
-    plan once AQE splits the hot partition.
+    pathologically hot stratum (lang has ~5 values over 10¹¹ docs) is
+    the skew case, and the LOAD-BEARING safeguard is Spark's
+    InferWindowGroupLimit rewrite (3.5+): the rn <= K filter sitting
+    DIRECTLY above the window turns the plan into a per-partition
+    partial top-K before the shuffle (WindowGroupLimit(Partial) —
+    pinned in test_plan_quality), so no stratum's full row set ever
+    funnels through one window-sort task and row_number stays far from
+    its int32 ceiling. AQE does NOT split window partitions — anything
+    interposed between the filter and the window (a projection, a
+    persist, a computed rn without the literal filter) silently
+    re-opens the single-task funnel; keep the filter adjacent.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
     pri = md5_int48(F.concat(F.lit("rsv|"), F.col("doc_id").cast("string")))

@@ -669,6 +669,10 @@ def test_session_uuid_fallback_never_aliases_sequential_sessions():
     class FakeSession:  # no _jsparkSession attr → AttributeError path
         pass
 
+    # On sessionUUID-less builds, LIVE fixture sessions elsewhere in
+    # the process legitimately occupy the memo — assert against a
+    # snapshot, not global emptiness.
+    baseline = len(catalog._FALLBACK_SESSION_IDS)
     a = FakeSession()
     ida_1, ida_2 = catalog._session_uuid(a), catalog._session_uuid(a)
     assert ida_1 == ida_2, "fallback identity must be stable per session"
@@ -685,4 +689,4 @@ def test_session_uuid_fallback_never_aliases_sequential_sessions():
         del s
     gc.collect()
     # weak keys: dead sessions must not linger in the memo table
-    assert len(catalog._FALLBACK_SESSION_IDS) == 0
+    assert len(catalog._FALLBACK_SESSION_IDS) == baseline

@@ -345,3 +345,72 @@ def test_prefix_filter_hot_cluster_streams_all_pairs(spark, boilerplate_dir):
     assert "collect_list" not in plan, (
         "prefix-filter candidates regressed to an array bucket expansion"
     )
+
+
+# ---------------------------------------------------------------------------
+# (g) quantization discipline: every ROUND is the multiply form
+# ---------------------------------------------------------------------------
+def test_all_rounds_use_engine_deterministic_multiply_form():
+    """ROUND(x, k) on a raw computed double is NOT cross-engine
+    deterministic (Spark: HALF_UP on the exact binary expansion;
+    DuckDB: float arithmetic) — round 6 converted every site to
+    ROUND(x·10^k)/10^k via roundk/sql_roundk, and the multiply form is
+    hand-inlined in plain-string oracles. This guard keeps any future
+    ROUND on either side honest: (a) no plan module may call F.round
+    directly (roundk/round6 only); (b) every ROUND( in every
+    registered oracle must have its inner expression end with a
+    power-of-ten multiplier."""
+    import os
+    import re
+
+    import spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans as plans_pkg
+
+    plans_dir = os.path.dirname(plans_pkg.__file__)
+    offenders = []
+    for fn in sorted(os.listdir(plans_dir)):
+        if not fn.endswith(".py"):
+            continue
+        src = open(os.path.join(plans_dir, fn)).read()
+        for m in re.finditer(r"F\.round\(", src):
+            # the multiply form inline (F.round(x * 10^k)) is the same
+            # discipline as roundk; only a SCALE-ARGUMENT round
+            # (F.round(x, k), raw-double rounding) is the divergent
+            # class.
+            depth, i = 1, m.end()
+            while depth and i < len(src):
+                if src[i] == "(":
+                    depth += 1
+                elif src[i] == ")":
+                    depth -= 1
+                i += 1
+            inner = src[m.end() : i - 1].rstrip()
+            if re.search(r"\*\s*10+(\.0)?\s*$", inner):
+                continue
+            line = src.count("\n", 0, m.start()) + 1
+            offenders.append(f"{fn}:{line} raw F.round — use functions.exact.roundk")
+    assert not offenders, offenders
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.registry import (
+        load_all,
+        oracle_sql,
+    )
+
+    load_all()
+    bad = []
+    for name, sql in oracle_sql().items():
+        for m in re.finditer(r"ROUND\(", sql):
+            # find the matching close paren of this ROUND(
+            depth, i = 1, m.end()
+            while depth and i < len(sql):
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                i += 1
+            inner = sql[m.end() : i - 1].rstrip()
+            if not re.search(r"\*\s*10+(\.0)?$", inner):
+                bad.append(f"{name}: ROUND({inner[:80]}…")
+    assert not bad, (
+        "oracle ROUND without the multiply form (cross-engine divergent):\n"
+        + "\n".join(bad)
+    )

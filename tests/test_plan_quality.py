@@ -283,6 +283,9 @@ WINDOW_GROUP_LIMIT_QUERIES = (
     "sim_ann_ivf",
     "window_rank_topn",
     "text_tfidf_top_terms",
+    # ~5 lang strata over the whole corpus: without the partial group
+    # limit each stratum funnels through ONE window-sort task
+    "corpus_sample_reservoir",
 )
 
 

@@ -83,8 +83,9 @@ def main() -> None:
     # spread (max − min across passes) tells the reader which
     # regressions are attributable and which are weather. A regression
     # claim is only real if it exceeds the query's spread.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
     passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(5):
+    for _ in range(n_passes):
         for name in HEADLINE:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
@@ -103,6 +104,7 @@ def main() -> None:
     # comparison (round-5 ADVICE).
     mins = {name: round(min(v[:3]), 3) for name, v in passes.items()}
     total = round(sum(timings.values()), 3)
+    stat = f"median_of_{n_passes}_interleaved_min_of_first_3"
     print(
         json.dumps(
             {
@@ -113,7 +115,7 @@ def main() -> None:
                 "spread": spread,
                 "queries_min": mins,
                 "value_min": round(sum(mins.values()), 3),
-                "stat": "median_of_5_interleaved_min_of_first_3",
+                "stat": stat,
                 "sf": sf,
             }
         )

@@ -19,8 +19,10 @@ the REGISTERED query + oracle run unchanged on the sub-corpus dir —
 no special-cased SQL, so a pass here certifies the same code path the
 driver grades.
 
-Usage: python scripts/sweep_prefix_jaccard_sf1.py
-Appends its verdict to /tmp/sf1_sweep/prefix_jaccard.jsonl.
+Usage: python scripts/sweep_prefix_jaccard_sf1.py [query_name ...]
+(default: dedup_prefix_filter_jaccard; advanced_misc_suite — the
+digest suite that EMBEDS this member's oracle — is verified the same
+way). Appends verdicts to /tmp/sf1_sweep/prefix_jaccard.jsonl.
 """
 
 from __future__ import annotations
@@ -83,30 +85,33 @@ def main() -> int:
     os.makedirs("/tmp/sf1_duck_spill_pfj", exist_ok=True)
     con.execute("SET temp_directory='/tmp/sf1_duck_spill_pfj'")
 
-    name = "dedup_prefix_filter_jaccard"
+    names = sys.argv[1:] or ["dedup_prefix_filter_jaccard"]
     qs, osql = e.queries(), e.oracle_sql()
-    t0 = time.time()
-    pdf = qs[name](spark, SUB).toPandas()
-    t_spark = time.time() - t0
-    t1 = time.time()
-    odf = con.execute(osql[name]).fetchdf()
-    t_oracle = time.time() - t1
-    problems = compare(pdf, odf)
-    rec = {
-        "name": name,
-        "mode": f"bounded-oracle sub-corpus: 10-wide clusters x {N_BASE} bases",
-        "status": "fail" if problems else "pass",
-        "rows": len(pdf),
-        "spark_s": round(t_spark, 2),
-        "oracle_s": round(t_oracle, 2),
-    }
-    if problems:
-        rec["problems"] = [p[:500] for p in problems]
     os.makedirs("/tmp/sf1_sweep", exist_ok=True)
-    with open("/tmp/sf1_sweep/prefix_jaccard.jsonl", "a") as f:
-        f.write(json.dumps(rec) + "\n")
-    print(json.dumps(rec, indent=2))
-    return 1 if problems else 0
+    n_fail = 0
+    for name in names:
+        t0 = time.time()
+        pdf = qs[name](spark, SUB).toPandas()
+        t_spark = time.time() - t0
+        t1 = time.time()
+        odf = con.execute(osql[name]).fetchdf()
+        t_oracle = time.time() - t1
+        problems = compare(pdf, odf)
+        rec = {
+            "name": name,
+            "mode": f"bounded-oracle sub-corpus: 10-wide clusters x {N_BASE} bases",
+            "status": "fail" if problems else "pass",
+            "rows": len(pdf),
+            "spark_s": round(t_spark, 2),
+            "oracle_s": round(t_oracle, 2),
+        }
+        if problems:
+            rec["problems"] = [p[:500] for p in problems]
+            n_fail += 1
+        with open("/tmp/sf1_sweep/prefix_jaccard.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec, indent=2), flush=True)
+    return 1 if n_fail else 0
 
 
 if __name__ == "__main__":

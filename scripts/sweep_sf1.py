@@ -40,6 +40,13 @@ sys.path.insert(0, REPO)
 SKIP = {
     # Quadratic all-pairs oracle; covered by sweep_prefix_jaccard_sf1.py.
     "dedup_prefix_filter_jaccard": "quadratic oracle; bounded-oracle script covers it",
+    # This digest suite EMBEDS the prefix-filter member (and so its
+    # quadratic oracle) plus three iterative operators — intractable at
+    # full sf1 for the same oracle-cost reason. All 13 members are
+    # individually registered and swept; the suite row itself gets its
+    # 10x-cluster evidence on the bounded sub-corpus dir
+    # (sweep_prefix_jaccard_sf1.py --suite).
+    "advanced_misc_suite": "embeds the quadratic prefix-filter oracle; bounded sub-corpus run covers it",
 }
 
 

@@ -83,7 +83,7 @@ def main() -> None:
     # spread (max − min across passes) tells the reader which
     # regressions are attributable and which are weather. A regression
     # claim is only real if it exceeds the query's spread.
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5")))
     passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(n_passes):
         for name in HEADLINE:
@@ -102,9 +102,13 @@ def main() -> None:
     # only — a minimum over more passes is biased lower, so min-of-5
     # would systematically flatter later rounds in the cross-round
     # comparison (round-5 ADVICE).
-    mins = {name: round(min(v[:3]), 3) for name, v in passes.items()}
+    # With fewer than 3 passes the min is over fewer samples than the
+    # rounds-<=4 min-of-3 convention; the stat label says how many so a
+    # cross-round reader can't be misled by an implicit "of_first_3".
+    n_min = min(3, n_passes)
+    mins = {name: round(min(v[:n_min]), 3) for name, v in passes.items()}
     total = round(sum(timings.values()), 3)
-    stat = f"median_of_{n_passes}_interleaved_min_of_first_3"
+    stat = f"median_of_{n_passes}_interleaved_min_of_first_{n_min}"
     print(
         json.dumps(
             {

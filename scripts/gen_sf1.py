@@ -88,7 +88,16 @@ def _copy(table: pa.Table, name: str, i: int, offsets: dict[str, int]) -> pa.Tab
             emb = emb.chunk(0)
         values = emb.values.to_numpy(zero_copy_only=False).copy().astype(np.float32)
         off = emb.offsets.to_numpy(zero_copy_only=False)
-        starts = off[:-1][~np.asarray(emb.is_null())] if emb.null_count else off[:-1]
+        # The start-offset indexing below writes to component 0 of each
+        # row; a NULL or EMPTY list row would make it silently perturb
+        # the NEXT row's vector (or drop the null mask on rebuild), so
+        # refuse such inputs loudly rather than corrupt the copy.
+        if emb.null_count or (off[:-1] == off[1:]).any():
+            raise ValueError(
+                "embeddings contain null or empty lists; the perturbation "
+                "step assumes every row has >=1 component"
+            )
+        starts = off[:-1]
         values[starts] = values[starts] + np.float32(i * 1e-3)
         rebuilt = pa.ListArray.from_arrays(
             emb.offsets, pa.array(values, type=pa.float32())

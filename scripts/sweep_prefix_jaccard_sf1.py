@@ -38,11 +38,22 @@ sys.path.insert(0, REPO)
 SF1 = "/tmp/sf1"
 SUB = "/tmp/sf1_pfj"
 N_BASE = 500  # base docs kept per copy; 10 copies -> 5000 docs total
-BASE_PERIOD = 5000  # sf0.1 documents rows == per-copy doc_id period
+SF01_DOCS = "/root/testdata/sf0.1/documents.parquet"
 
 
 def build_subcorpus() -> None:
     import duckdb
+
+    # gen_sf1.py's per-copy doc_id offset is max(doc_id)+1 of the SOURCE
+    # data, not its row count — derive the period the same way so the
+    # modulo below selects the SAME base docs in every copy even if the
+    # fixture's ids ever become 1-based or gapped (hardcoding the row
+    # count would silently skew cluster widths in that case).
+    base_period = (
+        duckdb.connect()
+        .execute(f"SELECT MAX(doc_id) + 1 FROM read_parquet('{SF01_DOCS}')")
+        .fetchone()[0]
+    )
 
     os.makedirs(SUB, exist_ok=True)
     for t in (
@@ -55,7 +66,7 @@ def build_subcorpus() -> None:
     con.execute(
         f"""
         COPY (SELECT * FROM read_parquet('{SF1}/documents.parquet')
-              WHERE doc_id % {BASE_PERIOD} < {N_BASE}
+              WHERE doc_id % {base_period} < {N_BASE}
               ORDER BY doc_id)
         TO '{SUB}/documents.parquet' (FORMAT PARQUET)
         """

@@ -45,7 +45,7 @@ SKIP = {
     # full sf1 for the same oracle-cost reason. All 13 members are
     # individually registered and swept; the suite row itself gets its
     # 10x-cluster evidence on the bounded sub-corpus dir
-    # (sweep_prefix_jaccard_sf1.py --suite).
+    # (`python scripts/sweep_prefix_jaccard_sf1.py advanced_misc_suite`).
     "advanced_misc_suite": "embeds the quadratic prefix-filter oracle; bounded sub-corpus run covers it",
 }
 
@@ -62,15 +62,22 @@ def main() -> int:
     ap.add_argument("--cores", type=int, default=8)
     args = ap.parse_args()
 
+    if not (args.of >= 1 and 0 <= args.shard < args.of):
+        ap.error(f"--shard must be in [0, --of); got {args.shard} of {args.of}")
+
     os.makedirs(args.journal, exist_ok=True)
     jpath = f"{args.journal}/shard_{args.shard}_of_{args.of}.jsonl"
-    done: set[str] = set()
+    # Last-record-wins: a query whose LATEST journal entry is a fail
+    # (e.g. a --force re-run after a code change regressed it) must be
+    # re-run on resume — treating any historical pass as permanently
+    # green would let a stale line mask a known failure.
+    latest: dict[str, str] = {}
     if os.path.exists(jpath) and not args.force:
         with open(jpath) as f:
             for line in f:
                 rec = json.loads(line)
-                if rec.get("status") in ("pass", "skip"):
-                    done.add(rec["name"])
+                latest[rec["name"]] = rec.get("status", "")
+    done = {n for n, s in latest.items() if s in ("pass", "skip")}
 
     from pyspark.sql import SparkSession
 
@@ -85,21 +92,14 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    import duckdb
-
     import __spark_entry__ as e
-    from tests.oracle_mirror import compare
-    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.catalog import TABLES
+    from tests.oracle_mirror import compare, duckdb_conn
 
-    con = duckdb.connect()
+    con = duckdb_conn(args.sf_dir)
     con.execute(f"SET memory_limit='{args.duckdb_mem}'")
     spill = f"/tmp/sf1_duck_spill_shard{args.shard}"
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
-        )
 
     qs, osql = e.queries(), e.oracle_sql()
     names = [n for i, n in enumerate(qs) if i % args.of == args.shard]
@@ -147,6 +147,11 @@ def main() -> int:
         print(f"{rec['status']:5s} {name} {rec}", flush=True)
     out.close()
     print(f"shard {args.shard}/{args.of}: {len(names)} assigned, {fails} failures")
+    if not names:
+        # Zero assigned queries is a sweep-orchestration mistake (wrong
+        # --only spelling, mis-sized shard set), not a green shard.
+        print("ERROR: no queries assigned to this shard", file=sys.stderr)
+        return 1
     return 1 if fails else 0
 
 

@@ -103,12 +103,20 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            n = qs[name](spark, args.sf_dir).count()
+            df = qs[name](spark, args.sf_dir)
+            # noop write FIRST: it evaluates every output column, which
+            # .count() does not — Catalyst legally prunes whole
+            # subtrees under count (a left join keyed by an aggregate
+            # preserves cardinality, window columns don't change it),
+            # so a count-only run can report "pass" without ever
+            # executing the operator's real pipeline.
+            df.write.format("noop").mode("overwrite").save()
+            t_exec = round(time.time() - t0, 2)
             rec = {
                 "name": name,
                 "status": "pass",
-                "rows": n,
-                "secs": round(time.time() - t0, 2),
+                "rows": df.count(),
+                "secs": t_exec,
             }
         except Exception as ex:  # noqa: BLE001 — journal and continue
             rec = {

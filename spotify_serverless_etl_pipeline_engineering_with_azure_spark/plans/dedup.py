@@ -643,22 +643,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair set at test SFs (top within-cell cosines ≈ 0.49) — an empty
 # result would make the parity row a vacuous check.
 EMB_COSINE_TAU = 0.4
-SEMDEDUP_K = 8  # codebook size; production: K ~ sqrt(N) keeps cells bounded
+SEMDEDUP_K_MIN = 8  # codebook floor: keeps tiny fixtures on a stable shape
 SEMDEDUP_TAU = 0.5  # drop a vector whose max cosine to a lower-id cellmate ≥ τ
+
+
+def _semdedup_k(n: int) -> int:
+    """Codebook size for an n-vector corpus: K = max(8, ⌊√(n/2) + 0.5⌋).
+
+    K balances assignment cost O(N·K) against in-cell pair cost
+    O(Σ cell²) ≈ O(N²/K); d/dK[N·K + N²/2K] = 0 at K = √(N/2). This
+    CANNOT be a constant: round 6's 100x scale probe (200k vectors)
+    showed K=8 makes cells N/8 wide and the pair stream N²/16 ≈ 2.5
+    BILLION rows — the within-cell join filled 78 GB of executor spill
+    and aborted; at K=√(N/2) the same corpus enumerates ~63M pairs.
+    floor(x + 0.5) rather than Python round(): both engines evaluate
+    the same correctly-rounded IEEE sqrt, and half-away-from-zero on
+    it matches the oracle's FLOOR(...+0.5) exactly, while Python's
+    banker's rounding does not."""
+    import math
+
+    return max(SEMDEDUP_K_MIN, int(math.floor(math.sqrt(n / 2.0) + 0.5)))
+
+
+# Oracle mirror of _semdedup_k over the embeddings view: the SAME
+# IEEE sqrt of the SAME exact integer-halving, floored the same way.
+_SQL_SEMDEDUP_K = (
+    f"(SELECT GREATEST({SEMDEDUP_K_MIN}, "
+    "CAST(FLOOR(SQRT(COUNT(*) / 2.0) + 0.5) AS BIGINT)) FROM embeddings)"
+)
 
 
 _SEMDEDUP_MEMBER_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _semdedup_member(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cluster): broadcast-codebook nearest-centroid assignment
-    — O(N·K) map-side literal arithmetic, no shuffle. Checkpointed once
-    per dataset (catalog.dataset_cached): Spark does not share subplans,
-    so the two consumers inside one SemDeDup query (cell grouping and
-    the per-vector verdict join) — plus dedup_embedding_cosine's pair
-    generation — would otherwise each re-run the O(N·K) codebook fold
-    over the corpus. At cluster scale this is the materialized
-    assignment table every SemDeDup pipeline persists."""
+    """(vec_id, cluster): broadcast-codebook nearest-centroid
+    assignment. Checkpointed once per dataset (catalog.dataset_cached):
+    Spark does not share subplans, so the two consumers inside one
+    SemDeDup query (cell grouping and the per-vector verdict join) —
+    plus dedup_embedding_cosine's pair generation — would otherwise
+    each re-run the O(N·K) codebook fold over the corpus. At cluster
+    scale this is the materialized assignment table every SemDeDup
+    pipeline persists."""
 
     return dataset_cached(
         _SEMDEDUP_MEMBER_CACHE,
@@ -666,23 +692,52 @@ def _semdedup_member(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         ("embeddings.parquet",),
         lambda: checkpoint_frame(_semdedup_member_frame(spark, sf_dir), "semdedup_member"),
-        params=(SEMDEDUP_K,),
+        params=("ksqrt2",),  # K derived from corpus size inside the build
         max_entries=MAX_CHECKPOINT_ENTRIES,
     )
 
 
 def _semdedup_member_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRE-checkpoint plan of the cell-assignment build (see
-    _minhash_bands_frame for why this is exposed)."""
-    from ..functions.vectors import norm
+    _minhash_bands_frame for why this is exposed).
 
-    from .advanced_ops import load_centroids, ranked_centroids_expr
+    The codebook (first K = √(N/2) store rows) is BROADCAST-JOINED
+    against the corpus and reduced with a map-side-partial
+    min(struct(neg_sim, cid)) — NOT baked into one K-literal ranked
+    expression (the sim_ann_ivf shape, fine at its fixed K=8): at
+    K ~ √N the literal SQL text is O(K·dim) ≈ megabytes, the single
+    projection expression overflows janino's 64 KB method ceiling into
+    interpreted evaluation, and load_centroids would pin ~K·dim·8B of
+    collected Rows on the driver per snapshot. The broadcast join
+    ships the same codebook once per executor, every row's K cosines
+    fold in codegen'd column arithmetic, and the partial aggregate
+    collapses each vector's K candidates before the shuffle — the
+    exchange carries N rows. Ranking matches the oracle's
+    ROW_NUMBER() ORDER BY sim DESC, cid: min over the lexicographic
+    struct (−sim_quantized, cid), on the SAME round6 cosine the
+    whole family uses."""
+    from ..functions.vectors import dot, round6
 
-    emb = scatter(table(spark, sf_dir, "embeddings"))
-    ranked = ranked_centroids_expr(load_centroids(spark, sf_dir, SEMDEDUP_K))
-    return emb.withColumn("nrm", norm(F.col("embedding"))).select(
-        "vec_id",
-        F.element_at(ranked, 1).getField("cid").cast("long").alias("cluster"),
+    from .similarity import vector_store
+
+    store = vector_store(spark, sf_dir)
+    k = _semdedup_k(store.count())
+    cent = F.broadcast(
+        store.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    sim = round6(
+        dot(F.col("embedding"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
+    )
+    return (
+        store.crossJoin(cent)
+        .select("vec_id", (-sim).alias("neg_sim"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("neg_sim", "cid")).alias("top"))
+        .select("vec_id", F.col("top").getField("cid").cast("long").alias("cluster"))
     )
 
 
@@ -691,26 +746,38 @@ def _semdedup_member_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Production sizing rule: a cell of width w enumerates ~w²/2 pairs, so
 # pick salts ≈ w_max²/(2·target_rows_per_task) (e.g. a 10⁶-member junk
 # cell at 10⁸ rows/task → ~5000 salts); the real mitigation for
-# heavily skewed codebooks is upstream — raise SEMDEDUP_K toward √N so
-# w_max stays near √N, and split pathological cells before pairing.
-# The salt only spreads the residual skew K cannot remove.
+# heavily skewed codebooks is upstream — _semdedup_k already sizes the
+# codebook as √(N/2) so w_max stays near √(2N); split pathological
+# cells before pairing. The salt only spreads the residual skew the
+# codebook cannot remove.
 CELL_PAIR_SALTS = 8
 
 
-def _cell_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-cell candidate pairs: (va, vb) with va < vb, same cell.
+def _cell_pair_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-cell candidate pairs WITH their exact cosine:
+    (va, vb, cs) for va < vb in the same cell.
 
-    The shared candidate generator for exact-cosine work: an equi-join
-    of the CHECKPOINTED cell-assignment table with itself on cluster —
-    cost O(Σ cell²) pair ROWS, never O(N²) and never a giant array: a
+    The shared generator for exact-cosine work: an equi-join on cluster
+    of the checkpointed cell-assignment table (vectors attached from
+    the shared store BEFORE the join) with itself — cost O(Σ cell²)
+    pair ROWS, never O(N²) and never a giant array: a
     collect_list-per-cell expansion (the _bucket_pairs shape) would
     materialize one array of cell²/2 structs per cluster row, which
     hits the JVM's 2³¹ array-element limit once a cell passes ~65k
-    members; the join streams the same pairs. The self-join costs two
-    reads of the checkpointed member frame, not two assignment scans
-    (that is why _semdedup_member is checkpointed). Cells stay ~N/K
-    wide by sizing K ~ sqrt(N) in production (SEMDEDUP_K=8 is the
-    deterministic test shape baked into the oracle).
+    members; the join streams the same pairs. Cells stay ~√(2N) wide
+    because _semdedup_k sizes the codebook as √(N/2).
+
+    Each side CARRIES its vector and norm through the cell join, and
+    the cosine is computed in the join's output pipeline — the
+    quadratic pair stream is never exchanged. Round 6's 100x probe
+    killed the previous shape (join bare (va, vb) ids, then attach
+    vectors via two vec_id equi-joins against the store): those
+    attach joins hash-partition their PROBE side, so O(Σ cell²) rows
+    ~550 bytes wide went through two full shuffles — quadratic bytes
+    on the wire, 78 GB of spill at 200k vectors. Carrying vectors
+    makes the shuffled volume corpus-sized (N·(1+salts) store rows);
+    consumers reduce the pair stream map-side (filter ≥ τ, or partial
+    max per vb) before anything else is exchanged.
 
     Hot cells get the join_salted treatment, implemented here: the left
     side carries salt = vec_id % CELL_PAIR_SALTS, the right side
@@ -718,25 +785,37 @@ def _cell_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every same-cell pair still appears exactly once (each left row owns
     one salt; the right copy with the matching salt provides the pair),
     but one skewed cell's pair enumeration now spreads across
-    CELL_PAIR_SALTS reduce tasks instead of serializing on one. The
-    replicated side is two longs per row, so the ×8 shuffle volume is
-    noise next to the pair stream it de-skews.
+    CELL_PAIR_SALTS reduce tasks instead of serializing on one.
     """
+    from ..functions.vectors import dot, round6
+
+    from .similarity import vector_store
+
     member = _semdedup_member(spark, sf_dir)
-    a = member.select(
+    store = vector_store(spark, sf_dir)
+    attached = member.join(store, "vec_id")
+    a = attached.select(
         F.col("cluster").alias("ca"),
         F.col("vec_id").alias("va"),
         (F.col("vec_id") % CELL_PAIR_SALTS).cast("int").alias("sa"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
-    b = member.select(
-        F.col("cluster").alias("cb"), F.col("vec_id").alias("vb")
+    b = attached.select(
+        F.col("cluster").alias("cb"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     ).withColumn("sb", F.explode(F.array(*[F.lit(i) for i in range(CELL_PAIR_SALTS)])))
+    cs = round6(
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    )
     return a.join(
         b,
         (F.col("ca") == F.col("cb"))
         & (F.col("sa") == F.col("sb"))
         & (F.col("va") < F.col("vb")),
-    ).select("va", "vb")
+    ).select("va", "vb", cs.alias("cs"))
 
 
 def _member_cte() -> str:
@@ -748,7 +827,7 @@ def _member_cte() -> str:
     asim = sql_cosine6("e.embedding", "c.cemb")
     return f"""
 cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-         WHERE vec_id < {SEMDEDUP_K}),
+         WHERE vec_id < {_SQL_SEMDEDUP_K}),
 assign AS (
   SELECT e.vec_id,
          c.cid,
@@ -786,44 +865,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact cosine is evaluated ONLY on SemDeDup-cell candidate pairs
     (broadcast-codebook assignment → in-cell pair expansion), never
     all-pairs: pointed at a full corpus the cost is proportional to the
-    candidate count, O(Σ cell²) with K sized ~sqrt(N). The pair set is
-    attached to its vectors by two vec_id equi-joins against the shared
-    materialized vector store (similarity.vector_store — norms folded
-    once per corpus snapshot, identical doubles → bit-identical
-    cosine), so each candidate pays one dot fold and the corpus parquet
-    is scanned zero times per query.
+    candidate count, O(Σ cell²) with K sized √(N/2) from the corpus.
+    Vectors ride through the cell join itself (_cell_pair_cosines) from
+    the shared materialized vector store (norms folded once per corpus
+    snapshot, identical doubles → bit-identical cosine), so each
+    candidate pays one dot fold inside the join's output pipeline, the
+    τ filter reduces the stream map-side, and the corpus parquet is
+    scanned zero times per query — the quadratic pair stream never
+    crosses an exchange.
     """
-    from ..functions.vectors import dot
-
-    from .similarity import vector_store
-
-    pairs = _cell_candidate_pairs(spark, sf_dir)
-    store = vector_store(spark, sf_dir)
-    ea = store.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    eb = store.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    from ..functions.vectors import round6
-
-    cs = round6(
-        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    )
-    return (
-        pairs.join(ea, F.col("a_id") == F.col("va"))
-        .join(eb, F.col("b_id") == F.col("vb"))
-        .select(
-            F.col("va").alias("vec_a"),
-            F.col("vb").alias("vec_b"),
-            cs.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= EMB_COSINE_TAU)
-    )
+    return _cell_pair_cosines(spark, sf_dir).select(
+        F.col("va").alias("vec_a"),
+        F.col("vb").alias("vec_b"),
+        F.col("cs").alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= EMB_COSINE_TAU)
 
 
 # ---------------------------------------------------------------------------
@@ -857,51 +912,27 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Assign every vector to its nearest of K codebook centroids, then
     compare ONLY within a cell: a vector is dropped when its max cosine
     to a lower-id cellmate reaches SEMDEDUP_TAU. This is the scale path
-    that `dedup_embedding_cosine` (exact pair-level cosine over the same
-    cell candidates) is the spot-check for: cell assignment is O(N·K) map-side literal
-    arithmetic against a driver-resident codebook (no shuffle — the
-    same broadcast-quantizer pattern as sim_ann_ivf), pair expansion is
-    O(Σ cell²) instead of O(N²), bounded by choosing K ~ sqrt(N) so
-    cells stay ~sqrt(N) wide; a hot cell takes the join_salted
-    treatment implemented in _cell_candidate_pairs. One shuffle builds
-    the cells, one joins embeddings onto the (much smaller) candidate
-    pair set.
+    that `dedup_embedding_cosine` (exact pair-level cosine over the
+    same cell candidates) is the spot-check for: cell assignment is a
+    broadcast-codebook join reduced by a map-side partial aggregate
+    (K = √(N/2) from _semdedup_k, so cells stay ~√(2N) wide), pair
+    expansion is O(Σ cell²) instead of O(N²) and rides inside the cell
+    join (_cell_pair_cosines) without ever being exchanged; a hot cell
+    takes the join_salted treatment implemented there. The per-vector
+    max collapses the pair stream map-side before its one shuffle.
 
     Output is the per-vector verdict a corpus pipeline consumes:
     (vec_id, cluster, max_sim_lower, keep) — every input row appears
     exactly once, keep=false marks semantic near-duplicates.
     """
-    from ..functions.vectors import dot
-
-    from .similarity import vector_store
-
     member = _semdedup_member(spark, sf_dir)
-    pairs = _cell_candidate_pairs(spark, sf_dir)
-    # Both attach sides read the shared materialized vector store (one
-    # checkpoint, zero parquet re-scans); each candidate pair pays a
-    # single dot fold. The store is keyed by vec_id, so both joins
-    # shuffle on the key (broadcast at probe scale, sort-merge at
-    # corpus scale — AQE picks).
-    store = vector_store(spark, sf_dir)
-    ea = store.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    eb = store.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    from ..functions.vectors import round6
-
-    cs = round6(
-        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    )
+    # The pair stream arrives with cosines already computed inside the
+    # cell join (_cell_pair_cosines — vectors ride the join, the
+    # quadratic stream never crosses an exchange); the per-vector max
+    # is a partial aggregate, so what the groupBy shuffles is one
+    # (vb, mx) row per vector per task, not the pair stream.
     max_lower = (
-        pairs.join(ea, F.col("a_id") == F.col("va"))
-        .join(eb, F.col("b_id") == F.col("vb"))
-        .select("vb", cs.alias("cs"))
+        _cell_pair_cosines(spark, sf_dir)
         .groupBy("vb")
         .agg(F.max("cs").alias("mx"))
     )

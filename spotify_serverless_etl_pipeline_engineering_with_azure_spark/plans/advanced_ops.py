@@ -122,10 +122,51 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF approximate nearest neighbors (the scale path beyond LSH)
 # ---------------------------------------------------------------------------
-_N_CENTROIDS = 8
+_N_CENTROIDS_MIN = 8  # nlist floor: keeps tiny fixtures on a stable shape
 _PROBE_MOD = 29
 _TOPK = 3
-_N_PROBE_CLUSTERS = 3  # multi-probe: search the probe's 3 nearest cells
+_N_PROBE_MIN = 3
+
+
+def _ivf_k(n: int) -> int:
+    """nlist for an n-vector corpus: max(8, ⌊√n + 0.5⌋) — FAISS
+    practice sizes the coarse quantizer ~√N so cells stay ~√N wide.
+    This CANNOT be a constant: round 6's 100x probe (200k vectors)
+    ran sim_ann_ivf with nlist=8 — cells were N/8 = 25k wide, the
+    probe load expanded to ~0.5 BILLION candidate rows carrying
+    vectors and filled the host's disk with shuffle spill before
+    being killed. floor(x+0.5) matches the oracle's FLOOR(...+0.5)
+    on the same correctly-rounded IEEE sqrt (Python round() is
+    banker's and does not)."""
+    import math
+
+    return max(_N_CENTROIDS_MIN, int(math.floor(math.sqrt(n) + 0.5)))
+
+
+def _ivf_nprobe(k: int) -> int:
+    """nprobe = max(3, ⌊√nlist + 0.5⌋): the common heuristic that
+    scales probe breadth with the cell count. Per-query scan fraction
+    is nprobe/nlist ≈ k^(−1/2) and per-query cost nprobe·N/nlist ≈
+    N/√k — sublinear in the corpus, unlike a fixed nprobe at fixed
+    nlist (constant fraction of N) or the old fixed nlist=8 (3N/8 per
+    query: brute force with extra steps)."""
+    import math
+
+    return max(_N_PROBE_MIN, int(math.floor(math.sqrt(k) + 0.5)))
+
+
+# Oracle mirrors of _ivf_k / _ivf_nprobe over the embeddings view —
+# the same IEEE sqrt, floored the same way, derived from the same
+# COUNT the Spark side reads off the vector store.
+_SQL_IVF_K = (
+    f"(SELECT GREATEST({_N_CENTROIDS_MIN}, "
+    "CAST(FLOOR(SQRT(COUNT(*)) + 0.5) AS BIGINT)) FROM embeddings)"
+)
+_SQL_IVF_NPROBE = (
+    f"(SELECT GREATEST({_N_PROBE_MIN}, CAST(FLOOR(SQRT("
+    f"GREATEST({_N_CENTROIDS_MIN}, CAST(FLOOR(SQRT(COUNT(*)) + 0.5) AS BIGINT))"
+    ") + 0.5) AS BIGINT)) FROM embeddings)"
+)
 
 
 def _ivf_oracle() -> str:
@@ -136,7 +177,7 @@ def _ivf_oracle() -> str:
     psim = cos.format(a="a.embedding", b="b.embedding")
     return f"""
 WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-              WHERE vec_id < {_N_CENTROIDS}),
+              WHERE vec_id < {_SQL_IVF_K}),
 assign AS (
   SELECT e.vec_id, c.cid, {asim} AS sim,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {asim} DESC, c.cid) AS rn
@@ -144,7 +185,7 @@ assign AS (
 ),
 member AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
 probes AS (SELECT vec_id AS probe_id, cid FROM assign
-           WHERE vec_id % {_PROBE_MOD} = 0 AND rn <= {_N_PROBE_CLUSTERS}),
+           WHERE vec_id % {_PROBE_MOD} = 0 AND rn <= {_SQL_IVF_NPROBE}),
 cand AS (
   SELECT p.probe_id, m.vec_id AS neighbor_id
   FROM probes p JOIN member m ON m.cid = p.cid AND m.vec_id <> p.probe_id
@@ -161,88 +202,40 @@ FROM scored WHERE rk <= {_TOPK}
 """
 
 
-_CENTROID_CACHE: dict[tuple, list] = {}
+def _broadcast_codebook(spark: SparkSession, sf_dir: str, k: int):
+    """(cid, cemb, cnrm): the first-k-vectors coarse quantizer as a
+    BROADCAST frame cut from the shared vector store.
 
+    Replaces the former collected-Rows codebook baked into one
+    K-literal ranked expression. That shape was fine at a fixed K=8
+    but cannot follow the K ~ √N sizing rule this file documents: the
+    literal SQL text is O(K·dim) — megabytes at √N — one projection
+    expression overflows janino's 64 KB method ceiling into
+    interpreted evaluation, and the collected Rows pin K·dim·8B of
+    driver memory per snapshot. Broadcasting ships the same codebook
+    once per executor, the per-row K cosine folds stay codegen'd
+    column arithmetic, and nothing is ever collected."""
+    from .similarity import vector_store
 
-def load_centroids(spark: SparkSession, sf_dir: str, k: int) -> list:
-    """First-k-vectors codebook, collected once per dataset identity.
-
-    The codebook is driver-resident in every real IVF/SemDeDup system
-    (FAISS keeps the coarse quantizer in memory). Collecting it lets
-    cell assignment run entirely map-side as codegen'd literal
-    arithmetic: no N×K crossJoin, no per-vector window shuffle. Caching
-    goes through catalog.dataset_cached — the one identity/eviction
-    scheme for every dataset-keyed cache — rather than a hand-rolled
-    dict: a bare mtime-keyed dict never DROPS superseded entries, and
-    under the documented production sizing (K ~ √N → ~10⁵ centroids ×
-    64 doubles ≈ 150 MB of collected Rows per entry) a long-lived
-    driver sweeping N dataset snapshots would pin N codebooks for the
-    process's lifetime. The entry cap bounds the same driver-memory
-    growth for many live datasets.
-    """
-    return dataset_cached(
-        _CENTROID_CACHE,
-        spark,
-        sf_dir,
-        ("embeddings.parquet",),
-        lambda: sorted(
-            table(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") < k)
-            .select("vec_id", "embedding")
-            .collect(),
-            key=lambda r: r.vec_id,
-        ),
-        params=(k,),
-        max_entries=MAX_CHECKPOINT_ENTRIES,
-    )
-
-
-def ranked_centroids_expr(cent_rows: list):
-    """Centroids ranked by cosine similarity to the row's ``embedding``.
-
-    Returns an array<struct<neg_sim,cid>> Column sorted ascending on
-    (neg_sim, cid) == (sim DESC, cid ASC) — the same tie-break as a
-    ROW_NUMBER() OVER (ORDER BY sim DESC, cid) oracle. Requires a
-    double ``nrm`` column (the row vector's norm) in scope.
-
-    Centroid norms are Python-side constants computed by the same
-    left-to-right fold the oracle's SQRT(fold) performs (bit-identical
-    doubles), and the quantization is the engine-deterministic
-    round(x·10⁶)/10⁶ form on both sides — the earlier ROUND(x, 6) pair
-    relied on DuckDB's LIST_COSINE_SIMILARITY agreeing within 1e-6,
-    which breaks exactly when a similarity lands within 1 ulp of a 6dp
-    half boundary (expected at production pair volumes, invisible at
-    test SF). The row norm is folded
-    once per row, so assignment costs K dot-folds + 1 norm-fold per row
-    instead of 3K. The whole ranked-centroids expression is ONE SQL
-    string (a single py4j call + one JVM-side parse): per-Column
-    construction of K zip_with/aggregate folds over 64-wide literal
-    arrays costs ~0.8 s of driver time per invocation; this is
-    identical Catalyst-side.
-    """
-    import math
-
-    def _pynorm(vals: list[float]) -> float:
-        acc = 0.0
-        for v in vals:
-            acc += float(v) * float(v)
-        return math.sqrt(acc)
-
-    def _sql_dot_lit(vals: list[float]) -> str:
-        lits = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals)
-        return (
-            f"aggregate(zip_with(embedding, array({lits}), "
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    store = vector_store(spark, sf_dir)
+    return F.broadcast(
+        store.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
         )
-
-    structs = ", ".join(
-        f"struct(-(round({_sql_dot_lit(r.embedding)} / "
-        f"(nrm * CAST('{_pynorm(r.embedding)!r}' AS DOUBLE)) * 1000000.0) / 1000000.0) AS neg_sim, "
-        f"{int(r.vec_id)} AS cid)"
-        for r in cent_rows
     )
-    return F.expr(f"array_sort(array({structs}))")
+
+
+def _codebook_sim():
+    """round6 cosine of the row vector against a joined codebook row —
+    the SAME quantized left-to-right folds as the oracle's
+    sql_cosine6, so assignment ranks identically on both engines."""
+    from ..functions.vectors import dot, round6
+
+    return round6(
+        dot(F.col("embedding"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
+    )
 
 
 _IVF_INDEX_CACHE: dict[tuple, dict] = {}
@@ -260,7 +253,6 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
     checkpointed RDD dies with its context).
     """
     def build() -> dict:
-        assigned = checkpoint_frame(_ivf_assigned_frame(spark, sf_dir), "ivf_assigned")
         # The inverted lists as a POSTING TABLE (cid, vec_id) — one row
         # per member, the shape every production IVF store uses (and,
         # on a cluster, a table bucketed by cid). NOT collect_list
@@ -270,17 +262,15 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
         # while the posting table scales like any keyed table and the
         # candidate expansion becomes a plain keyed join instead of an
         # explode of giant arrays.
-        cells = checkpoint_frame(
-            assigned.select(
-                "vec_id", F.element_at("cells", 1).getField("cid").alias("cid")
-            ),
-            "ivf_cells",
+        cells = checkpoint_frame(_ivf_member_frame(spark, sf_dir), "ivf_cells")
+        probes = checkpoint_frame(
+            _ivf_probe_cells_frame(spark, sf_dir), "ivf_probes"
         )
         from .similarity import vector_store
 
         # The re-rank vector store is THE shared one (one checkpoint
         # for brute-force, SemDeDup, and IVF — not a private copy).
-        return {"assigned": assigned, "cells": cells,
+        return {"probes": probes, "cells": cells,
                 "vectors": vector_store(spark, sf_dir)}
 
     return dataset_cached(
@@ -289,22 +279,62 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
         sf_dir,
         ("embeddings.parquet",),
         build,
-        params=(_N_CENTROIDS, _N_PROBE_CLUSTERS),
+        # K and nprobe derive from corpus size inside the build; the
+        # marker versions the cache across sizing-rule changes.
+        params=("ksqrtN", "npsqrtK", _PROBE_MOD),
         max_entries=MAX_CHECKPOINT_ENTRIES,
     )
 
 
-def _ivf_assigned_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRE-checkpoint plan of the IVF assignment build: (vec_id, nprobe
-    nearest cells) — the K×dim codebook fold runs once per vector at
-    build time, never per query. Exposed so plan-quality tests can
-    assert on the build pipeline (checkpointing truncates lineage)."""
-    from ..functions.vectors import norm
+def _ivf_member_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-checkpoint plan of the posting-table build: (vec_id, cid) —
+    each corpus vector's TOP-1 cell. The K×dim codebook fold runs once
+    per vector at build time, never per query: the broadcast-codebook
+    join expands to N×K rows entirely map-side and the partial
+    min(struct(neg_sim, cid)) collapses each vector's K candidates
+    before the exchange, so the shuffle carries N rows no matter how
+    large K grows. Ranking matches the oracle's ROW_NUMBER() ORDER BY
+    sim DESC, cid via the lexicographic struct (−sim, cid). Exposed so
+    plan-quality tests can assert on the build pipeline (checkpointing
+    truncates lineage)."""
+    from .similarity import vector_store
 
-    emb = scatter(table(spark, sf_dir, "embeddings"))
-    ranked = ranked_centroids_expr(load_centroids(spark, sf_dir, _N_CENTROIDS))
-    return emb.withColumn("nrm", norm(F.col("embedding"))).select(
-        "vec_id", F.slice(ranked, 1, _N_PROBE_CLUSTERS).alias("cells")
+    store = vector_store(spark, sf_dir)
+    cent = _broadcast_codebook(spark, sf_dir, _ivf_k(store.count()))
+    return (
+        store.crossJoin(cent)
+        .select("vec_id", (-_codebook_sim()).alias("neg_sim"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("neg_sim", "cid")).alias("top"))
+        .select("vec_id", F.col("top").getField("cid").cast("long").alias("cid"))
+    )
+
+
+def _ivf_probe_cells_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-checkpoint plan of the probe assignment: (probe_id, cid) —
+    each PROBE's nprobe nearest cells, one row per (probe, probed
+    cell). Unlike the top-1 posting build, top-nprobe needs a ranked
+    prefix, so this uses a row_number window — but only over the PROBE
+    subset × K rows (the test probe set is the fixed 1/29 corpus
+    slice; a serving system's probe batch is bounded by its request
+    queue, so the window input scales with queries, not the corpus)."""
+    from .similarity import vector_store
+
+    store = vector_store(spark, sf_dir)
+    k = _ivf_k(store.count())
+    cent = _broadcast_codebook(spark, sf_dir, k)
+    w = Window.partitionBy("probe_id").orderBy("neg_sim", "cid")
+    return (
+        store.filter(F.col("vec_id") % _PROBE_MOD == 0)
+        .crossJoin(cent)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            (-_codebook_sim()).alias("neg_sim"),
+            "cid",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _ivf_nprobe(k))
+        .select("probe_id", F.col("cid").cast("long").alias("cid"))
     )
 
 
@@ -312,80 +342,66 @@ def _ivf_assigned_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_ann_ivf", oracle=_ivf_oracle(), tags=("similarity", "ann", "ivf"))
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style multi-probe ANN search: each probe searches its
-    _N_PROBE_CLUSTERS nearest cells of a K-cell inverted index — the
-    standard IVF nprobe>1 recall lever (corpus scanned per query is
-    N·nprobe/K instead of N). The index (assignment, inverted lists,
-    normed vector store) comes from :func:`_ivf_index`, built once per
+    """IVF-style multi-probe ANN search: each probe searches its nprobe
+    nearest cells of a K-cell inverted index — the standard IVF
+    nprobe>1 recall lever (corpus scanned per query is N·nprobe/K
+    instead of N). The index (posting table, probe→cell map, normed
+    vector store) comes from :func:`_ivf_index`, built once per
     dataset; this query measures SEARCH, the per-request cost a serving
     system pays.
 
     Centroids are the first K corpus vectors (deterministic,
     oracle-expressible); a production build would k-means them, which
-    changes recall, not the plan shape. Scale posture: candidate
-    generation is a keyed join of the probe→cell map against the
-    posting-table inverted lists (cid, vec_id); a hot cell is the skew
-    case and takes the join_salted treatment. Pairs need no dedup:
-    each neighbor lives in exactly one cell and each (probe, cell)
-    edge is distinct.
+    changes recall, not the plan shape. SIZING: K = √N and nprobe = √K,
+    both derived from the corpus and mirrored in the oracle as
+    subqueries (_ivf_k/_ivf_nprobe) — per-query cost is nprobe·N/K ≈
+    N/√K, sublinear in the corpus. The fixed K=8 this replaced made
+    every query scan 3N/8: round 6's 100x probe expanded ~0.5 billion
+    vector-carrying candidate rows and filled the host's disk with
+    shuffle spill.
 
-    SIZING CONTRACT, explicit because both constants are baked into
-    the oracle: K = _N_CENTROIDS = 8 and the mod-29 probe set are the
-    deterministic test shapes. Per-query work is nprobe·N/K, so K must
-    SCALE with the corpus — production sizes K ~ √N (FAISS practice,
-    same rule documented for SemDeDup), which bounds cells at ~√N
-    members and per-query candidates at ~nprobe·√N; a fixed K=8 at
-    10¹¹ vectors would make every query scan 3N/8 — that is Θ(N²)
-    across a corpus-sized probe load, not an IVF at all. The probe
-    join is deliberately NOT a forced broadcast: the probe set here
-    grows with the corpus (vec_id % 29), and a real serving batch is
-    bounded by the request queue, not by a hint — AQE broadcasts
-    while the probe batch fits and shuffle-joins beyond.
+    Scale posture: candidate generation is a keyed join of the
+    probe→cell map against the posting-table inverted lists — and BOTH
+    sides attach their vectors from the shared store BEFORE that join
+    (corpus-sized / probe-batch-sized 1:1 joins), so the candidate
+    stream is born inside the cid join carrying everything its cosine
+    needs and is reduced map-side by WindowGroupLimit's partial top-k
+    before its only exchange. Attaching vectors AFTER candidate
+    expansion (the previous shape) shuffles O(candidates) rows ~550
+    bytes wide — quadratic bytes under a fixed K. A hot cell is the
+    skew case; the cid join is left un-hinted and AQE's skew-join
+    splits it (the probe side is a fixed 1/29 corpus slice here, a
+    request-queue-bounded batch in serving, so no forced broadcast:
+    past the 8 GB bound it would die). Pairs need no dedup: each
+    neighbor lives in exactly one cell and each (probe, cell) edge is
+    distinct.
     """
-    from ..functions.vectors import dot
+    from ..functions.vectors import dot, round6
 
     idx = _ivf_index(spark, sf_dir)
-    probe_cells = (
-        idx["assigned"]
-        .filter(F.col("vec_id") % _PROBE_MOD == 0)
-        .select(F.col("vec_id").alias("probe_id"), F.explode("cells").alias("cell"))
-        .select("probe_id", F.col("cell").getField("cid").alias("cid"))
-    )
-    # Expand each (probe, cell) edge against the posting table — a
-    # plain keyed join; no giant per-cell arrays, no forced broadcast.
-    cand = (
-        idx["cells"]
-        .join(probe_cells, "cid")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
-    )
-    a = idx["vectors"].select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = idx["vectors"].select(
-        F.col("vec_id").alias("b_id"),
+    nb = idx["cells"].join(idx["vectors"], "vec_id").select(
+        "cid",
+        F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),
     )
-    from ..functions.vectors import round6
-
+    pr = idx["probes"].join(
+        idx["vectors"].select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("a_emb"),
+            F.col("nrm").alias("a_nrm"),
+        ),
+        "probe_id",
+    )
     pair_sim = round6(
         dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
     )
     w_rank = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
-    # Vector-store attach joins left UN-hinted — and so is probe_cells:
-    # the store is one row per corpus vector and the probe set is a
-    # fixed 1/29 FRACTION of the corpus (vec_id % _PROBE_MOD), both
-    # linear in N, so a forced broadcast of either would die past the
-    # 8 GB bound at serving scale; AQE broadcasts while small, shuffles
-    # on the join keys beyond.
     return (
-        cand.join(a, F.col("a_id") == F.col("probe_id"))
-        .join(b, F.col("b_id") == F.col("neighbor_id"))
+        nb.join(pr, "cid")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
         .select("probe_id", "neighbor_id", pair_sim.alias("cos_sim"))
         .withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= _TOPK)

@@ -702,39 +702,23 @@ def _semdedup_member_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     _minhash_bands_frame for why this is exposed).
 
     The codebook (first K = √(N/2) store rows) is BROADCAST-JOINED
-    against the corpus and reduced with a map-side-partial
-    min(struct(neg_sim, cid)) — NOT baked into one K-literal ranked
-    expression (the sim_ann_ivf shape, fine at its fixed K=8): at
-    K ~ √N the literal SQL text is O(K·dim) ≈ megabytes, the single
-    projection expression overflows janino's 64 KB method ceiling into
-    interpreted evaluation, and load_centroids would pin ~K·dim·8B of
-    collected Rows on the driver per snapshot. The broadcast join
-    ships the same codebook once per executor, every row's K cosines
-    fold in codegen'd column arithmetic, and the partial aggregate
-    collapses each vector's K candidates before the shuffle — the
-    exchange carries N rows. Ranking matches the oracle's
+    against the corpus (advanced_ops._broadcast_codebook — the shared
+    coarse-quantizer shape, with the K-literal-expression alternative
+    it replaced argued there) and reduced with a map-side-partial
+    min(struct(neg_sim, cid)): the partial aggregate collapses each
+    vector's K candidates before the shuffle, so the exchange carries
+    N rows no matter how large K grows. Ranking matches the oracle's
     ROW_NUMBER() ORDER BY sim DESC, cid: min over the lexicographic
     struct (−sim_quantized, cid), on the SAME round6 cosine the
     whole family uses."""
-    from ..functions.vectors import dot, round6
-
+    from .advanced_ops import _broadcast_codebook, _codebook_sim
     from .similarity import vector_store
 
     store = vector_store(spark, sf_dir)
-    k = _semdedup_k(store.count())
-    cent = F.broadcast(
-        store.filter(F.col("vec_id") < k).select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("cemb"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    sim = round6(
-        dot(F.col("embedding"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
-    )
+    cent = _broadcast_codebook(spark, sf_dir, _semdedup_k(store.count()))
     return (
         store.crossJoin(cent)
-        .select("vec_id", (-sim).alias("neg_sim"), "cid")
+        .select("vec_id", (-_codebook_sim()).alias("neg_sim"), "cid")
         .groupBy("vec_id")
         .agg(F.min(F.struct("neg_sim", "cid")).alias("top"))
         .select("vec_id", F.col("top").getField("cid").cast("long").alias("cluster"))

@@ -329,7 +329,11 @@ def _kmeans_assign_expr(centroids: dict[int, list[float]]) -> str:
     """One SQL string ranking all K centroids per row: K zip_with
     squared-distance folds over literal arrays, sorted on (dist, cid).
     Single py4j call — per-Column construction of K 64-wide folds costs
-    ~1 s of driver time per invocation (see sim_ann_ivf above)."""
+    ~1 s of driver time per invocation. The literal form is valid HERE
+    because k-means' K is a semantic hyperparameter (4 clusters), not a
+    corpus-sizing rule: the K ~ √N quantizers (SemDeDup, IVF) use the
+    broadcast-codebook join (advanced_ops._broadcast_codebook), whose
+    docstring argues why literals cannot follow √N."""
 
     def sq_dist(vals: list[float]) -> str:
         lits = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals)
@@ -355,8 +359,8 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer behind IVF cells, semantic corpus bucketing, and
     diversity-balanced data selection.
 
-    Classic scalable Lloyd shape: the codebook (K×dim doubles) lives on
-    the driver — exactly like sim_ann_ivf's coarse quantizer — so each
+    Classic scalable Lloyd shape: the codebook (K×dim doubles, K=4
+    fixed) lives on the driver, so each
     assignment pass is pure map-side codegen'd literal arithmetic over
     one corpus scan (zero shuffle, zero crossJoin); each update pass is
     one map-side-combining hash aggregation keyed (cluster, dim) — K·dim

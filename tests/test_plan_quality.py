@@ -115,7 +115,8 @@ INDEX_BUILD_FRAMES = {
     "ngram_index": lambda s: _dedup._ngram_index_frame(s, SF_SMOKE),
     "semdedup_member": lambda s: _dedup._semdedup_member_frame(s, SF_SMOKE),
     "lsh_index": lambda s: _similarity._lsh_index_frame(s, SF_SMOKE),
-    "ivf_assigned": lambda s: _advanced_ops._ivf_assigned_frame(s, SF_SMOKE),
+    "ivf_member": lambda s: _advanced_ops._ivf_member_frame(s, SF_SMOKE),
+    "ivf_probe_cells": lambda s: _advanced_ops._ivf_probe_cells_frame(s, SF_SMOKE),
     "vector_store": lambda s: _similarity._vector_store_frame(s, SF_SMOKE),
 }
 
@@ -133,7 +134,7 @@ def test_ivf_inverted_lists_are_a_posting_table(spark):
         t.startswith("array") for t in cells.values()
     ), f"IVF cells regressed away from the (cid, vec_id) posting table: {cells}"
     plan = (
-        _advanced_ops._ivf_assigned_frame(spark, SF_SMOKE)
+        _advanced_ops._ivf_member_frame(spark, SF_SMOKE)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
@@ -368,9 +369,17 @@ HEADLINE_EXCHANGE_BUDGET = {
     "text_quality_score": (0, 0),
     "sim_cosine_topk_bruteforce": (1, 1),
     "sim_ann_lsh_bucketed": (2, 1),
-    # index-build shuffles (inverted-list groupBy) live in _ivf_index,
-    # not the per-query search plan
-    "sim_ann_ivf": (1, 3),
+    # index-build shuffles (assignment agg / probe window) live in
+    # _ivf_index, not the per-query search plan. The search's 3
+    # shuffles are the two cid-join sides (posting+vectors,
+    # probes+vectors — corpus-/probe-batch-sized rows) and the final
+    # per-probe window; the CANDIDATE stream itself never exchanges:
+    # cosine is computed inside the cid join's output pipeline and
+    # WindowGroupLimit(Partial) cuts top-k map-side. The old (1, 3)
+    # shape broadcast-attached vectors onto the candidate stream —
+    # fewer exchanges at test SF, quadratic exchanged BYTES at scale
+    # (round 6's 100x probe filled the disk with spill).
+    "sim_ann_ivf": (3, 2),
     "asof_join_events": (1, 0),
     "range_join_close_events": (1, 1),
     "merge_upsert_orders": (3, 0),

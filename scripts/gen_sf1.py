@@ -107,9 +107,54 @@ def _copy(table: pa.Table, name: str, i: int, offsets: dict[str, int]) -> pa.Tab
     return out
 
 
+# (child table, FK column) -> (parent table, PK column): every key the
+# replication shifts; checked after generation so a REMAP mistake fails
+# the build instead of silently producing orphan keys the join-family
+# sweeps would then "verify" against.
+FK_CHECKS = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _assert_referential_integrity(dst: str) -> None:
+    """Anti-join every shifted FK against its parent's key set; any
+    orphan is a generator bug (a REMAP/KEY_DOMAINS drift), so fail
+    loudly. Set arithmetic over the distinct key columns — no full-row
+    materialization, runs in seconds at sf1."""
+    for child, fk, parent, pk in FK_CHECKS:
+        fks = set(
+            pq.read_table(f"{dst}/{child}.parquet", columns=[fk]).column(fk).to_pylist()
+        )
+        pks = set(
+            pq.read_table(f"{dst}/{parent}.parquet", columns=[pk]).column(pk).to_pylist()
+        )
+        orphans = fks - pks
+        assert not orphans, (
+            f"{child}.{fk} has {len(orphans)} orphan keys vs {parent}.{pk} "
+            f"(sample: {sorted(orphans)[:5]})"
+        )
+    print(f"referential integrity: {len(FK_CHECKS)} FK edges clean")
+
+
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("dst", nargs="?", default="/tmp/sf1")
+    ap.add_argument(
+        "--copies",
+        type=int,
+        default=COPIES,
+        help="replication factor (10 -> sf1 from sf0.1; 3 -> sf0.3-class)",
+    )
+    args = ap.parse_args()
+    src, dst, copies = args.src, args.dst, args.copies
     os.makedirs(dst, exist_ok=True)
 
     offsets: dict[str, int] = {}
@@ -124,10 +169,12 @@ def main() -> int:
 
     for name in REMAP:
         base = pq.read_table(f"{src}/{name}.parquet")
-        parts = [_copy(base, name, i, offsets) for i in range(COPIES)]
+        parts = [_copy(base, name, i, offsets) for i in range(copies)]
         full = pa.concat_tables(parts).cast(base.schema)
         pq.write_table(full, f"{dst}/{name}.parquet")
         print(f"{name}: {base.num_rows} -> {full.num_rows} rows")
+
+    _assert_referential_integrity(dst)
     return 0
 
 

@@ -13,8 +13,18 @@ Composition note: re-replicating sf1 makes document near-dup clusters
 across copy pairs (i,0)/(0,i) — deliberately harsher than linear
 scaling for the dedup family's star-chain / hot-cell / cap guards.
 
+Round 7 adds SELF-CHECKS (scripts/self_checks.py): after the noop-write
+execution, each query's result is validated — via its full registered
+DuckDB oracle where that oracle is tractable at probe scale (with an
+interrupt watchdog and key-sampled value comparison past 2M rows), or
+via bespoke sampled invariants (exact recomputation of hash-sampled
+claims) for the members whose oracle is the quadratic/recursive side.
+The journal rows carry a "self_check" object; --no-self-check restores
+the completion-only round-6 behavior.
+
 Usage: python scripts/scale_run.py [--sf-dir /tmp/sf10]
            [--journal /tmp/sf10_scale.jsonl] [--only a,b,c]
+           [--no-self-check]
 """
 
 from __future__ import annotations
@@ -27,6 +37,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 # Heaviest members of each family: the dedup/similarity chain (cluster
 # width stress), full-corpus text ops, fact-table TPC-H heads, and the
@@ -69,15 +80,20 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/tmp/sf10")
     ap.add_argument("--journal", default="/tmp/sf10_scale.jsonl")
     ap.add_argument("--only", default="")
+    ap.add_argument("--no-self-check", action="store_true")
     args = ap.parse_args()
 
     names = args.only.split(",") if args.only else DEFAULT
-    done: set[str] = set()
+    # Last-record-wins (mirrors sweep_sf1.py): a query whose LATEST
+    # journal entry is an error — a regression caught on re-run — must
+    # not be skipped on resume because some OLDER line says "pass".
+    latest: dict[str, str] = {}
     if os.path.exists(args.journal):
         with open(args.journal) as f:
-            done = {
-                json.loads(l)["name"] for l in f if json.loads(l)["status"] == "pass"
-            }
+            for line in f:
+                rec = json.loads(line)
+                latest[rec["name"]] = rec.get("status", "")
+    done = {n for n, s in latest.items() if s == "pass"}
 
     from pyspark.sql import SparkSession
 
@@ -94,7 +110,9 @@ def main() -> int:
 
     import __spark_entry__ as e
 
-    qs = e.queries()
+    qs, osql = e.queries(), e.oracle_sql()
+    if not args.no_self_check:
+        from self_checks import run_self_check
     out = open(args.journal, "a", buffering=1)
     n_fail = 0
     for name in names:
@@ -118,6 +136,14 @@ def main() -> int:
                 "rows": df.count(),
                 "secs": t_exec,
             }
+            if not args.no_self_check:
+                t1 = time.time()
+                sc = run_self_check(spark, args.sf_dir, name, df, qs, osql)
+                sc["secs"] = round(time.time() - t1, 2)
+                rec["self_check"] = sc
+                if sc["status"] != "pass":
+                    rec["status"] = "self-check-" + sc["status"]
+                    n_fail += 1
         except Exception as ex:  # noqa: BLE001 — journal and continue
             rec = {
                 "name": name,

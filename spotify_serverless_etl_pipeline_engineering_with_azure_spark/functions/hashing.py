@@ -57,6 +57,15 @@ MINHASH_PARAMS: list[tuple[int, int]] = [
 ]
 # 16 hashes → 8 bands × 2 rows (r=2 keeps band-collision probability
 # j^2, high enough to surface candidates on low-similarity corpora).
+# Fixed-constant audit (round 7): (b, r) are SEMANTIC, not fan-out —
+# they define the LSH S-curve's match threshold t ≈ (1/b)^(1/r) ≈
+# 0.35, i.e. WHICH similarity level counts as a candidate pair, the
+# same class as k-means K=4. Deriving them from corpus size would
+# silently move the dedup threshold as data grows. The scale hazards
+# of banding live elsewhere and are handled there: bucket width is
+# capped + star-chained (plans/dedup.MINHASH_BUCKET_CAP), and the
+# posting-table join's fan-out is the (band, sig) key space, which
+# grows with the data, not a constant.
 MINHASH_ROWS_PER_BAND = 2
 MINHASH_N_BANDS = len(MINHASH_PARAMS) // MINHASH_ROWS_PER_BAND
 

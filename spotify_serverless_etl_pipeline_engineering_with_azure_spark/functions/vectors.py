@@ -107,6 +107,16 @@ def sql_cosine6(a: str, b: str) -> str:
 # better than brute force) and the (t, bucket) join develops 16 giant
 # skew groups. These constants are the deterministic test shape baked
 # into the oracle; production re-derives them from corpus cardinality.
+# Fixed-constant audit (round 7): these stay literal, on the k-means
+# K=4 precedent — bits/tables are RECALL hyperparameters (they decide
+# which candidates are scored, i.e. the answer; an oracle-mirrored
+# √N-style derivation would silently change recall as data grows,
+# which is a product decision, not a plan repair). The failure mode is
+# graceful (per-probe cost degrades toward a constant-factor-better
+# linear scan — the documented trade vs the brute-force baseline, not
+# a job-killing exchange), the 16 skew groups are AQE-splittable, and
+# the CORPUS-DERIVED ANN scale path is sim_ann_ivf, whose nlist/nprobe
+# already size themselves from the data.
 LSH_TABLES = 2
 PLANES_PER_TABLE = 4
 

@@ -123,6 +123,17 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF approximate nearest neighbors (the scale path beyond LSH)
 # ---------------------------------------------------------------------------
 _N_CENTROIDS_MIN = 8  # nlist floor: keeps tiny fixtures on a stable shape
+# Fixed-constant audit (round 7, the CELL_PAIR_SALTS sweep): the three
+# constants below are SEMANTIC, not fan-out sizing, so they stay
+# literal — unlike nlist/nprobe (corpus-derived, _ivf_k/_ivf_nprobe)
+# and the per-cell pair salts (width-derived, dedup._cell_salts_expr):
+# - _PROBE_MOD defines the test WORKLOAD (every 29th vector acts as a
+#   query), mirrored verbatim in the oracle; the probe set scales as
+#   N/29 and per-probe cost is what nlist/nprobe size. Changing it
+#   changes which question is asked, not how the plan scales.
+# - _TOPK is the user-requested k of the ANN query — an answer-shape
+#   parameter (WindowGroupLimit cuts it map-side at any value).
+# - _N_PROBE_MIN is a tiny-fixture floor, inactive past nlist=9.
 _PROBE_MOD = 29
 _TOPK = 3
 _N_PROBE_MIN = 3
@@ -262,16 +273,25 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
         # while the posting table scales like any keyed table and the
         # candidate expansion becomes a plain keyed join instead of an
         # explode of giant arrays.
-        cells = checkpoint_frame(_ivf_member_frame(spark, sf_dir), "ivf_cells")
-        probes = checkpoint_frame(
-            _ivf_probe_cells_frame(spark, sf_dir), "ivf_probes"
-        )
         from .similarity import vector_store
 
+        # Hyperparameters are INDEX PROPERTIES: derive k/nprobe from
+        # ONE corpus count at build time and carry them in the index
+        # dict — search (and the two frame builds) must never re-run
+        # the count job, exactly as a FAISS index stores its own
+        # nlist. (Previously each frame builder re-counted the store:
+        # two extra driver jobs per build, one per direct test call.)
+        k = _ivf_k(vector_store(spark, sf_dir).count())
+        nprobe = _ivf_nprobe(k)
+        cells = checkpoint_frame(_ivf_member_frame(spark, sf_dir, k), "ivf_cells")
+        probes = checkpoint_frame(
+            _ivf_probe_cells_frame(spark, sf_dir, k, nprobe), "ivf_probes"
+        )
         # The re-rank vector store is THE shared one (one checkpoint
         # for brute-force, SemDeDup, and IVF — not a private copy).
         return {"probes": probes, "cells": cells,
-                "vectors": vector_store(spark, sf_dir)}
+                "vectors": vector_store(spark, sf_dir),
+                "k": k, "nprobe": nprobe}
 
     return dataset_cached(
         _IVF_INDEX_CACHE,
@@ -286,7 +306,9 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
     )
 
 
-def _ivf_member_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_member_frame(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
     """PRE-checkpoint plan of the posting-table build: (vec_id, cid) —
     each corpus vector's TOP-1 cell. The K×dim codebook fold runs once
     per vector at build time, never per query: the broadcast-codebook
@@ -300,7 +322,9 @@ def _ivf_member_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import vector_store
 
     store = vector_store(spark, sf_dir)
-    cent = _broadcast_codebook(spark, sf_dir, _ivf_k(store.count()))
+    if k is None:  # direct (test) calls; _ivf_index passes its own k
+        k = _ivf_k(store.count())
+    cent = _broadcast_codebook(spark, sf_dir, k)
     return (
         store.crossJoin(cent)
         .select("vec_id", (-_codebook_sim()).alias("neg_sim"), "cid")
@@ -310,7 +334,12 @@ def _ivf_member_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_probe_cells_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_probe_cells_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
     """PRE-checkpoint plan of the probe assignment: (probe_id, cid) —
     each PROBE's nprobe nearest cells, one row per (probe, probed
     cell). Unlike the top-1 posting build, top-nprobe needs a ranked
@@ -321,7 +350,10 @@ def _ivf_probe_cells_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import vector_store
 
     store = vector_store(spark, sf_dir)
-    k = _ivf_k(store.count())
+    if k is None:  # direct (test) calls; _ivf_index passes its own k
+        k = _ivf_k(store.count())
+    if nprobe is None:
+        nprobe = _ivf_nprobe(k)
     cent = _broadcast_codebook(spark, sf_dir, k)
     w = Window.partitionBy("probe_id").orderBy("neg_sim", "cid")
     return (
@@ -333,7 +365,7 @@ def _ivf_probe_cells_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
         )
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _ivf_nprobe(k))
+        .filter(F.col("rn") <= nprobe)
         .select("probe_id", F.col("cid").cast("long").alias("cid"))
     )
 

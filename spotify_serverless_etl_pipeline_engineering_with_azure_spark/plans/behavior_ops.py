@@ -596,10 +596,25 @@ def events_point_in_time_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Salt fan-out for the skewed aggregation. 16 sub-keys per hot key is
-# enough to spread any single reducer's load at local scale; at cluster
-# scale this is sized to executor count / hot-key frequency.
-_AGG_SALT = 16
+# Salt fan-out floor for the skewed aggregation: the actual fan-out is
+# DERIVED from the session's parallelism (_agg_salts below) — round 7's
+# fixed-constant audit; a constant 16 leaves a 1000-core cluster 98%
+# idle during phase 1's hot-key reduction. The floor keeps tiny test
+# sessions on a stable multi-salt shape.
+_AGG_SALT_MIN = 16
+
+
+def _agg_salts(spark: SparkSession) -> int:
+    """Sub-keys per hot key = max(16, defaultParallelism): the goal of
+    aggregation salting is REDUCER OCCUPANCY, so the right size is the
+    cluster's core count, not the data (per-task load N/(keys·salts)
+    then shrinks as the cluster grows, exactly like map tasks). Salting
+    an aggregation — unlike the cell-pair JOIN salts in plans/dedup.py
+    — cannot change results at any value: phase-1 partials are exact
+    DECIMAL sums and counts, and their phase-2 merge is
+    order-independent, so the salt count is pure fan-out, derivable
+    with no oracle mirror."""
+    return max(_AGG_SALT_MIN, spark.sparkContext.defaultParallelism)
 
 
 @register(
@@ -617,9 +632,10 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l_returnflag has 3 values over the whole lineitem table — a direct
     groupBy funnels everything through 3 reducers. Phase 1 aggregates
-    on (key, salt) where salt = pmod(l_orderkey, 16) (deterministic —
-    no rand(), results reproducible), spreading each hot key over 16
-    reducers; phase 2 merges the 48 partial rows. Partial sums stay
+    on (key, salt) where salt = pmod(l_orderkey, _agg_salts(spark))
+    (deterministic — no rand(), results reproducible), spreading each
+    hot key over one sub-key per session core (parallelism-derived, see
+    _agg_salts); phase 2 merges the 3·salts partial rows. Partial sums stay
     DECIMAL until the final cast, so the result is bit-identical to the
     oracle's single-phase sum regardless of merge order. This is the
     aggregation-side counterpart of join_salted
@@ -629,7 +645,7 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey", "l_extendedprice")
     partial = (
-        li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(_AGG_SALT)))
+        li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(_agg_salts(spark))))
         .groupBy("l_returnflag", "salt")
         .agg(
             F.count(F.lit(1)).alias("pn"),

@@ -725,16 +725,54 @@ def _semdedup_member_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Salt fan-out for the within-cell self-join: one cell's pair
-# enumeration lands on CELL_PAIR_SALTS reduce tasks instead of one.
-# Production sizing rule: a cell of width w enumerates ~w²/2 pairs, so
-# pick salts ≈ w_max²/(2·target_rows_per_task) (e.g. a 10⁶-member junk
-# cell at 10⁸ rows/task → ~5000 salts); the real mitigation for
-# heavily skewed codebooks is upstream — _semdedup_k already sizes the
-# codebook as √(N/2) so w_max stays near √(2N); split pathological
-# cells before pairing. The salt only spreads the residual skew the
-# codebook cannot remove.
-CELL_PAIR_SALTS = 8
+# Work-granule target for the within-cell self-join: pair enumerations
+# per reduce task. Each pair costs one dim-wide dot fold (~µs of
+# codegen'd column arithmetic), so a 2M-pair task is seconds of CPU —
+# small enough to parallelize a hot cell, large enough that salting
+# never fragments a healthy cell. This is the one SEMANTIC constant of
+# the salting scheme (a per-task work budget, like a split size); the
+# FAN-OUT itself is derived per cell from measured widths below —
+# round 6's 100x probe showed what a fixed fan-out constant does once
+# data outgrows it (the K=8 codebooks: 78 GB of spill).
+TARGET_CELL_PAIRS_PER_TASK = 2_000_000
+
+
+def _cell_salts_expr(w):
+    """Per-cell salt count DERIVED from the cell's measured width w:
+
+        salts(w) = clamp(⌈w²/(2·TARGET_CELL_PAIRS_PER_TASK)⌉, 1, w)
+
+    A cell of width w enumerates ~w²/2 pairs; dividing by the per-task
+    pair budget spreads exactly the cells that need it (a 10⁶-member
+    junk cell → ~250 tasks of ~2·10⁹ pairs each at the 2M budget... no:
+    10¹²/2 pairs / 2M = 250,000 salts, capped at w=10⁶ — see the cap)
+    and leaves healthy ~√(2N)-wide cells unsalted (salts=1, no explode
+    overhead). The UPPER clamp at w bounds replication: the right side
+    replicates ×salts, so salts ≤ w keeps replicated rows ≤ w² ≈
+    2×pairs — the fan-out can never cost more than the work it spreads
+    (and salts > w is useless anyway: each left row owns one salt, so
+    at most w salt values are ever matched). Evaluated per cluster on
+    the broadcast width table, not collected to the driver."""
+    pairs_over_budget = F.ceil(
+        F.col(w) * F.col(w) / F.lit(2.0 * TARGET_CELL_PAIRS_PER_TASK)
+    )
+    return F.greatest(F.lit(1).cast("long"),
+                      F.least(F.col(w).cast("long"), pairs_over_budget))
+
+
+def _cell_salt_plan(member: DataFrame) -> DataFrame:
+    """(cluster, salts): the broadcast salt table the cell self-join
+    keys on — one row per cell (≤ K ≈ √(N/2) rows, broadcastable at
+    any corpus size), widths MEASURED from the checkpointed assignment
+    table with a plain count aggregate, salts derived by
+    _cell_salts_expr. No driver job: the width stats ride the query
+    plan as a broadcast-exchange subtree, the same pre-collection
+    discipline as the MinHash width-stats semi-join."""
+    return F.broadcast(
+        member.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("cluster", _cell_salts_expr("w").alias("salts"))
+    )
 
 
 def _cell_pair_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -763,13 +801,18 @@ def _cell_pair_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers reduce the pair stream map-side (filter ≥ τ, or partial
     max per vb) before anything else is exchanged.
 
-    Hot cells get the join_salted treatment, implemented here: the left
-    side carries salt = vec_id % CELL_PAIR_SALTS, the right side
-    replicates ×CELL_PAIR_SALTS, and the join keys on (cluster, salt) —
-    every same-cell pair still appears exactly once (each left row owns
-    one salt; the right copy with the matching salt provides the pair),
-    but one skewed cell's pair enumeration now spreads across
-    CELL_PAIR_SALTS reduce tasks instead of serializing on one.
+    Hot cells get the join_salted treatment, implemented here with a
+    fan-out DERIVED from each cell's measured width (never a constant —
+    the round-6 probe's lesson): a broadcast (cluster, salts) table
+    (_cell_salt_plan) joins both sides map-side; the left row carries
+    salt = vec_id % salts_c, the right row replicates ×salts_c via an
+    exploded sequence, and the pair join keys on (cluster, salt). Every
+    same-cell pair still appears exactly once (each left row owns one
+    salt value; the right copy with the matching salt provides the
+    pair), healthy cells pay nothing (salts_c=1, a single-element
+    explode), and a pathological cell — a skew-collapsed codebook can
+    funnel most of the corpus into one cell — spreads its ~w²/2 pairs
+    across ⌈w²/2·budget⌉ reduce tasks instead of serializing on one.
     """
     from ..functions.vectors import dot, round6
 
@@ -777,11 +820,12 @@ def _cell_pair_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     member = _semdedup_member(spark, sf_dir)
     store = vector_store(spark, sf_dir)
-    attached = member.join(store, "vec_id")
+    salts = _cell_salt_plan(member)
+    attached = member.join(store, "vec_id").join(salts, "cluster")
     a = attached.select(
         F.col("cluster").alias("ca"),
         F.col("vec_id").alias("va"),
-        (F.col("vec_id") % CELL_PAIR_SALTS).cast("int").alias("sa"),
+        (F.col("vec_id") % F.col("salts")).cast("int").alias("sa"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
@@ -790,7 +834,10 @@ def _cell_pair_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
-    ).withColumn("sb", F.explode(F.array(*[F.lit(i) for i in range(CELL_PAIR_SALTS)])))
+        F.explode(
+            F.sequence(F.lit(0), (F.col("salts") - 1).cast("int"))
+        ).alias("sb"),
+    )
     cs = round6(
         dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     )

@@ -27,14 +27,25 @@ CHUNK_S = 24
 # Sequence packing: shard the corpus, pack each shard into 512-token
 # training sequences by cumulative offset.
 PACK_BUDGET = 512
-# Shard count for sequence packing. 8 is the DETERMINISTIC TEST SHAPE
-# (the oracle replays the same constant); shard count changes bin
-# assignments, so it is part of the result contract, not a tuning knob.
-# At cluster scale this must be sized to the data — shards ≈ corpus
-# tokens / (tokens one task can sort), e.g. thousands at 100 TB — or
-# the per-shard running-sum window funnels corpus/PACK_SHARDS rows
-# through each of only 8 tasks (same sizing note as _AGG_SALT).
-PACK_SHARDS = 8
+# Sequence-packing shard sizing (round 7's fixed-constant audit: the
+# old fixed PACK_SHARDS=8 documented "production sizes it to the data"
+# without implementing it — the same pattern as the round-6 codebook
+# cliff, here funneling corpus/8 rows through each window-sort task).
+# Shard count is now DERIVED from the corpus and MIRRORED in the
+# oracle: shards = max(8, ⌈n_docs / PACK_DOCS_PER_SHARD⌉). Shard count
+# changes bin assignments, so the derivation (same IEEE division, same
+# ceil) is part of the result contract on both engines, exactly like
+# _semdedup_k. The floor keeps every test/recorded scale (≤500k docs)
+# on the historical 8-shard shape.
+PACK_SHARDS_MIN = 8
+# Docs one window task sorts: 64k docs × ~10² tokens ≈ a few MB of
+# sort state — the per-task work granule (semantic budget; the FAN-OUT
+# derives from it and the measured corpus).
+PACK_DOCS_PER_SHARD = 65536
+_SQL_PACK_SHARDS = (
+    f"(SELECT GREATEST({PACK_SHARDS_MIN}, "
+    f"CAST(CEIL(COUNT(*) / {PACK_DOCS_PER_SHARD}.0) AS BIGINT)) FROM documents)"
+)
 
 # Deterministic stratified sampling rates (percent kept) per language:
 # downsample the over-represented language, keep low-resource ones.
@@ -109,7 +120,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_pack_sequences",
     oracle=f"""
 WITH sized AS (
-  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+  SELECT doc_id, doc_id % {_SQL_PACK_SHARDS} AS shard,
          CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
   FROM documents
 ),
@@ -139,16 +150,23 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: sharding parallelizes the running sum — each
     shard's window sorts only its own rows (one shuffle on shard),
-    never a global order — PROVIDED the shard count is sized to the
-    data (see the PACK_SHARDS note: 8 is the deterministic test shape
-    and is part of the result contract; production sizes it so one
-    shard fits one task's sort budget). fill_ratio divides by a
-    power of two, so the double is exact in both engines.
+    never a global order — and the shard count is SIZED TO THE DATA:
+    max(8, ⌈n_docs/64k⌉), computed from a broadcast 1-row count (no
+    driver job, no collect) and mirrored in the oracle as a subquery,
+    so one shard is always one task-sized sort no matter how the
+    corpus grows. fill_ratio divides by a power of two, so the double
+    is exact in both engines.
     """
     docs = table(spark, sf_dir, "documents")
-    sized = docs.select(
+    n_shards = F.greatest(
+        F.lit(PACK_SHARDS_MIN).cast("long"),
+        F.ceil(F.col("_n_docs") / F.lit(float(PACK_DOCS_PER_SHARD))),
+    )
+    sized = docs.crossJoin(
+        F.broadcast(docs.groupBy().agg(F.count(F.lit(1)).alias("_n_docs")))
+    ).select(
         "doc_id",
-        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        (F.col("doc_id") % n_shards).alias("shard"),
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
     w = (

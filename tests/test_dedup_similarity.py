@@ -690,3 +690,108 @@ def test_session_uuid_fallback_never_aliases_sequential_sessions():
     gc.collect()
     # weak keys: dead sessions must not linger in the memo table
     assert len(catalog._FALLBACK_SESSION_IDS) == baseline
+
+
+def test_cell_salts_derivation_math(spark):
+    """The per-cell salt count is DERIVED from measured width by
+    salts(w) = clamp(ceil(w^2 / (2*budget)), 1, w) — pin the arithmetic
+    at the default 2M-pair budget: healthy ~sqrt(2N) cells stay
+    unsalted (salts=1), a 10^6-member junk cell fans out to 250k tasks,
+    and the upper clamp at w bounds replication by the work spread."""
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.dedup import (
+        _cell_salts_expr,
+    )
+
+    widths = [1, 10, 2000, 2001, 3000, 100_000, 1_000_000]
+    df = spark.createDataFrame([(w,) for w in widths], "w long")
+    got = {r.w: r.salts for r in df.select("w", _cell_salts_expr("w").alias("salts")).collect()}
+    import math
+
+    budget2 = 2.0 * 2_000_000
+    for w in widths:
+        expect = max(1, min(w, math.ceil(w * w / budget2)))
+        assert got[w] == expect, f"w={w}: got {got[w]}, expected {expect}"
+    assert got[2000] == 1 and got[2001] == 2  # the salting threshold
+    assert got[1_000_000] == 250_000
+
+
+def test_giant_cell_trips_derived_salting_and_stays_correct(
+    spark, tmp_path, monkeypatch
+):
+    """One-giant-cell fixture (the round-6 verdict's ask): a
+    skew-collapsed codebook — centroid 0 along e0, centroids 1..K-1
+    along e1, every corpus vector along e0 — funnels the whole corpus
+    into cell 0. The derived salting must TRIP (salts > 1 for that
+    cell, from MEASURED width, no constant), and the registered
+    embedding-family queries must stay hash-identical to their DuckDB
+    oracles on the same fixture: per-cell salting changes the fan-out,
+    never the pair set."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans import dedup as _dedup
+    from tests.oracle_mirror import compare
+
+    N, DIM = 260, 8
+    K = _dedup._semdedup_k(N)
+    vecs = np.zeros((N, DIM), dtype=np.float32)
+    vecs[0, 0] = 1.0
+    for j in range(1, K):  # decoy centroids: orthogonal to the corpus
+        vecs[j, 1] = 1.0
+        vecs[j, 3] = j * 1e-4  # distinct, so no cosine ties anywhere
+    for i in range(K, N):  # the corpus: all nearest to centroid 0
+        vecs[i, 0] = 1.0
+        vecs[i, 2] = (i + 1) * 1e-4
+    ds = tmp_path / "giant"
+    ds.mkdir()
+    flat = pa.array(vecs.reshape(-1), type=pa.float32())
+    emb = pa.ListArray.from_arrays(
+        pa.array(range(0, (N + 1) * DIM, DIM), type=pa.int32()), flat
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(N), type=pa.int64()),
+                "embedding": emb,
+                "label": pa.array([0] * N, type=pa.int32()),
+            }
+        ),
+        f"{ds}/embeddings.parquet",
+    )
+
+    # Shrink the per-task pair budget so the ~250-wide cell crosses the
+    # salting threshold at test size (the derivation rule under test is
+    # scale-free; the budget is the one semantic constant).
+    monkeypatch.setattr(_dedup, "TARGET_CELL_PAIRS_PER_TASK", 500)
+
+    member = _dedup._semdedup_member(spark, str(ds))
+    widths = {
+        r.cluster: r.w
+        for r in member.groupBy("cluster").agg(F.count(F.lit(1)).alias("w")).collect()
+    }
+    giant_w = max(widths.values())
+    assert giant_w == N - K + 1, f"fixture failed to collapse: {widths}"
+    salts = {
+        r.cluster: r.salts for r in _dedup._cell_salt_plan(member).collect()
+    }
+    giant_cell = max(widths, key=widths.get)
+    assert salts[giant_cell] > 1, (
+        f"derived salting did not trip on a {giant_w}-wide cell: {salts}"
+    )
+    assert salts[giant_cell] == min(
+        giant_w, -(-giant_w * giant_w // (2 * 500))
+    )
+
+    # Both engines, both family members, on the skewed fixture.
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{ds}/embeddings.parquet')"
+    )
+    for name in ("dedup_embedding_cosine", "dedup_semdedup"):
+        pdf = ALL[name].fn(spark, str(ds)).toPandas()
+        odf = con.execute(ALL[name].oracle).fetchdf()
+        problems = compare(pdf, odf)
+        assert not problems, f"{name} diverged on the giant-cell fixture: {problems}"
+        assert len(pdf) > 0

@@ -154,10 +154,12 @@ def test_index_build_plans_no_cartesian(spark, name):
 
 
 def test_embedding_cosine_is_candidate_guarded(spark):
-    """Exact cosine must run on SemDeDup-cell candidate pairs attached
-    by vec_id equi-joins — the all-pairs theta-join form (a
-    BroadcastNestedLoopJoin, quadratic on a full corpus) must not
-    come back."""
+    """Exact cosine must run on SemDeDup-cell candidate pairs whose
+    vectors RIDE the cell self-join itself (_cell_pair_cosines: each
+    side carries its embedding+norm into the cluster-keyed join, the
+    cosine is computed in the join's output pipeline) — the all-pairs
+    theta-join form (a BroadcastNestedLoopJoin, quadratic on a full
+    corpus) must not come back."""
     plan = _plan(spark, "dedup_embedding_cosine")
     assert "BroadcastNestedLoopJoin" not in plan, (
         f"dedup_embedding_cosine regressed to all-pairs:\n{plan}"
@@ -183,13 +185,25 @@ def test_chunk_windows_is_shuffle_free(spark):
 
 
 def test_pack_sequences_shuffles_only_on_shard(spark):
-    """Sharded packing: the window runs per shard — exactly one
-    hash-partitioned exchange on shard feeds the sort, plus the final
-    (shard, bin) aggregation exchange; never a single-partition global
-    sort."""
+    """Sharded packing: the window runs per shard — a hash-partitioned
+    exchange on shard feeds the sort, plus the final (shard, bin)
+    aggregation exchange; never a single-partition global sort. A
+    SinglePartition exchange is allowed ONLY for the 1-row corpus count
+    that derives the shard fan-out (it must not feed a Sort)."""
     plan = _plan(spark, "corpus_pack_sequences")
-    assert "SinglePartition" not in plan, "packing must not serialize globally"
     assert "hashpartitioning(shard" in plan, "window should partition by shard"
+    # Simple mode keeps "Exchange SinglePartition" on one line, so the
+    # tree shape is assertable: exactly one global stage (the 1-row
+    # count), and no Sort may consume it — a Sort whose direct child is
+    # the SinglePartition exchange is the serialized-global-sort shape
+    # this test exists to forbid.
+    df = registry.queries()["corpus_pack_sequences"](spark, SF_SMOKE)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    splan = df._jdf.queryExecution().explainString(jmode)
+    assert splan.count("Exchange SinglePartition") == 1, splan
+    assert not re.search(
+        r"Sort \[[^\n]*\n\s*\+- Exchange SinglePartition", splan
+    ), f"global sort detected:\n{splan}"
 
 
 def test_repetition_signals_partial_aggregation(spark):

@@ -64,6 +64,7 @@ def run_oracle_check(spark, sf_dir, name, df, oracle_sql, duckdb_mem="24GB"):
 
     con = duckdb_conn(sf_dir)
     con.execute(f"SET memory_limit='{duckdb_mem}'")
+    con.execute("SET threads=16")
     spill = "/tmp/probe_duck_spill"
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
@@ -98,11 +99,20 @@ def run_oracle_check(spark, sf_dir, name, df, oracle_sql, duckdb_mem="24GB"):
             **({"problems": [p[:300] for p in problems]} if problems else {}),
         }
     # Key-sampled value comparison: same integer-column predicate on
-    # both engines; counts were already compared in full above.
-    key = next(
-        (c for c in sorted(odf.columns) if str(odf[c].dtype).startswith("int")),
-        None,
-    )
+    # both engines; counts were already compared in full above. Keys
+    # are tried id-like-first and MUST select a non-empty sample — a
+    # low-cardinality count column (e.g. n_events) can hash-sample
+    # zero rows, which would silently reduce the check to counts-only.
+    int_cols = [c for c in sorted(odf.columns) if str(odf[c].dtype).startswith("int")]
+    candidates = [c for c in int_cols if c.endswith("_id") or c.endswith("key")] + [
+        c for c in int_cols if not (c.endswith("_id") or c.endswith("key"))
+    ]
+    key, odf_s = None, None
+    for c in candidates:
+        s = odf[odf[c] % SAMPLE_MOD == 0]
+        if len(s):
+            key, odf_s = c, s.reset_index(drop=True)
+            break
     if key is None:
         pdf = df.toPandas()
         problems = compare(pdf, odf)
@@ -113,7 +123,6 @@ def run_oracle_check(spark, sf_dir, name, df, oracle_sql, duckdb_mem="24GB"):
             **({"problems": [p[:300] for p in problems]} if problems else {}),
         }
     pdf = df.filter((F.col(key) % SAMPLE_MOD) == 0).toPandas()
-    odf_s = odf[odf[key] % SAMPLE_MOD == 0].reset_index(drop=True)
     problems = compare(pdf, odf_s)
     return {
         "mode": "oracle-sampled",

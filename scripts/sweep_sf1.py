@@ -97,7 +97,12 @@ def main() -> int:
 
     con = duckdb_conn(args.sf_dir)
     con.execute(f"SET memory_limit='{args.duckdb_mem}'")
-    spill = f"/tmp/sf1_duck_spill_shard{args.shard}"
+    # PID-unique spill dir: two sweep processes given the same shard
+    # number (e.g. two --only runs over different members) must never
+    # share a DuckDB temp dir — concurrent instances clobber each
+    # other's temp files (observed: one oracle died mid-read, another
+    # crashed on a temp-file remove, 2.3 h of recursive-CTE work lost).
+    spill = f"/tmp/sf1_duck_spill_shard{args.shard}_{os.getpid()}"
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
 

@@ -90,6 +90,63 @@ def union_find_components(doc_a: np.ndarray, doc_b: np.ndarray):
     return verts, verts[roots]
 
 
+def _vec_round_half_up(y: np.ndarray) -> np.ndarray:
+    """Vectorized HALF_UP at scale 0 of non-negative doubles, exactly
+    matching Spark's ROUND (BigDecimal HALF_UP on the double's exact
+    binary expansion). floor(y + 0.5) is correct whenever the addition
+    cannot cross an integer boundary — guaranteed here for entries with
+    |frac(y) - 0.5| >= 1e-6, since ulp(y + 0.5) < 1e-6 for every y this
+    script feeds in (<= ~1e9). Entries within 1e-6 of a tie fall back
+    to decimal.Decimal on the exact expansion (the same rule
+    scripts/self_checks.py::_round_half_up uses), so a value exactly ON
+    or within an ulp of a .5 boundary never double-rounds."""
+    import decimal
+
+    out = np.floor(y + 0.5)
+    frac = y - np.floor(y)
+    suspects = np.flatnonzero(np.abs(frac - 0.5) < 1e-6)
+    for i in suspects:
+        out[i] = float(
+            decimal.Decimal(float(y[i])).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+    return out
+
+
+def _pagerank_reference(
+    verts: np.ndarray, doc_a: np.ndarray, doc_b: np.ndarray
+) -> np.ndarray:
+    """Full-population numpy mirror of graph_pagerank_neardup /
+    _pagerank_oracle: 3 damped iterations over the undirected candidate
+    graph with the engines' exact per-iteration quantization — ranks
+    HALF_UP at 6dp (multiply-first), per-edge contributions HALF_UP at
+    9dp as integer nanounits, per-vertex sums exact (every partial is
+    an integer < 2^53, so float64 bincount accumulation is exact in any
+    order — the same argument that makes the engines' DECIMAL(28,12)
+    sums order-independent). IEEE op ORDER mirrors the engine
+    expression tree: (r / deg) * 1e9, base + (damping * contrib)."""
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.dedup import (
+        PR_DAMPING,
+        PR_ITERS,
+    )
+
+    src = np.searchsorted(verts, np.concatenate([doc_a, doc_b]))
+    dst = np.searchsorted(verts, np.concatenate([doc_b, doc_a]))
+    # distinct directed edges (the engine/oracle UNION both directions)
+    directed = np.unique(np.stack([src, dst], axis=1), axis=0)
+    src, dst = directed[:, 0], directed[:, 1]
+    n = len(verts)
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    r = np.full(n, _vec_round_half_up(np.array([1.0 / n * 1e6]))[0] / 1e6)
+    base = (1.0 - PR_DAMPING) / float(n)
+    for _ in range(PR_ITERS):
+        c_nano = _vec_round_half_up(r[src] / deg[src] * 1e9)
+        contrib = np.bincount(dst, weights=c_nano, minlength=n) / 1e9
+        r = _vec_round_half_up((base + PR_DAMPING * contrib) * 1e6) / 1e6
+    return r
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/sf3")
@@ -97,6 +154,15 @@ def main() -> int:
     ap.add_argument("--duckdb-mem", default="24GB")
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--out", default="/tmp/cc_unionfind.jsonl")
+    ap.add_argument(
+        "--pagerank",
+        action="store_true",
+        help="also recompute graph_pagerank_neardup FULL-POPULATION from "
+        "the same edge set (numpy mirror of the oracle's quantized "
+        "iterations: 6dp half-up ranks, 9dp integer-nanounit "
+        "contributions summed exactly) and compare every rank "
+        "bit-identical against the engine",
+    )
     ap.add_argument(
         "--compare-engine-pairs",
         action="store_true",
@@ -216,6 +282,28 @@ def main() -> int:
         "unionfind": want,
         "detail": "counts derived from union-find + parquet footer row count",
     }
+
+    # --- check 3 (optional): full-population PageRank ---------------------
+    if args.pagerank:
+        t0 = time.time()
+        pr = qs["graph_pagerank_neardup"](spark, args.sf_dir).toPandas()
+        rec["engine_pr_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        want_r = _pagerank_reference(verts, doc_a, doc_b)
+        pr = pr.sort_values("doc_id")
+        ok_pr = (
+            len(pr) == len(verts)
+            and bool(np.array_equal(pr["doc_id"].to_numpy(np.int64), verts))
+            and bool(np.array_equal(pr["pagerank"].to_numpy(np.float64), want_r))
+        )
+        rec["checks"]["pagerank"] = {
+            "status": "pass" if ok_pr else "fail",
+            "ranks_compared": int(len(pr)),
+            "recompute_s": round(time.time() - t0, 2),
+            "detail": "full-population bit-identical quantized ranks"
+            if ok_pr
+            else f"mismatch: {int((pr['pagerank'].to_numpy(np.float64) != want_r).sum()) if len(pr) == len(verts) else 'vertex set differs'}",
+        }
 
     rec["status"] = (
         "pass" if all(c["status"] == "pass" for c in rec["checks"].values()) else "fail"

@@ -182,6 +182,7 @@ def main() -> int:
         SparkSession.builder.master(f"local[{args.cores}]")
         .config("spark.sql.shuffle.partitions", str(max(16, args.cores * 2)))
         .config("spark.driver.memory", "24g")
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.local.dir", f"/tmp/annfull_spark_{os.getpid()}")

@@ -19,7 +19,8 @@ search contract as the registered oracle SQL defines it:
   every vec_id % 29 == 0 with their top-nprobe cells; candidates =
   members of probed cells minus the probe; top-3 by
   (cos_sim DESC, neighbor_id) — every probe's every rank compared.
-- sign-LSH: 2 tables × 4 ±1-hyperplane bits; probe set vec_id < 20;
+- sign-LSH: 2 tables × 4 ±1-hyperplane bits; probe/top-k contract
+  imported from plans.similarity (LSH_PROBE_LIMIT / LSH_TOPK);
   candidates = bucket collision in ANY table (per-pair MAX dedupes);
   top-3 by (cos_sim DESC, neighbor_id).
 
@@ -109,6 +110,10 @@ def reference_lsh(sf_dir: str) -> list[tuple]:
         LSH_TABLES,
         _table_planes,
     )
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.similarity import (
+        LSH_PROBE_LIMIT,
+        LSH_TOPK,
+    )
 
     vec_ids, E, nrm = load_store(sf_dir)
     buckets = []
@@ -122,7 +127,7 @@ def reference_lsh(sf_dir: str) -> list[tuple]:
             b += np.where(proj > 0, 1 << kbit, 0)
         buckets.append(b)
 
-    probe_idx = np.flatnonzero(vec_ids < 20)
+    probe_idx = np.flatnonzero(vec_ids < LSH_PROBE_LIMIT)
     rows: list[tuple] = []
     for i in probe_idx:
         cand_mask = np.zeros(len(vec_ids), dtype=bool)
@@ -133,11 +138,11 @@ def reference_lsh(sf_dir: str) -> list[tuple]:
         if not len(cand):
             continue
         cos = _cos6_one_to_many(E[i], nrm[i], E[cand], nrm[cand])
-        rows.extend(_topk_rows(vec_ids[i], vec_ids[cand], cos, 3))
+        rows.extend(_topk_rows(vec_ids[i], vec_ids[cand], cos, LSH_TOPK))
     return rows
 
 
-def _compare(name, pdf, ref_rows, rank_col):
+def _compare(pdf, ref_rows, rank_col):
     got = sorted(
         zip(
             pdf["probe_id"].astype("int64"),
@@ -197,15 +202,13 @@ def main() -> int:
     ivf = qs["sim_ann_ivf"](spark, args.sf_dir).toPandas()
     rec["engine_ivf_s"] = round(time.time() - t0, 2)
     rank_col = "rk" if "rk" in ivf.columns else "rank"
-    rec["checks"]["sim_ann_ivf"] = _compare("sim_ann_ivf", ivf, ref_ivf, rank_col)
+    rec["checks"]["sim_ann_ivf"] = _compare(ivf, ref_ivf, rank_col)
 
     t0 = time.time()
     lsh = qs["sim_ann_lsh_bucketed"](spark, args.sf_dir).toPandas()
     rec["engine_lsh_s"] = round(time.time() - t0, 2)
     rank_col = "rk" if "rk" in lsh.columns else "rank"
-    rec["checks"]["sim_ann_lsh_bucketed"] = _compare(
-        "sim_ann_lsh_bucketed", lsh, ref_lsh, rank_col
-    )
+    rec["checks"]["sim_ann_lsh_bucketed"] = _compare(lsh, ref_lsh, rank_col)
 
     rec["status"] = (
         "pass" if all(c["status"] == "pass" for c in rec["checks"].values()) else "fail"

@@ -94,11 +94,17 @@ def load_store(sf_dir: str):
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.chunk(0)
     dim = len(emb[0])
-    vals = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    # .flatten() honors the array offset; .values would silently
+    # misalign every vector on a sliced/offset chunk
+    vals = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     E = vals.reshape(len(vec_ids), dim)
     order = np.argsort(vec_ids, kind="stable")
     vec_ids, E = vec_ids[order], E[order]
     nrm = np.sqrt(seq_fold_rows(E, E))
+    # a zero norm would propagate NaN through the quantized cosines,
+    # and the mirror's argmax/strict-> NaN handling differs from the
+    # engines' — fail loudly on degenerate input instead
+    assert (nrm > 0).all(), "zero-norm embedding in store"
     return vec_ids, E, nrm
 
 
@@ -111,7 +117,7 @@ def assign_cells(vec_ids, E, nrm, k: int) -> np.ndarray:
     n = len(vec_ids)
     best_sim = np.full(n, -np.inf)
     best_cid = np.zeros(n, dtype=np.int64)
-    blk = max(1, int(2e7) // n) or 1
+    blk = max(1, int(2e7) // n)
     for j0 in range(0, len(cids), blk):
         j1 = min(j0 + blk, len(cids))
         acc = np.zeros((n, j1 - j0), dtype=np.float64)

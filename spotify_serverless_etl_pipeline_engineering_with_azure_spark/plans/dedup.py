@@ -744,17 +744,26 @@ def _cell_salts_expr(w):
 
     A cell of width w enumerates ~w²/2 pairs; dividing by the per-task
     pair budget spreads exactly the cells that need it (a 10⁶-member
-    junk cell → ~250 tasks of ~2·10⁹ pairs each at the 2M budget... no:
-    10¹²/2 pairs / 2M = 250,000 salts, capped at w=10⁶ — see the cap)
-    and leaves healthy ~√(2N)-wide cells unsalted (salts=1, no explode
-    overhead). The UPPER clamp at w bounds replication: the right side
-    replicates ×salts, so salts ≤ w keeps replicated rows ≤ w² ≈
-    2×pairs — the fan-out can never cost more than the work it spreads
-    (and salts > w is useless anyway: each left row owns one salt, so
-    at most w salt values are ever matched). Evaluated per cluster on
-    the broadcast width table, not collected to the driver."""
+    junk cell derives 10¹²/2 pairs ÷ 2M budget = 250,000 salts, capped
+    at w = 10⁶ — see the cap) and leaves healthy ~√(2N)-wide cells
+    unsalted (salts=1, no explode overhead). The UPPER clamp at w
+    bounds replication: the right side replicates ×salts, so salts ≤ w
+    keeps replicated rows ≤ w² ≈ 2×pairs — the fan-out can never cost
+    more than the work it spreads (and salts > w is useless anyway:
+    each left row owns one salt, so at most w salt values are ever
+    matched). Evaluated per cluster on the broadcast width table, not
+    collected to the driver.
+
+    The width is cast to DOUBLE before squaring: a long×long square
+    overflows int64 at w ≥ ~3.04e9 — under Spark 4's default ANSI mode
+    that is a job-killing error in exactly the pathological-giant-cell
+    regime the derivation exists for (a skew-collapsed codebook over a
+    10¹⁰⁺-vector corpus). Salt counts need no integer exactness; the
+    double square is exact to 2⁵³ pairs and merely approximate beyond,
+    which only perturbs the task-budget rounding."""
+    w_dbl = F.col(w).cast("double")
     pairs_over_budget = F.ceil(
-        F.col(w) * F.col(w) / F.lit(2.0 * TARGET_CELL_PAIRS_PER_TASK)
+        w_dbl * w_dbl / F.lit(2.0 * TARGET_CELL_PAIRS_PER_TASK)
     )
     return F.greatest(F.lit(1).cast("long"),
                       F.least(F.col(w).cast("long"), pairs_over_budget))

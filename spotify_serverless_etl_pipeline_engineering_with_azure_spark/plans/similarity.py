@@ -43,6 +43,12 @@ _COS6_PE_C = sql_cosine6("pe", "c.embedding")
 TOPK = 5
 N_PROBES = 10
 
+# sign-LSH search contract — shared by the registered query, its DuckDB
+# oracle, and scripts/verify_ann_full.py's full-population mirror, so a
+# product-constant change cannot silently drift the verifier.
+LSH_PROBE_LIMIT = 20
+LSH_TOPK = 3
+
 
 _VECTOR_STORE_CACHE: dict[tuple, DataFrame] = {}
 
@@ -175,7 +181,7 @@ def _lsh_scored_sql(t: int) -> str:
          {_COS6_PE_C} AS cos_sim
   FROM (SELECT vec_id AS probe_id, embedding AS pe,
                {sql_lsh_bucket("embedding", t)} AS bucket
-        FROM embeddings WHERE vec_id < 20) p
+        FROM embeddings WHERE vec_id < {LSH_PROBE_LIMIT}) p
   JOIN (SELECT vec_id, embedding, {sql_lsh_bucket("embedding", t)} AS bucket
         FROM embeddings) c
     ON c.bucket = p.bucket AND c.vec_id <> probe_id"""
@@ -195,7 +201,7 @@ SELECT probe_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
   SELECT probe_id, neighbor_id, cos_sim,
          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rank
   FROM scored
-) WHERE rank <= 3
+) WHERE rank <= {LSH_TOPK}
 """,
     tags=("similarity", "ann", "lsh"),
 )
@@ -213,7 +219,7 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup_similarity.py.
     """
     buckets = _lsh_index(spark, sf_dir)
-    probes = buckets.filter(F.col("vec_id") < 20).select(
+    probes = buckets.filter(F.col("vec_id") < LSH_PROBE_LIMIT).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
         F.col("nrm").alias("pnrm"),
@@ -240,7 +246,7 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.select("probe_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank") <= 3)
+        .filter(F.col("rank") <= LSH_TOPK)
     )
 
 

@@ -702,17 +702,26 @@ def test_cell_salts_derivation_math(spark):
         _cell_salts_expr,
     )
 
-    widths = [1, 10, 2000, 2001, 3000, 100_000, 1_000_000]
+    # 2^32 and 3.1e9 are past the int64-square overflow point (long w*w
+    # overflows at w >= ~3.04e9, an ANSI-mode job-killer before the
+    # expression cast its width to double) — the derivation must
+    # survive exactly the pathological-giant-cell regime it exists for.
+    widths = [1, 10, 2000, 2001, 3000, 100_000, 1_000_000,
+              2**32, 3_100_000_000]
     df = spark.createDataFrame([(w,) for w in widths], "w long")
     got = {r.w: r.salts for r in df.select("w", _cell_salts_expr("w").alias("salts")).collect()}
     import math
 
     budget2 = 2.0 * 2_000_000
     for w in widths:
-        expect = max(1, min(w, math.ceil(w * w / budget2)))
+        # mirror the engine's double-square (w^2 > 2^53 rounds)
+        expect = max(1, min(w, math.ceil(float(w) * float(w) / budget2)))
         assert got[w] == expect, f"w={w}: got {got[w]}, expected {expect}"
     assert got[2000] == 1 and got[2001] == 2  # the salting threshold
     assert got[1_000_000] == 250_000
+    # past w = sqrt(2*budget*w) the pair count outruns the width and
+    # the upper clamp holds: replication never exceeds the work spread
+    assert got[2**32] == 2**32
 
 
 def test_giant_cell_trips_derived_salting_and_stays_correct(

@@ -1552,10 +1552,12 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 + min(ma−ia, mb−ib) common shingles, which must reach
     t/(1+t)·(ma+mb); the pair's first common prefix shingle carries
     the maximal — and valid — bound, so keeping pairs where ANY shared
-    row passes loses no true pair). Verification computes exact
-    Jaccard on survivors with one aggregation over the shared-shingle
-    join. Integer-over-integer division makes the threshold decision
-    engine-exact.
+    row passes loses no true pair). Verification attaches each side's
+    sorted shingle-set array and counts the exact intersection row-
+    locally (size(array_intersect)) — see the plan note at the joined
+    frame for why this beats the token-level shared-shingle join by
+    ~|S|× in shuffled rows. Integer-over-integer division makes the
+    threshold decision engine-exact.
 
     Honest quadratic contract: a cluster of k docs that genuinely ARE
     mutually near-identical (templated boilerplate differing by a
@@ -1644,27 +1646,49 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # persisted(): both join sides (ma/mb) consume the per-doc size
-    # aggregate — uncached, its shuffle over the shingle stream runs
-    # twice. Dataset-freshness-keyed, so repeat calls reuse one cached
-    # frame instead of registering a per-call CacheManager entry rooted
-    # in that call's toks checkpoint.
-    sizes = persisted(
+    # Verification attaches each doc's SORTED SHINGLE-SET ARRAY to the
+    # candidate pair (two corpus-sized attach joins against a per-doc
+    # profile table) and counts the intersection MAP-SIDE with
+    # size(array_intersect) — never the token-level shared-shingle
+    # join it replaced (cand ⋈ toks_a on doc_a ⋈ toks_b on (doc_b,sh)
+    # + groupBy): that plan shuffles Σ_cand |S_a| TOKEN rows — ~|S|×
+    # more rows than candidates (measured at sf1: 7.0M verified pairs
+    # × ~53 shingles ≈ 370M intermediate rows; at sf10 ~37e9 rows /
+    # ~1.8 TB of shuffle — a host-killer locally and the dominant
+    # wire cost on a cluster). The array form shuffles only the pair
+    # stream (16 B/row) plus one corpus-sized profile row per attach;
+    # the ~|S| intersection work per pair still happens, but as
+    # codegen'd row-local array ops, not exchanged rows. collect_set
+    # here is PER-DOC (bounded by document token count), not a bucket
+    # expansion — candidate pairs still stream from the join above.
+    # AQE broadcasts the profile side while it fits and degrades to a
+    # shuffle join as the corpus grows (never a forced broadcast of a
+    # growing side).
+    profiles = persisted(
         spark,
         sf_dir,
         ("documents.parquet",),
-        "pf_sizes",
-        lambda: toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m")),
-    )
-    shared = (
-        cand.join(toks.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
-        .join(toks.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        "pf_profiles",
+        lambda: toks.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("sh")).alias("shs")
+        ),
     )
     joined = (
-        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb")), "doc_b")
+        cand.join(
+            profiles.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            profiles.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("n_common"),
+            F.size("sa").alias("ma"),
+            F.size("sb").alias("mb"),
+        )
         .withColumn("n_union", F.col("ma") + F.col("mb") - F.col("n_common"))
         .withColumn(
             "jaccard",

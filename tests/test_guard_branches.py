@@ -342,9 +342,17 @@ def test_prefix_filter_hot_cluster_streams_all_pairs(spark, boilerplate_dir):
     assert set(pdf.jaccard) == {1.0}
     df = registry.queries()["dedup_prefix_filter_jaccard"](spark, boilerplate_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "collect_list" not in plan, (
-        "prefix-filter candidates regressed to an array bucket expansion"
-    )
+    # A collect over a SHINGLE/bucket key is the regression (one
+    # k²/2-struct array row per hot bucket); a collect grouped by
+    # doc_id is the verification profile array, bounded by document
+    # token count. Every collect aggregation in the plan must be
+    # keyed on doc_id.
+    for line in plan.splitlines():
+        if "collect_list" in line or "collect_set" in line:
+            assert "doc_id" in line.split("functions=")[0], (
+                "prefix-filter candidates regressed to an array bucket "
+                f"expansion: {line.strip()[:200]}"
+            )
 
 
 # ---------------------------------------------------------------------------

@@ -153,8 +153,21 @@ def main() -> int:
         default=COPIES,
         help="replication factor (10 -> sf1 from sf0.1; 3 -> sf0.3-class)",
     )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list: generate only these tables (FK checks skipped). "
+        "The single-generation scale corpora for the graph/embedding "
+        "verdicts need only documents,embeddings — e.g. --copies 300 "
+        "--tables documents,embeddings builds an sf30-class corpus whose "
+        "copies each carry exactly ONE family suffix token, so transitive "
+        "near-dup linking stays bounded per base document (thousands of "
+        "components) instead of the one-giant-component collapse that "
+        "three generations of CUMULATIVE suffixing produce.",
+    )
     args = ap.parse_args()
     src, dst, copies = args.src, args.dst, args.copies
+    only = set(args.tables.split(",")) if args.tables else None
     os.makedirs(dst, exist_ok=True)
 
     offsets: dict[str, int] = {}
@@ -163,18 +176,25 @@ def main() -> int:
         offsets[domain] = int(m.as_py()) + 1
 
     for name in VERBATIM:
+        if only is not None and name not in only:
+            continue
         t = pq.read_table(f"{src}/{name}.parquet")
         pq.write_table(t, f"{dst}/{name}.parquet")
         print(f"{name}: {t.num_rows} rows (verbatim)")
 
     for name in REMAP:
+        if only is not None and name not in only:
+            continue
         base = pq.read_table(f"{src}/{name}.parquet")
         parts = [_copy(base, name, i, offsets) for i in range(copies)]
         full = pa.concat_tables(parts).cast(base.schema)
         pq.write_table(full, f"{dst}/{name}.parquet")
         print(f"{name}: {base.num_rows} -> {full.num_rows} rows")
 
-    _assert_referential_integrity(dst)
+    if only is None:
+        _assert_referential_integrity(dst)
+    else:
+        print(f"table subset {sorted(only)}: FK checks skipped")
     return 0
 
 

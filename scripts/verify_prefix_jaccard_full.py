@@ -295,6 +295,13 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/tmp/sf10")
     ap.add_argument("--cores", type=int, default=16)
     ap.add_argument("--out", default="/tmp/pfj_full.jsonl")
+    ap.add_argument(
+        "--save-parquet",
+        default=None,
+        help="on pass, save the certified rows here — the sf10 suite "
+        "closure (verify_advanced_suite_sf10.py) swaps them in for the "
+        "member's intractable oracle SQL",
+    )
     args = ap.parse_args()
 
     rec: dict = {"sf_dir": args.sf_dir, "checks": {}}
@@ -325,6 +332,22 @@ def main() -> int:
     rec["status"] = (
         "pass" if all(c["status"] == "pass" for c in rec["checks"].values()) else "fail"
     )
+    if args.save_parquet and rec["status"] == "pass":
+        import pyarrow as pa
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_a": ref["doc_a"],
+                    "doc_b": ref["doc_b"],
+                    "n_common": ref["n_common"],
+                    "n_union": ref["n_union"],
+                    "jaccard": ref["jaccard"],
+                }
+            ),
+            args.save_parquet,
+        )
+        rec["saved"] = args.save_parquet
     with open(args.out, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec, indent=2))

@@ -1685,9 +1685,11 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sa", "sb")).alias("n_common"),
-            F.size("sa").alias("ma"),
-            F.size("sb").alias("mb"),
+            # cast: size() is INT; the member's pinned schema (and the
+            # oracle's COUNT/SUM arithmetic) is BIGINT
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("n_common"),
+            F.size("sa").cast("long").alias("ma"),
+            F.size("sb").cast("long").alias("mb"),
         )
         .withColumn("n_union", F.col("ma") + F.col("mb") - F.col("n_common"))
         .withColumn(

@@ -830,6 +830,14 @@ def _cell_pair_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
     member = _semdedup_member(spark, sf_dir)
     store = vector_store(spark, sf_dir)
     salts = _cell_salt_plan(member)
+    # Deliberately UNPERSISTED although both pair sides consume it (the
+    # doubled-subtree rule's measure-first clause): the two sides
+    # project differently so no ReusedExchange forms, but caching this
+    # corpus-sized, vector-wide frame costs more than evaluating the
+    # attach join twice — measured at sf1 (r8, interleaved 3 reps):
+    # recompute 7.7 s vs persist 24.7 s end-to-end on
+    # dedup_embedding_cosine; materializing N · ~550 B rows into the
+    # block store dwarfs the second broadcast-salt + store hash join.
     attached = member.join(store, "vec_id").join(salts, "cluster")
     a = attached.select(
         F.col("cluster").alias("ca"),

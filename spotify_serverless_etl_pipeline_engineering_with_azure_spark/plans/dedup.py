@@ -1562,9 +1562,9 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the maximal — and valid — bound, so keeping pairs where ANY shared
     row passes loses no true pair). Verification attaches each side's
     sorted shingle-set array and counts the exact intersection row-
-    locally (size(array_intersect)) — see the plan note at the joined
-    frame for why this beats the token-level shared-shingle join by
-    ~|S|× in shuffled rows. Integer-over-integer division makes the
+    locally (size(array_intersect)) inside the pair-generating self-join
+    itself — see the plan note at the emitted frame for the two
+    rejected shapes and why every shuffle here is corpus-linear. Integer-over-integer division makes the
     threshold decision engine-exact.
 
     Honest quadratic contract: a cluster of k docs that genuinely ARE
@@ -1621,57 +1621,31 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "i", "m", "sh")
         .localCheckpoint(eager=False)
     )
-    # Length + positional filters (see docstring): both thresholds are
-    # relaxed by 0.5 — sizes/overlaps are integers, so half-unit slack
-    # can only ADMIT extra candidates (verified exactly later), never
-    # drop a true pair to t·m landing on a float rounding boundary.
-    overlap_frac = PF_JACCARD_T / (1.0 + PF_JACCARD_T)
-    cand = (
-        prefix.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("i").alias("ia"),
-            F.col("m").alias("ma"),
-            "sh",
-        )
-        .join(
-            prefix.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("i").alias("ib"),
-                F.col("m").alias("mb"),
-                "sh",
-            ),
-            "sh",
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(
-            F.least("ma", "mb")
-            >= PF_JACCARD_T * F.greatest("ma", "mb") - F.lit(0.5)
-        )
-        .filter(
-            1 + F.least(F.col("ma") - F.col("ia"), F.col("mb") - F.col("ib"))
-            >= overlap_frac * (F.col("ma") + F.col("mb")) - F.lit(0.5)
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # Verification attaches each doc's SORTED SHINGLE-SET ARRAY to the
-    # candidate pair (two corpus-sized attach joins against a per-doc
-    # profile table) and counts the intersection MAP-SIDE with
-    # size(array_intersect) — never the token-level shared-shingle
-    # join it replaced (cand ⋈ toks_a on doc_a ⋈ toks_b on (doc_b,sh)
-    # + groupBy): that plan shuffles Σ_cand |S_a| TOKEN rows — ~|S|×
-    # more rows than candidates (measured at sf1: 7.0M verified pairs
-    # × ~53 shingles ≈ 370M intermediate rows; at sf10 ~37e9 rows /
-    # ~1.8 TB of shuffle — a host-killer locally and the dominant
-    # wire cost on a cluster). The array form shuffles only the pair
-    # stream (16 B/row) plus one corpus-sized profile row per attach;
-    # the ~|S| intersection work per pair still happens, but as
-    # codegen'd row-local array ops, not exchanged rows. collect_set
-    # here is PER-DOC (bounded by document token count), not a bucket
-    # expansion — candidate pairs still stream from the join above.
-    # AQE broadcasts the profile side while it fits and degrades to a
-    # shuffle join as the corpus grows (never a forced broadcast of a
-    # growing side).
+    # Each doc's SORTED SHINGLE-SET ARRAY rides the prefix entries INTO
+    # the pair-generating self-join — the _cell_pair_cosines lesson
+    # (payloads ride the join that creates pairs; the pair stream is
+    # never exchanged). Two rejected shapes, both measured:
+    # (a) token-level verification (cand ⋈ toks_a on doc_a ⋈ toks_b on
+    #     (doc_b, sh) + groupBy) shuffles Σ_cand |S_a| token rows —
+    #     370M intermediate rows at sf1, ~37e9 rows / ~1.8 TB at sf10;
+    # (b) pair-level array attach (distinct cand, then two profile
+    #     joins) halves that but must route the 700M-pair stream WITH
+    #     a ~1.3 KB array through the second attach's shuffle once the
+    #     profile side outgrows broadcast — ~500 GB at sf10, the run
+    #     that killed this host's disk.
+    # Riding the arrays makes every shuffle corpus-linear: the prefix
+    # side costs prefix-entries × array width (~14 GB at sf10), the
+    # emission stream is filtered and intersected MAP-SIDE inside the
+    # join's condition/projection, and the only pair-level exchange is
+    # the final distinct over rows that already passed jaccard >= t —
+    # RESULT-sized (each true pair × its passing prefix shingles, all
+    # copies bit-identical since the row is a pure function of the
+    # pair). The ~k× redundant intersections for a pair sharing k
+    # prefix shingles are the documented price — row-local codegen'd
+    # array work that scales with cores, traded against the pair-
+    # stream shuffle that does not scale with disk. collect_set is
+    # PER-DOC (bounded by document token count), never a bucket
+    # expansion.
     profiles = persisted(
         spark,
         sf_dir,
@@ -1681,14 +1655,40 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_set("sh")).alias("shs")
         ),
     )
-    joined = (
-        cand.join(
-            profiles.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa")),
-            "doc_a",
-        )
-        .join(
-            profiles.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb")),
-            "doc_b",
+    # Length + positional filters (see docstring): both thresholds are
+    # relaxed by 0.5 — sizes/overlaps are integers, so half-unit slack
+    # can only ADMIT extra candidates (verified exactly in the same
+    # join), never drop a true pair to t·m landing on a float rounding
+    # boundary. They sit in the JOIN CONDITION, so rejected emissions
+    # never reach the intersection projection.
+    overlap_frac = PF_JACCARD_T / (1.0 + PF_JACCARD_T)
+    pref_a = prefix.join(profiles, "doc_id").select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("i").alias("ia"),
+        F.col("m").alias("ma"),
+        "sh",
+        F.col("shs").alias("sa"),
+    )
+    pref_b = prefix.join(profiles, "doc_id").select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("i").alias("ib"),
+        F.col("m").alias("mb"),
+        F.col("sh").alias("sh_b"),
+        F.col("shs").alias("sb"),
+    )
+    emitted = (
+        pref_a.join(
+            pref_b,
+            (F.col("sh") == F.col("sh_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("ma", "mb")
+                >= PF_JACCARD_T * F.greatest("ma", "mb") - F.lit(0.5)
+            )
+            & (
+                1 + F.least(F.col("ma") - F.col("ia"), F.col("mb") - F.col("ib"))
+                >= overlap_frac * (F.col("ma") + F.col("mb")) - F.lit(0.5)
+            ),
         )
         .select(
             "doc_a",
@@ -1700,12 +1700,16 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("sb").cast("long").alias("mb"),
         )
         .withColumn("n_union", F.col("ma") + F.col("mb") - F.col("n_common"))
+    )
+    return (
+        emitted.filter(
+            F.col("n_common").cast("double") / F.col("n_union") >= PF_JACCARD_T
+        )
         .withColumn(
             "jaccard",
         F.round(F.col("n_common").cast("double") / F.col("n_union") * 1000000.0)
         / 1000000.0
         )
+        .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
+        .distinct()
     )
-    return joined.filter(
-        F.col("n_common").cast("double") / F.col("n_union") >= PF_JACCARD_T
-    ).select("doc_a", "doc_b", "n_common", "n_union", "jaccard")

@@ -1190,12 +1190,50 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
 
 
+# Re-root the CC label table through parquet every this many rounds.
+# localCheckpoint truncates LINEAGE but carries the plan's estimated
+# sizeInBytes forward as the checkpointed frame's originStats — and a
+# round's plan multiplies that estimate into itself ~4x (two label
+# self-joins), so the BigInt estimate's BIT LENGTH doubles per round
+# (measured at a 300x corpus: 222 -> 553 -> 1215 -> 2539 -> 5187 ->
+# 10483 bits over rounds 1-6). Past ~24 rounds the estimate exceeds
+# BigInteger's 2^31-bit ceiling and Catalyst's stats visitor kills the
+# job with "BigInteger would overflow supported range" — on exactly
+# the slow-converging giant graphs the loop exists for. A parquet
+# round-trip resets stats to REAL file bytes; every 8 rounds bounds
+# the estimate at ~real_bits * 2^8 plus per-round join constants,
+# orders of magnitude under the ceiling, while paying the (tiny,
+# vertex-table-sized) write on 1 round in 8.
+_CC_REROOT_EVERY = 8
+
+
+def _stats_reroot(df: DataFrame, path: str) -> DataFrame:
+    """Materialize df to parquet and read it back: truncates lineage
+    AND resets Catalyst's sizeInBytes statistics to the file's real
+    bytes (localCheckpoint keeps inflated originStats — see
+    _CC_REROOT_EVERY). The path is overwritten on reuse; callers
+    alternate two paths so a frame still lazily consumed is never
+    clobbered."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
     """Min-label + pointer-jumping loop behind dedup_connected_components,
     exposed on a raw (doc_a, doc_b) pair frame so tests can drive it
     with synthetic graphs (a 300-link path proves the O(log diameter)
     round count — without the jump, that fixture needs 300 rounds).
     Returns (v, label) for every vertex incident to a pair."""
+    import tempfile
+
+    # Two alternating re-root paths (see _stats_reroot): by the time a
+    # path is overwritten (2·_CC_REROOT_EVERY rounds later), every
+    # intervening round's eager localCheckpoint has materialized, so
+    # nothing lazily references it. The dirs live for the OS-temp
+    # lifecycle — two vertex-table-sized parquet dirs per call.
+    reroot_dirs = [
+        tempfile.mkdtemp(prefix="cc_labels_reroot_") for _ in range(2)
+    ]
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -1270,6 +1308,10 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
                 )
                 .localCheckpoint()
             )
+            if round_no % _CC_REROOT_EVERY == 0:
+                new_labels = _stats_reroot(
+                    new_labels, reroot_dirs[(round_no // _CC_REROOT_EVERY) % 2]
+                )
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))

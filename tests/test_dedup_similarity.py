@@ -478,6 +478,37 @@ def test_connected_components_pointer_jumping_on_a_drift_chain(spark):
     assert set(labels.label) == {0}
 
 
+def test_connected_components_stats_stay_bounded_across_rounds(spark):
+    """localCheckpoint carries the plan's sizeInBytes ESTIMATE forward
+    as originStats, and a round multiplies it into itself ~4x — the
+    bit length doubles per round until java BigInteger itself overflows
+    at 2^31 bits (~round 24: measured job-killer on a slow-converging
+    300x corpus). The parquet re-root every _CC_REROOT_EVERY rounds
+    resets the estimate to real file bytes; a 1500-link path needs ~11
+    rounds (crossing a re-root boundary), so the final label frame's
+    estimate must be FILE-sized, not 2^(2^11)-sized — and the labels
+    still exact."""
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.dedup import (
+        _CC_REROOT_EVERY,
+        _min_label_components,
+    )
+
+    n = 1500  # ceil(log2(1500)) ~ 11 rounds > _CC_REROOT_EVERY
+    assert _CC_REROOT_EVERY < 11
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    out = _min_label_components(pairs, max_rounds=20)
+    bits = int(
+        out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    ).bit_length()
+    # without the re-root the estimate at round ~11 is >100k bits
+    assert bits < 1000, f"stats estimate escaped the re-root cap: {bits} bits"
+    pdf = out.toPandas()
+    assert len(pdf) == n + 1
+    assert set(pdf.label) == {0}
+
+
 def test_iterative_persist_lifecycles_are_exception_safe(spark, monkeypatch):
     """A failure mid-iteration (executor loss, ANSI overflow — the
     events the durable-index work anticipates) must not leak

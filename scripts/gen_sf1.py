@@ -121,12 +121,29 @@ FK_CHECKS = (
 )
 
 
-def _assert_referential_integrity(dst: str) -> None:
+def _assert_referential_integrity(dst: str, only: set[str] | None = None) -> None:
     """Anti-join every shifted FK against its parent's key set; any
     orphan is a generator bug (a REMAP/KEY_DOMAINS drift), so fail
     loudly. Set arithmetic over the distinct key columns — no full-row
-    materialization, runs in seconds at sf1."""
-    for child, fk, parent, pk in FK_CHECKS:
+    materialization, runs in seconds at sf1.
+
+    With a --tables subset, checks every FK edge whose child AND
+    parent were both generated (instead of skipping wholesale — a
+    subset corpus could otherwise silently carry dangling FKs into
+    queries that join within it) and WARNS loudly about edges that
+    cross out of the subset: those joins are unverifiable here, so the
+    corpus must only feed queries over the generated tables."""
+    checks = FK_CHECKS
+    if only is not None:
+        checks = [e for e in FK_CHECKS if e[0] in only and e[2] in only]
+        crossing = [e for e in FK_CHECKS if (e[0] in only) != (e[2] in only)]
+        for child, fk, parent, _ in crossing:
+            print(
+                f"WARNING: FK {child}.{fk} -> {parent} crosses out of the "
+                f"generated subset — unverifiable; do not run queries that "
+                f"join beyond {sorted(only)} on this corpus"
+            )
+    for child, fk, parent, pk in checks:
         fks = set(
             pq.read_table(f"{dst}/{child}.parquet", columns=[fk]).column(fk).to_pylist()
         )
@@ -138,7 +155,7 @@ def _assert_referential_integrity(dst: str) -> None:
             f"{child}.{fk} has {len(orphans)} orphan keys vs {parent}.{pk} "
             f"(sample: {sorted(orphans)[:5]})"
         )
-    print(f"referential integrity: {len(FK_CHECKS)} FK edges clean")
+    print(f"referential integrity: {len(checks)} FK edges clean")
 
 
 def main() -> int:
@@ -156,7 +173,8 @@ def main() -> int:
     ap.add_argument(
         "--tables",
         default=None,
-        help="comma list: generate only these tables (FK checks skipped). "
+        help="comma list: generate only these tables (FK edges fully inside "
+        "the subset are still checked; edges crossing out of it warn). "
         "The single-generation scale corpora for the graph/embedding "
         "verdicts need only documents,embeddings — e.g. --copies 300 "
         "--tables documents,embeddings builds an sf30-class corpus whose "
@@ -191,10 +209,7 @@ def main() -> int:
         pq.write_table(full, f"{dst}/{name}.parquet")
         print(f"{name}: {base.num_rows} -> {full.num_rows} rows")
 
-    if only is None:
-        _assert_referential_integrity(dst)
-    else:
-        print(f"table subset {sorted(only)}: FK checks skipped")
+    _assert_referential_integrity(dst, only)
     return 0
 
 

@@ -355,6 +355,64 @@ def sink_run_dir(spark: SparkSession, kind: str, sf_dir: str) -> str:
     )
 
 
+def scratch_roots(
+    spark: SparkSession, prefix: str, n: int = 1
+) -> tuple[list[str], "Callable[[], None]"]:
+    """``n`` call-unique scratch directories for engine-INTERNAL
+    parquet round-trips (the CC/PageRank stats re-roots), plus a
+    ``cleanup()`` that best-effort removes them.
+
+    Resolution order — the first cluster-visible root wins:
+
+    1. ``spark.sse.scratchDir`` conf: an explicit scratch root
+       (object store / DFS on a real cluster).
+    2. the SparkContext's reliable checkpoint dir, if set: by Spark's
+       own ``setCheckpointDir`` contract it must already be shared
+       storage on a multi-node cluster, so it is exactly the right
+       home for internal materializations.
+    3. driver-local ``tempfile.mkdtemp`` — LOCAL-MODE STAND-IN (the
+       ``sink_run_dir`` caveat verbatim): on a real cluster every
+       executor commits part files to its OWN node's disk and a
+       driver-side read-back silently sees a partial dataset, so
+       production deployments MUST configure (1) or (2). Correct in
+       this repo's local[32] contract, where all verdicts run.
+
+    Paths are call-unique (uuid-suffixed) so concurrent or repeated
+    invocations never clobber each other; ``cleanup()`` deletes
+    through the Hadoop FileSystem API so it works uniformly for
+    ``file:``, ``hdfs:`` and object-store URIs — callers invoke it
+    once every frame rooted in the paths is materialized elsewhere
+    (detached), closing the dir-leak a bare mkdtemp convention had."""
+    import os
+    import tempfile
+
+    root = spark.conf.get("spark.sse.scratchDir", None)
+    if root is None:
+        root = spark.sparkContext.getCheckpointDir()
+    tag = uuid.uuid4().hex[:8]
+    if root is not None:
+        paths = [os.path.join(root, f"{prefix}_{tag}_{i}") for i in range(n)]
+    else:
+        paths = [
+            tempfile.mkdtemp(prefix=f"{prefix}_{tag}_{i}_") for i in range(n)
+        ]
+
+    def cleanup() -> None:
+        # Hadoop FS delete, not shutil: paths may be file:/hdfs:/s3a:
+        # URIs depending on which root won above. Best-effort — a
+        # cleanup failure must never mask the computation's result.
+        try:
+            jvm = spark._jvm
+            fs_conf = spark._jsc.hadoopConfiguration()
+            for p in paths:
+                hpath = jvm.org.apache.hadoop.fs.Path(p)
+                hpath.getFileSystem(fs_conf).delete(hpath, True)
+        except Exception:
+            pass
+
+    return paths, cleanup
+
+
 def _sweep_dead_app_dirs(root: str) -> None:
     """Remove ``app_<pid>_<hosthash>_*`` dirs whose owning process is
     gone. PID liveness is only knowable on the process's own host, so

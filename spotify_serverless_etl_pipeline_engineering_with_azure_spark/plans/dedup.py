@@ -30,6 +30,7 @@ from ..catalog import (
     persisted,
     release,
     scatter,
+    scratch_roots,
     table,
 )
 from ..functions.hashing import (
@@ -1211,11 +1212,38 @@ def _stats_reroot(df: DataFrame, path: str) -> DataFrame:
     """Materialize df to parquet and read it back: truncates lineage
     AND resets Catalyst's sizeInBytes statistics to the file's real
     bytes (localCheckpoint keeps inflated originStats — see
-    _CC_REROOT_EVERY). The path is overwritten on reuse; callers
-    alternate two paths so a frame still lazily consumed is never
-    clobbered."""
+    _CC_REROOT_EVERY; reliable checkpoint() carries them identically,
+    measured on Spark 4.1.2, so durable checkpointing does NOT subsume
+    this). The path is overwritten on reuse; callers alternate two
+    paths so a frame still lazily consumed is never clobbered. Paths
+    come from catalog.scratch_roots, so on a configured cluster they
+    live on shared storage (spark.sse.scratchDir or the checkpoint
+    dir) — a driver-local tmp write would silently read back a
+    PARTIAL table on any multi-node cluster (catalog.sink_run_dir
+    documents the failure mode)."""
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def _round_checkpoint(df: DataFrame) -> DataFrame:
+    """Round-boundary materialization for the iterative loops (CC,
+    PageRank): reliable ``checkpoint()`` when the application has a
+    checkpoint dir configured, else ``localCheckpoint()``.
+
+    localCheckpoint blocks live unreplicated in executor storage with
+    lineage TRUNCATED — on a real cluster one lost executor mid-loop
+    (spot reclaim, OOM kill) aborts the whole job with no recompute
+    path: Spark's documented caveat. A configured checkpoint dir is
+    shared storage by ``setCheckpointDir``'s own contract, so the
+    reliable branch survives executor loss; local mode (no dir set)
+    keeps the exact prior behavior. NOTE: reliable checkpoint() still
+    carries the plan's inflated originStats forward exactly like
+    localCheckpoint (measured on Spark 4.1.2 — bit length doubles per
+    round under BOTH), so it does not replace _stats_reroot; the
+    durability and stats-bounding mechanisms stay orthogonal."""
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
@@ -1224,21 +1252,21 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
     with synthetic graphs (a 300-link path proves the O(log diameter)
     round count — without the jump, that fixture needs 300 rounds).
     Returns (v, label) for every vertex incident to a pair."""
-    import tempfile
-
     # Two alternating re-root paths (see _stats_reroot): by the time a
     # path is overwritten (2·_CC_REROOT_EVERY rounds later), every
-    # intervening round's eager localCheckpoint has materialized, so
-    # nothing lazily references it. The dirs live for the OS-temp
-    # lifecycle — two vertex-table-sized parquet dirs per call.
-    reroot_dirs = [
-        tempfile.mkdtemp(prefix="cc_labels_reroot_") for _ in range(2)
-    ]
-    edges = (
+    # intervening round's eager checkpoint has materialized, so
+    # nothing lazily references it. scratch_roots resolves them to
+    # cluster-visible storage when configured (spark.sse.scratchDir /
+    # checkpoint dir) and driver tmp only as the local-mode stand-in;
+    # sweep() removes both dirs once the returned frame no longer
+    # roots in them (post-fixpoint detach below).
+    reroot_dirs, sweep_reroots = scratch_roots(
+        pairs.sparkSession, "cc_labels_reroot", 2
+    )
+    edges = _round_checkpoint(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
-        .localCheckpoint()
     )
     # persist(): the initial label table is consumed up to three times
     # in round 1 (neighbor-min join, hook join, convergence count)
@@ -1300,15 +1328,15 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
             # vertices themselves; mins of labels stay labels), so the
             # lookup always resolves; coalesce is belt-and-braces.
             jump = hooked.select(F.col("v").alias("jv"), F.col("label").alias("jlabel"))
-            new_labels = (
+            new_labels = _round_checkpoint(
                 hooked.join(jump, hooked.label == F.col("jv"), "left")
                 .select(
                     "v",
                     F.coalesce(F.col("jlabel"), F.col("label")).alias("label"),
                 )
-                .localCheckpoint()
             )
-            if round_no % _CC_REROOT_EVERY == 0:
+            labels_root_in_scratch = round_no % _CC_REROOT_EVERY == 0
+            if labels_root_in_scratch:
                 new_labels = _stats_reroot(
                     new_labels, reroot_dirs[(round_no // _CC_REROOT_EVERY) % 2]
                 )
@@ -1332,8 +1360,22 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
             raise RuntimeError(
                 f"connected components did not converge in {max_rounds} rounds"
             )
+        # Post-fixpoint detach: if convergence landed exactly on a
+        # re-root round, the final frame is a lazy read of a scratch
+        # parquet dir the sweep below is about to delete — one more
+        # eager checkpoint moves its blocks out of the scratch dirs.
+        # Any other round's frame is already checkpoint-materialized
+        # (the re-root parquet was last read by that round's changed
+        # count), so the sweep is safe without extra work.
+        if labels_root_in_scratch:
+            labels = _round_checkpoint(labels)
     finally:
         release(hooked, init_labels)
+        # Both dirs are now unreferenced on every path: success
+        # detached above; on the error path no frame escapes the call.
+        # Closes the two-vertex-table-dirs-per-call leak a bare
+        # mkdtemp convention had.
+        sweep_reroots()
     return labels
 
 
@@ -1450,8 +1492,10 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Iterative groupBy-join rounds exactly like connected components
     above: per round, each vertex's rank disperses along its edges and
-    re-aggregates — one shuffle per iteration, edges localCheckpointed
-    once. The undirected graph has no dangling nodes (every vertex has
+    re-aggregates — one shuffle per iteration, edges checkpointed once
+    (reliably when the app configures a checkpoint dir, locally
+    otherwise — see _round_checkpoint). The undirected graph has no
+    dangling nodes (every vertex has
     degree ≥ 1), so no leaked-mass correction term is needed. Ranks are
     quantized to 6dp at every iteration boundary and contributions
     summed as exact decimals, making the whole computation bit-identical
@@ -1466,16 +1510,25 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pagerank_on_pairs(pairs)
 
 
-def _pagerank_on_pairs(pairs: DataFrame) -> DataFrame:
+def _pagerank_on_pairs(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """PageRank loop behind graph_pagerank_neardup, exposed on a raw
     (doc_a, doc_b) pair frame so tests can drive it with synthetic
     graphs (the injected-failure test proves the persist lifecycle is
-    exception-safe). Returns (doc_id, pagerank)."""
-    edges = (
+    exception-safe; the bounded-stats test drives ``iters`` past the
+    re-root boundary). Returns (doc_id, pagerank).
+
+    The per-iteration checkpoint sits in the SAME stats-compounding
+    family the CC loop diagnosed (_CC_REROOT_EVERY: originStats bit
+    length doubles per round, BigInteger overflow kills the job near
+    round 24). PR_ITERS=3 is safely clear today, but nothing else
+    pins that — so the loop carries the identical parquet re-root
+    guard: any future convergence-driven iteration count stays
+    bounded instead of walking into the overflow."""
+    spark = pairs.sparkSession
+    edges = _round_checkpoint(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
-        .localCheckpoint()
     )
     # persist(): deg is consumed by the n count, the rank init, AND the
     # contribution join in EVERY iteration — uncached, the degree
@@ -1514,23 +1567,51 @@ def _pagerank_on_pairs(pairs: DataFrame) -> DataFrame:
         # the oracle now casts to DOUBLE first and both engines compute the
         # identical base.
         base = (1.0 - PR_DAMPING) / float(n)
-        for _ in range(PR_ITERS):
-            contribs = (
-                edges.join(ranks.withColumnRenamed("v", "rv"), F.col("rv") == F.col("a"))
-                .join(deg.select(F.col("v").alias("dv"), "deg"), F.col("dv") == F.col("a"))
-                .select(
-                    "b",
-                    (F.round(F.col("r") / F.col("deg") * 1000000000.0) / 1000000000.0)
-                    .cast("decimal(28,12)")
-                    .alias("c"),
+        # Re-root scratch dirs are allocated lazily: the production
+        # PR_ITERS=3 path never crosses the boundary and should not
+        # pay a dir allocation (or sweep) for a guard it never fires.
+        reroot_dirs: list[str] | None = None
+        sweep_reroots = None
+        ranks_root_in_scratch = False
+        try:
+            for it in range(1, iters + 1):
+                contribs = (
+                    edges.join(ranks.withColumnRenamed("v", "rv"), F.col("rv") == F.col("a"))
+                    .join(deg.select(F.col("v").alias("dv"), "deg"), F.col("dv") == F.col("a"))
+                    .select(
+                        "b",
+                        (F.round(F.col("r") / F.col("deg") * 1000000000.0) / 1000000000.0)
+                        .cast("decimal(28,12)")
+                        .alias("c"),
+                    )
+                    .groupBy("b")
+                    .agg(F.sum("c").alias("contrib"))
                 )
-                .groupBy("b")
-                .agg(F.sum("c").alias("contrib"))
-            )
-            ranks = contribs.select(
-                F.col("b").alias("v"),
-                quant(F.lit(base) + PR_DAMPING * F.col("contrib").cast("double")).alias("r"),
-            ).localCheckpoint()
+                ranks = _round_checkpoint(
+                    contribs.select(
+                        F.col("b").alias("v"),
+                        quant(
+                            F.lit(base) + PR_DAMPING * F.col("contrib").cast("double")
+                        ).alias("r"),
+                    )
+                )
+                ranks_root_in_scratch = it % _CC_REROOT_EVERY == 0
+                if ranks_root_in_scratch:
+                    if reroot_dirs is None:
+                        reroot_dirs, sweep_reroots = scratch_roots(
+                            spark, "pr_ranks_reroot", 2
+                        )
+                    ranks = _stats_reroot(
+                        ranks, reroot_dirs[(it // _CC_REROOT_EVERY) % 2]
+                    )
+            # Same post-loop detach as the CC loop: if the final
+            # iteration landed on a re-root boundary, move the result
+            # off the scratch parquet before the sweep deletes it.
+            if ranks_root_in_scratch:
+                ranks = _round_checkpoint(ranks)
+        finally:
+            if sweep_reroots is not None:
+                sweep_reroots()
     finally:
         release(deg)
     return ranks.select(F.col("v").alias("doc_id"), F.col("r").alias("pagerank"))

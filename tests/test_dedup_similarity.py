@@ -509,6 +509,142 @@ def test_connected_components_stats_stay_bounded_across_rounds(spark):
     assert set(pdf.label) == {0}
 
 
+def test_pagerank_stats_stay_bounded_across_iterations(spark):
+    """PageRank's per-iteration checkpoint sits in the SAME
+    stats-compounding family the CC loop diagnosed (originStats bit
+    length doubles per round; java BigInteger overflow kills the job
+    near round 24). PR_ITERS=3 is clear today but nothing pinned it —
+    the loop now carries the identical _CC_REROOT_EVERY parquet
+    re-root guard. Drive 18 iterations (two re-root boundaries, both
+    alternating scratch paths) and require a FILE-sized final
+    estimate, exact row coverage, and total rank mass ~1 — and that
+    the post-loop scratch sweep left the returned frame readable."""
+    import glob
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.dedup import (
+        _CC_REROOT_EVERY,
+        _pagerank_on_pairs,
+    )
+
+    assert _CC_REROOT_EVERY <= 9  # 18 iterations must cross >= 2 boundaries
+    n = 20
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    before = set(glob.glob("/tmp/pr_ranks_reroot_*"))
+    out = _pagerank_on_pairs(pairs, iters=18)
+    bits = int(
+        out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    ).bit_length()
+    assert bits < 1000, f"stats estimate escaped the re-root cap: {bits} bits"
+    pdf = out.toPandas()  # FileNotFound here = sweep ran before detach
+    assert len(pdf) == n + 1
+    assert abs(pdf.pagerank.sum() - 1.0) < 1e-3
+    assert set(glob.glob("/tmp/pr_ranks_reroot_*")) == before, "scratch dirs leaked"
+
+
+def test_cc_converging_on_reroot_boundary_detaches_before_sweep(spark, monkeypatch):
+    """The post-fixpoint sweep deletes both scratch parquet dirs —
+    if convergence lands exactly on a re-root round, the final label
+    frame is a lazy read of one of them and MUST be detached (eager
+    checkpoint) first. Force every round to be a re-root round
+    (_CC_REROOT_EVERY=1) so the boundary case is guaranteed: without
+    the detach, toPandas() raises FileNotFound; without the sweep,
+    the dir snapshot grows."""
+    import glob
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans import (
+        dedup,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
+    )
+    before = set(glob.glob("/tmp/cc_labels_reroot_*"))
+    monkeypatch.setattr(dedup, "_CC_REROOT_EVERY", 1)
+    pdf = dedup._min_label_components(pairs, max_rounds=20).toPandas()
+    assert len(pdf) == 21
+    assert set(pdf.label) == {0}
+    assert set(glob.glob("/tmp/cc_labels_reroot_*")) == before, "scratch dirs leaked"
+
+
+def test_iterative_loops_use_reliable_checkpoint_when_dir_configured(
+    spark, tmp_path, monkeypatch
+):
+    """Round-boundary durability: localCheckpoint blocks die with
+    their executor (lineage truncated — one lost executor aborts the
+    whole loop; Spark's documented caveat), so when the application
+    has configured a reliable checkpoint dir — shared storage by
+    setCheckpointDir's own contract — _round_checkpoint must take the
+    durable branch (rdd-* dirs appear under it), and the stats
+    re-root scratch must resolve UNDER that cluster-visible root
+    (never driver tmp) and be swept post-fixpoint."""
+    import os
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans import (
+        dedup,
+    )
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None, "fixture session should start without one"
+    sc.setCheckpointDir(str(tmp_path / "ck"))
+    try:
+        ckdir = sc.getCheckpointDir().replace("file:", "")
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
+        )
+        monkeypatch.setattr(dedup, "_CC_REROOT_EVERY", 1)
+        pdf = dedup._min_label_components(pairs, max_rounds=20).toPandas()
+        assert len(pdf) == 21 and set(pdf.label) == {0}
+        entries = os.listdir(ckdir)
+        assert any(e.startswith("rdd-") for e in entries), (
+            f"reliable checkpoint branch did not engage: {entries}"
+        )
+        assert not any(e.startswith("cc_labels_reroot") for e in entries), (
+            f"scratch dirs under the checkpoint dir were not swept: {entries}"
+        )
+    finally:
+        # The context is session-scoped: restore the no-dir default so
+        # every later test keeps the local-mode localCheckpoint branch.
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            spark._jvm.scala.Option.apply(None)
+        )
+    assert sc.getCheckpointDir() is None
+
+
+def test_scratch_roots_resolution_and_cleanup(spark, tmp_path):
+    """catalog.scratch_roots is the cluster-visibility convention for
+    engine-internal parquet round-trips: an explicit
+    spark.sse.scratchDir conf wins, then the reliable checkpoint dir,
+    then driver-local tempfile as the documented local-mode stand-in;
+    cleanup() removes the paths through the Hadoop FS API."""
+    import os
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.catalog import (
+        scratch_roots,
+    )
+
+    # (1) conf wins
+    root = str(tmp_path / "scratch")
+    os.makedirs(root)
+    spark.conf.set("spark.sse.scratchDir", root)
+    try:
+        paths, cleanup = scratch_roots(spark, "probe", 2)
+        assert all(p.startswith(root) for p in paths)
+        assert len(set(paths)) == 2
+        spark.range(5).write.mode("overwrite").parquet(paths[0])
+        cleanup()
+        assert not any(os.path.exists(p) for p in paths)
+    finally:
+        spark.conf.unset("spark.sse.scratchDir")
+    # (2) fallback: driver tempfile, created and removable
+    paths, cleanup = scratch_roots(spark, "probe", 2)
+    assert all(os.path.isdir(p) for p in paths)
+    spark.range(5).write.mode("overwrite").parquet(paths[1])
+    cleanup()
+    assert not any(os.path.exists(p) for p in paths)
+
+
 def test_iterative_persist_lifecycles_are_exception_safe(spark, monkeypatch):
     """A failure mid-iteration (executor loss, ANSI overflow — the
     events the durable-index work anticipates) must not leak

@@ -346,10 +346,16 @@ def test_prefix_filter_hot_cluster_streams_all_pairs(spark, boilerplate_dir):
     # k²/2-struct array row per hot bucket); a collect grouped by
     # doc_id is the verification profile array, bounded by document
     # token count. Every collect aggregation in the plan must be
-    # keyed on doc_id.
+    # keyed on doc_id — asserted on the GROUPING-KEY prefix only: the
+    # first ']' closes the key list in both the logical form
+    # ('Aggregate [keys], [exprs]') and the physical form
+    # ('ObjectHashAggregate(keys=[...], functions=[...]')). The prior
+    # split on 'functions=' was ineffective on logical lines (no such
+    # token -> the whole line, where the collected COLUMN's 'doc_id'
+    # satisfied the assert even when the grouping key was the shingle).
     for line in plan.splitlines():
         if "collect_list" in line or "collect_set" in line:
-            assert "doc_id" in line.split("functions=")[0], (
+            assert "doc_id" in line.split("]")[0], (
                 "prefix-filter candidates regressed to an array bucket "
                 f"expansion: {line.strip()[:200]}"
             )

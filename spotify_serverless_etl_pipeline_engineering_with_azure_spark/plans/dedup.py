@@ -27,7 +27,6 @@ from ..catalog import (
     MAX_CHECKPOINT_ENTRIES,
     checkpoint_frame,
     dataset_cached,
-    persisted,
     release,
     scatter,
     scratch_roots,
@@ -1629,6 +1628,74 @@ def _pagerank_on_pairs(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
 PF_JACCARD_T = 0.6
 
 
+_PFJ_INDEX_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _pfj_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Build (or fetch) the prefix-filter join's id-keyed index:
+    (vocab, profiles), both eagerly checkpointed once per (dataset
+    identity, Spark application) — the `_minhash_index` shape.
+
+    - ``vocab`` (sh, dfc, shid): per-shingle document frequency plus a
+      frozen INJECTIVE int64 shingle id.
+    - ``profiles`` (doc_id, shs): each doc's SORTED ARRAY of shingle
+      ids — the ride-along verification payload.
+
+    WHY ids at all: the ride-along arrays used to carry the raw
+    3-token shingle STRINGS, so every candidate's exact intersection
+    paid `array_intersect`'s per-element string hashing/equality over
+    ~175-element arrays — measured at ~220 µs·core per
+    filter-surviving candidate at sf10, 95.1% of the uncontended wall
+    (PFJ_ENGINE_r09.json). Substituting any BIJECTION for the shingle
+    alphabet changes no set cardinality — n_common/n_union/jaccard are
+    bit-identical — while the intersection hash-set runs on longs and
+    the prefix-frame exchanges shrink by the string/long width ratio.
+
+    WHY monotonically_increasing_id + eager checkpoint, not a content
+    hash or a global row_number: the id only needs to be injective
+    (intersection SIZES are bijection-invariant; nothing downstream
+    orders by id except the per-doc sort, which any total order
+    serves). A 64-bit content hash (xxhash64) admits collisions that
+    would silently OVERCOUNT n_common once web-scale vocabularies
+    reach birthday range — wrong for an operator whose contract is
+    exactness. A global row_number would funnel the vocabulary
+    through one partition. mono_id is injective with zero extra
+    shuffles — but deterministic only per evaluation, and Spark
+    shares no subplans, so the eager checkpoint freezes ONE
+    assignment for all consumers. vocab and profiles are built and
+    cached ATOMICALLY (one cache entry) because a split cache could
+    evict one half and rebuild it under a FRESH assignment — prefix
+    rows keyed by new ids probing arrays of old ids, silently wrong
+    intersections. The tuple makes that impossible by construction.
+    """
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        toks = _shingles(table(spark, sf_dir, "documents")).localCheckpoint(
+            eager=False
+        )
+        dfreq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
+        vocab = checkpoint_frame(
+            dfreq.withColumn("shid", F.monotonically_increasing_id()),
+            "pfj_vocab",
+        )
+        profiles = checkpoint_frame(
+            toks.join(vocab.select("sh", "shid"), "sh")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("shid")).alias("shs")),
+            "pfj_profiles",
+        )
+        return (vocab, profiles)
+
+    return dataset_cached(
+        _PFJ_INDEX_CACHE,
+        spark,
+        sf_dir,
+        ("documents.parquet",),
+        build,
+        max_entries=MAX_CHECKPOINT_ENTRIES,
+    )
+
+
 @register(
     "dedup_prefix_filter_jaccard",
     oracle=f"""
@@ -1684,7 +1751,10 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t/(1+t)·(ma+mb); the pair's first common prefix shingle carries
     the maximal — and valid — bound, so keeping pairs where ANY shared
     row passes loses no true pair). Verification attaches each side's
-    sorted shingle-set array and counts the exact intersection row-
+    sorted shingle-ID array (int64 ids from a frozen bijection — see
+    _pfj_index; intersection sizes are bijection-invariant, so results
+    are bit-identical to string-set semantics) and counts the exact
+    intersection row-
     locally (size(array_intersect)) inside the pair-generating self-join
     itself — see the plan note at the emitted frame for the two
     rejected shapes and why every shuffle here is corpus-linear. Integer-over-integer division makes the
@@ -1704,11 +1774,14 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup discovery use dedup_minhash_lsh, whose star chain is the
     deliberate O(k) alternative.
 
-    The shingle stream is lazily localCheckpoint'd: Spark does not
-    share subplans, so its four consumers (df counts, the prefix
-    window, both verification sides + sizes) would otherwise each
-    re-run the scatter+explode pipeline. Candidates STREAM from a
-    self-join of the (also checkpointed) prefix frame — not from a
+    The document-frequency vocabulary (with its frozen int64 shingle
+    ids) and the per-doc sorted id-array profiles come from the
+    cached, eagerly-checkpointed `_pfj_index` — built once per
+    (dataset, application) exactly like the MinHash index, so the
+    shingle scatter+explode pipeline runs once for the index and once
+    for the prefix window instead of four times (Spark shares no
+    subplans). Candidates STREAM from a
+    self-join of the (lazily checkpointed) prefix frame — not from a
     collect_list bucket expansion: prefix buckets have no width cap
     (capping would break the no-false-negatives guarantee), so an
     array-expansion bucket of k members would materialize k²/2 structs
@@ -1718,14 +1791,21 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     two join sides.
     """
     docs = table(spark, sf_dir, "documents")
-    toks = _shingles(docs).localCheckpoint(eager=False)
-    dfreq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("dfc"))
+    # vocab (frozen shingle ids + df counts) and the ride-along
+    # profile arrays come from the cached id-keyed index — see
+    # _pfj_index for why the id assignment must be frozen and shared
+    # atomically between the prefix stream and the arrays.
+    vocab, profiles = _pfj_index(spark, sf_dir)
+    toks = _shingles(docs)
     w_doc = Window.partitionBy("doc_id").orderBy("dfc", "sh")
     w_m = Window.partitionBy("doc_id")
     ordered = (
-        # dfreq is vocabulary-sized (grows with corpus tokens) — AQE
-        # picks the strategy; a forced broadcast dies past 8 GB.
-        toks.join(dfreq, "sh")
+        # vocab is vocabulary-sized (grows with corpus tokens) — AQE
+        # picks the strategy; a forced broadcast dies past 8 GB. The
+        # df-order window stays keyed on the STRING (dfc, sh) — the
+        # positional semantics the mirror and oracle pin — while the
+        # id is what travels into the join and the arrays.
+        toks.join(vocab, "sh")
         .withColumn("i", F.row_number().over(w_doc))
         .withColumn("m", F.count(F.lit(1)).over(w_m))
     )
@@ -1741,7 +1821,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered.filter(
             F.col("i") <= F.col("m") - F.ceil(F.lit(PF_JACCARD_T) * F.col("m")) + 1
         )
-        .select("doc_id", "i", "m", "sh")
+        .select("doc_id", "i", "m", "shid")
         .localCheckpoint(eager=False)
     )
     # Each doc's SORTED SHINGLE-SET ARRAY rides the prefix entries INTO
@@ -1757,27 +1837,22 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     profile side outgrows broadcast — ~500 GB at sf10, the run
     #     that killed this host's disk.
     # Riding the arrays makes every shuffle corpus-linear: the prefix
-    # side costs prefix-entries × array width (~14 GB at sf10), the
-    # emission stream is filtered and intersected MAP-SIDE inside the
-    # join's condition/projection, and the only pair-level exchange is
-    # the final distinct over rows that already passed jaccard >= t —
-    # RESULT-sized (each true pair × its passing prefix shingles, all
-    # copies bit-identical since the row is a pure function of the
-    # pair). The ~k× redundant intersections for a pair sharing k
-    # prefix shingles are the documented price — row-local codegen'd
-    # array work that scales with cores, traded against the pair-
-    # stream shuffle that does not scale with disk. collect_set is
-    # PER-DOC (bounded by document token count), never a bucket
-    # expansion.
-    profiles = persisted(
-        spark,
-        sf_dir,
-        ("documents.parquet",),
-        "pf_profiles",
-        lambda: toks.groupBy("doc_id").agg(
-            F.sort_array(F.collect_set("sh")).alias("shs")
-        ),
-    )
+    # side costs prefix-entries × array width (id-keyed: 8 B/element
+    # instead of the shingle string), the emission stream is filtered
+    # and intersected MAP-SIDE inside the join's condition/projection,
+    # and the only pair-level exchange is the final distinct over rows
+    # that already passed jaccard >= t — RESULT-sized (each true pair
+    # × its passing prefix shingles, all copies bit-identical since
+    # the row is a pure function of the pair). The ~k× redundant
+    # intersections for a pair sharing k prefix shingles are the
+    # documented price — row-local codegen'd array work that scales
+    # with cores, traded against the pair-stream shuffle that does not
+    # scale with disk; the id substitution attacks the measured
+    # ~220 µs·core per-intersection constant (PFJ_ENGINE_r09.json) by
+    # moving the hash-set build from ~175 string hashes to long
+    # hashes. collect_set is PER-DOC (bounded by document token
+    # count), never a bucket expansion.
+    #
     # Length + positional filters (see docstring): both thresholds are
     # relaxed by 0.5 — sizes/overlaps are integers, so half-unit slack
     # can only ADMIT extra candidates (verified exactly in the same
@@ -1789,20 +1864,20 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_a"),
         F.col("i").alias("ia"),
         F.col("m").alias("ma"),
-        "sh",
+        "shid",
         F.col("shs").alias("sa"),
     )
     pref_b = prefix.join(profiles, "doc_id").select(
         F.col("doc_id").alias("doc_b"),
         F.col("i").alias("ib"),
         F.col("m").alias("mb"),
-        F.col("sh").alias("sh_b"),
+        F.col("shid").alias("shid_b"),
         F.col("shs").alias("sb"),
     )
     emitted = (
         pref_a.join(
             pref_b,
-            (F.col("sh") == F.col("sh_b"))
+            (F.col("shid") == F.col("shid_b"))
             & (F.col("doc_a") < F.col("doc_b"))
             & (
                 F.least("ma", "mb")

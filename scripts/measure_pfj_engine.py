@@ -49,8 +49,19 @@ def parse_event_log(log_dir: str) -> list[dict]:
                 sub, comp = si.get("Submission Time"), si.get("Completion Time")
                 if sub is None or comp is None:
                     continue
+                # Coerce values defensively: internal metrics serialize
+                # as JSON numbers, but non-internal accumulators (and
+                # some Spark versions' SQL metrics like "number of
+                # output rows") serialize as strings — summing those
+                # raw would TypeError.
+                def _num(v):
+                    try:
+                        return int(v)
+                    except (TypeError, ValueError):
+                        return 0
+
                 acc = {
-                    a.get("Name"): a.get("Value")
+                    a.get("Name"): _num(a.get("Value"))
                     for a in si.get("Accumulables", [])
                 }
                 stages.append(

@@ -393,22 +393,40 @@ def scratch_roots(
     if root is not None:
         paths = [os.path.join(root, f"{prefix}_{tag}_{i}") for i in range(n)]
     else:
+        # `file:`-pinned: mkdtemp created these dirs on the DRIVER's
+        # local filesystem, so the Spark writes, read-backs, and the
+        # Hadoop-FS cleanup below must all resolve them there too. A
+        # scheme-less path resolves against fs.defaultFS — on a
+        # misconfigured cluster that still hits this fallback, writes
+        # and cleanup would silently target HDFS while the mkdtemp
+        # dirs leak on the driver.
         paths = [
-            tempfile.mkdtemp(prefix=f"{prefix}_{tag}_{i}_") for i in range(n)
+            "file:" + tempfile.mkdtemp(prefix=f"{prefix}_{tag}_{i}_")
+            for i in range(n)
         ]
 
     def cleanup() -> None:
         # Hadoop FS delete, not shutil: paths may be file:/hdfs:/s3a:
         # URIs depending on which root won above. Best-effort — a
-        # cleanup failure must never mask the computation's result.
+        # cleanup failure must never mask the computation's result —
+        # but LOUD: a persistent permission error on a shared scratch
+        # root would otherwise leak vertex-sized dirs forever with
+        # zero signal.
         try:
             jvm = spark._jvm
             fs_conf = spark._jsc.hadoopConfiguration()
             for p in paths:
                 hpath = jvm.org.apache.hadoop.fs.Path(p)
                 hpath.getFileSystem(fs_conf).delete(hpath, True)
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001 — policy: never mask the result
+            import warnings
+
+            warnings.warn(
+                f"scratch_roots cleanup failed for {paths}: {exc!r} — "
+                "dirs may leak on the scratch root",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     return paths, cleanup
 

@@ -1239,7 +1239,23 @@ def _round_checkpoint(df: DataFrame) -> DataFrame:
     carries the plan's inflated originStats forward exactly like
     localCheckpoint (measured on Spark 4.1.2 — bit length doubles per
     round under BOTH), so it does not replace _stats_reroot; the
-    durability and stats-bounding mechanisms stay orthogonal."""
+    durability and stats-bounding mechanisms stay orthogonal.
+
+    RETENTION CONTRACT (what survives a CC/PageRank call when a
+    checkpoint dir is configured): every round boundary writes a
+    vertex-sized ``rdd-*`` dir under the checkpoint dir, and Spark
+    deletes superseded ones only when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (off by
+    default) — cluster deployments that call ``setCheckpointDir`` MUST
+    set it, or O(rounds) vertex-sized dirs accumulate per invocation.
+    With the cleaner on, each round's checkpoint is reclaimed when its
+    superseded RDD is GC'd on the driver; the FINAL round's dir stays
+    referenced by the returned frame and legitimately survives until
+    that frame is GC'd. The engine cannot sweep these itself the way
+    it sweeps its own scratch_roots dirs: the rdd-* path of a
+    DataFrame checkpoint is not exposed to Python, and deleting any
+    non-final one by pattern would race the cleaner. Local mode (no
+    checkpoint dir → localCheckpoint branch) writes no dirs at all."""
     if df.sparkSession.sparkContext.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
@@ -1258,10 +1274,12 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
     # cluster-visible storage when configured (spark.sse.scratchDir /
     # checkpoint dir) and driver tmp only as the local-mode stand-in;
     # sweep() removes both dirs once the returned frame no longer
-    # roots in them (post-fixpoint detach below).
-    reroot_dirs, sweep_reroots = scratch_roots(
-        pairs.sparkSession, "cc_labels_reroot", 2
-    )
+    # roots in them (post-fixpoint detach below). Allocated LAZILY —
+    # the _pagerank_on_pairs pattern: most graphs converge before the
+    # first _CC_REROOT_EVERY boundary and should not pay a dir
+    # allocation (or sweep) for a guard that never fires.
+    reroot_dirs: list[str] | None = None
+    sweep_reroots = None
     edges = _round_checkpoint(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -1336,6 +1354,10 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
             )
             labels_root_in_scratch = round_no % _CC_REROOT_EVERY == 0
             if labels_root_in_scratch:
+                if reroot_dirs is None:
+                    reroot_dirs, sweep_reroots = scratch_roots(
+                        pairs.sparkSession, "cc_labels_reroot", 2
+                    )
                 new_labels = _stats_reroot(
                     new_labels, reroot_dirs[(round_no // _CC_REROOT_EVERY) % 2]
                 )
@@ -1373,8 +1395,10 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
         # Both dirs are now unreferenced on every path: success
         # detached above; on the error path no frame escapes the call.
         # Closes the two-vertex-table-dirs-per-call leak a bare
-        # mkdtemp convention had.
-        sweep_reroots()
+        # mkdtemp convention had. (None when the loop converged before
+        # the first re-root boundary — nothing was allocated.)
+        if sweep_reroots is not None:
+            sweep_reroots()
     return labels
 
 

@@ -12,6 +12,15 @@ SPARK_GRAFT_SHUFFLE_INITIAL (→ adaptive.coalescePartitions.
 initialPartitionNum) high for the largest expected shuffle and lets
 AQE coalesce small stages, with SPARK_GRAFT_SHUFFLE_PARTITIONS as the
 non-AQE floor.
+
+Checkpoint hygiene: a cluster deployment that calls
+``sc.setCheckpointDir`` (which switches the iterative loops' round
+boundaries to reliable checkpoints — plans/dedup._round_checkpoint)
+must also set ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+so Spark reclaims superseded per-round ``rdd-*`` dirs; it is off by
+default, and without it CC/PageRank accumulate O(rounds) vertex-sized
+dirs on shared storage per invocation. Local mode (no checkpoint dir)
+writes none.
 """
 
 from __future__ import annotations

@@ -520,6 +520,7 @@ def test_pagerank_stats_stay_bounded_across_iterations(spark):
     estimate, exact row coverage, and total rank mass ~1 — and that
     the post-loop scratch sweep left the returned frame readable."""
     import glob
+    import tempfile
 
     from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.dedup import (
         _CC_REROOT_EVERY,
@@ -531,7 +532,11 @@ def test_pagerank_stats_stay_bounded_across_iterations(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
     )
-    before = set(glob.glob("/tmp/pr_ranks_reroot_*"))
+    # tempfile.gettempdir(), not a literal /tmp: mkdtemp honors
+    # TMPDIR, and a hardcoded /tmp would make both snapshots empty
+    # under a non-default TMPDIR — the leak check passing vacuously.
+    tmp = tempfile.gettempdir()
+    before = set(glob.glob(f"{tmp}/pr_ranks_reroot_*"))
     out = _pagerank_on_pairs(pairs, iters=18)
     bits = int(
         out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -540,7 +545,7 @@ def test_pagerank_stats_stay_bounded_across_iterations(spark):
     pdf = out.toPandas()  # FileNotFound here = sweep ran before detach
     assert len(pdf) == n + 1
     assert abs(pdf.pagerank.sum() - 1.0) < 1e-3
-    assert set(glob.glob("/tmp/pr_ranks_reroot_*")) == before, "scratch dirs leaked"
+    assert set(glob.glob(f"{tmp}/pr_ranks_reroot_*")) == before, "scratch dirs leaked"
 
 
 def test_cc_converging_on_reroot_boundary_detaches_before_sweep(spark, monkeypatch):
@@ -552,6 +557,7 @@ def test_cc_converging_on_reroot_boundary_detaches_before_sweep(spark, monkeypat
     the detach, toPandas() raises FileNotFound; without the sweep,
     the dir snapshot grows."""
     import glob
+    import tempfile
 
     from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans import (
         dedup,
@@ -560,12 +566,13 @@ def test_cc_converging_on_reroot_boundary_detaches_before_sweep(spark, monkeypat
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
     )
-    before = set(glob.glob("/tmp/cc_labels_reroot_*"))
+    tmp = tempfile.gettempdir()
+    before = set(glob.glob(f"{tmp}/cc_labels_reroot_*"))
     monkeypatch.setattr(dedup, "_CC_REROOT_EVERY", 1)
     pdf = dedup._min_label_components(pairs, max_rounds=20).toPandas()
     assert len(pdf) == 21
     assert set(pdf.label) == {0}
-    assert set(glob.glob("/tmp/cc_labels_reroot_*")) == before, "scratch dirs leaked"
+    assert set(glob.glob(f"{tmp}/cc_labels_reroot_*")) == before, "scratch dirs leaked"
 
 
 def test_iterative_loops_use_reliable_checkpoint_when_dir_configured(
@@ -637,12 +644,18 @@ def test_scratch_roots_resolution_and_cleanup(spark, tmp_path):
         assert not any(os.path.exists(p) for p in paths)
     finally:
         spark.conf.unset("spark.sse.scratchDir")
-    # (2) fallback: driver tempfile, created and removable
+    # (2) fallback: driver tempfile, created and removable — and
+    # `file:`-pinned, so writes/read-backs/cleanup resolve to the
+    # driver-local filesystem mkdtemp created the dirs on even when
+    # fs.defaultFS points elsewhere (scheme-less paths would resolve
+    # against the default FS and leak the local dirs).
     paths, cleanup = scratch_roots(spark, "probe", 2)
-    assert all(os.path.isdir(p) for p in paths)
+    assert all(p.startswith("file:") for p in paths)
+    local = [p[len("file:") :] for p in paths]
+    assert all(os.path.isdir(p) for p in local)
     spark.range(5).write.mode("overwrite").parquet(paths[1])
     cleanup()
-    assert not any(os.path.exists(p) for p in paths)
+    assert not any(os.path.exists(p) for p in local)
 
 
 def test_iterative_persist_lifecycles_are_exception_safe(spark, monkeypatch):

@@ -1720,6 +1720,257 @@ def _pfj_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def _pfj_intersect_batches(batches):
+    """Arrow-batched exact intersection counts for the prefix-filter
+    join's verification: per input row (doc_a, doc_b, sa, sb) with sa
+    and sb SORTED, UNIQUE int64 arrays (the _pfj_index contract —
+    sort_array(collect_set(shid))), emit (doc_a, doc_b, n_common, ma,
+    mb) with n_common = |sa ∩ sb| counted by a fully-vectorized numpy
+    binary-search merge instead of JVM array_intersect's per-row boxed
+    hash set.
+
+    WHY: PFJ_ENGINE_r09.json measured ~48 µs·core per candidate in
+    size(array_intersect) on ~175-element long arrays (boxed
+    OpenHashSet insert+probe per element); this kernel runs the same
+    population at ~11 µs/row single-thread (micro-benched at the r10
+    rewrite on sf10-shaped batches: 10k rows × ~175-element sides),
+    dominated by one np.searchsorted of every a-element against the
+    batch's packed b-keys — the same batched sorted-merge the numpy
+    mirror uses. The rows never leave the join's stage: mapInArrow
+    pipelines inside it (no exchange), so the plan's shuffle shape is
+    IDENTICAL to the JVM variant and the only new cost is the Arrow
+    IPC hop, linear in candidate bytes.
+
+    Mechanics: flatten both list columns; pack each element into one
+    monotone int64 key `row_id * span + (value - lo)` (rows are
+    contiguous and row-internally sorted, so packed keys are GLOBALLY
+    sorted with zero sorting work); count a-keys present in the b-key
+    array via one vectorized binary search; bincount matches per row.
+    When `rows * span` could overflow the packing (shingle ids are
+    monotonically_increasing_id — partition id in the high bits, so
+    span is usually ~2^38 but unbounded in principle), fall back to a
+    batch-local np.unique remap, which is exact for any id range.
+    Intersection SIZES are what both arms return, so the kernel is
+    bit-equivalent to array_intersect semantics on unique arrays (a
+    pinned test compares the two arms row-for-row)."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_fields = pa.schema(
+        [
+            pa.field("doc_a", pa.int64()),
+            pa.field("doc_b", pa.int64()),
+            pa.field("n_common", pa.int64()),
+            pa.field("ma", pa.int64()),
+            pa.field("mb", pa.int64()),
+        ]
+    )
+    for batch in batches:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        sa, sb = batch.column("sa"), batch.column("sb")
+        if sa.null_count or sb.null_count:
+            # Inner join over always-built profile arrays — a null here
+            # means the index contract broke; fail loud, never guess.
+            raise ValueError("_pfj_intersect_batches: null shingle array")
+        va = sa.flatten().to_numpy(zero_copy_only=False)
+        vb = sb.flatten().to_numpy(zero_copy_only=False)
+        oa = sa.offsets.to_numpy(zero_copy_only=False)
+        ob = sb.offsets.to_numpy(zero_copy_only=False)
+        la = np.diff(oa - oa[0]).astype(np.int64)
+        lb = np.diff(ob - ob[0]).astype(np.int64)
+        ra = np.repeat(np.arange(n, dtype=np.int64), la)
+        rb = np.repeat(np.arange(n, dtype=np.int64), lb)
+        if len(va) and len(vb):
+            # Python ints for the overflow check: hi-lo+1 itself can
+            # exceed int64 when ids span the full mono_id range.
+            lo = min(int(va.min()), int(vb.min()))
+            span = max(int(va.max()), int(vb.max())) - lo + 1
+            if n * span < (1 << 62):
+                ka = ra * span + (va - lo)
+                kb = rb * span + (vb - lo)
+            else:
+                allv = np.concatenate([va, vb])
+                uniq, inv = np.unique(allv, return_inverse=True)
+                span = len(uniq)
+                ka = ra * span + inv[: len(va)].astype(np.int64)
+                kb = rb * span + inv[len(va) :].astype(np.int64)
+            idx = np.searchsorted(kb, ka)
+            idx_c = np.minimum(idx, len(kb) - 1)
+            hit = (idx < len(kb)) & (kb[idx_c] == ka)
+            counts = np.bincount(ra[hit], minlength=n)
+        else:
+            counts = np.zeros(n, dtype=np.int64)
+        yield pa.record_batch(
+            [
+                batch.column("doc_a"),
+                batch.column("doc_b"),
+                pa.array(counts, type=pa.int64()),
+                pa.array(la, type=pa.int64()),
+                pa.array(lb, type=pa.int64()),
+            ],
+            schema=out_fields,
+        )
+
+
+def _pfj_plan(spark: SparkSession, sf_dir: str, verify: str = "arrow") -> DataFrame:
+    """The prefix-filter Jaccard plan behind dedup_prefix_filter_jaccard,
+    with the verification backend exposed for measured A/Bs:
+
+    - ``arrow`` (production): the join projects (doc_a, doc_b, sa, sb)
+      into ``_pfj_intersect_batches`` via mapInArrow — vectorized
+      sorted-merge counting, pipelined inside the join's stage.
+    - ``jvm``: size(array_intersect(sa, sb)) in the join's projection —
+      the pre-r10 shape, kept as the A/B comparator and the
+      arm-equality test's second opinion.
+    - ``hof``: size(filter(sa, x -> array_contains(sb, x))) — the
+      verdict-suggested higher-order-function arm; O(|sa|·|sb|) linear
+      scans per row (array_contains per element), measured for the
+      record.
+
+    All three arms share the identical candidate join (same shuffles,
+    same exactness filters) and the identical SQL tail, so an A/B
+    isolates pure verification cost."""
+    docs = table(spark, sf_dir, "documents")
+    # vocab (frozen shingle ids + df counts) and the ride-along
+    # profile arrays come from the cached id-keyed index — see
+    # _pfj_index for why the id assignment must be frozen and shared
+    # atomically between the prefix stream and the arrays.
+    vocab, profiles = _pfj_index(spark, sf_dir)
+    toks = _shingles(docs)
+    w_doc = Window.partitionBy("doc_id").orderBy("dfc", "sh")
+    w_m = Window.partitionBy("doc_id")
+    ordered = (
+        # vocab is vocabulary-sized (grows with corpus tokens) — AQE
+        # picks the strategy; a forced broadcast dies past 8 GB. The
+        # df-order window stays keyed on the STRING (dfc, sh) — the
+        # positional semantics the mirror and oracle pin — while the
+        # id is what travels into the join and the arrays.
+        toks.join(vocab, "sh")
+        .withColumn("i", F.row_number().over(w_doc))
+        .withColumn("m", F.count(F.lit(1)).over(w_m))
+    )
+    # Candidates stream from a SELF-JOIN of the (lazily checkpointed)
+    # prefix frame — NOT a collect_list bucket expansion: prefix
+    # buckets have no width cap (capping would break the no-false-
+    # negatives guarantee; a cluster of k near-identical docs makes
+    # every prefix shingle df≈k), so an array-expansion bucket of k
+    # members would materialize k²/2 structs in one row and hit the
+    # JVM 2³¹-element limit at web-scale boilerplate. The checkpoint
+    # keeps the window pipeline evaluated once despite two join sides.
+    prefix = (
+        ordered.filter(
+            F.col("i") <= F.col("m") - F.ceil(F.lit(PF_JACCARD_T) * F.col("m")) + 1
+        )
+        .select("doc_id", "i", "m", "shid")
+        .localCheckpoint(eager=False)
+    )
+    # Each doc's SORTED SHINGLE-SET ARRAY rides the prefix entries INTO
+    # the pair-generating self-join — the _cell_pair_cosines lesson
+    # (payloads ride the join that creates pairs; the pair stream is
+    # never exchanged). Two rejected shapes, both measured:
+    # (a) token-level verification (cand ⋈ toks_a on doc_a ⋈ toks_b on
+    #     (doc_b, sh) + groupBy) shuffles Σ_cand |S_a| token rows —
+    #     370M intermediate rows at sf1, ~37e9 rows / ~1.8 TB at sf10;
+    # (b) pair-level array attach (distinct cand, then two profile
+    #     joins) halves that but must route the 700M-pair stream WITH
+    #     a ~1.3 KB array through the second attach's shuffle once the
+    #     profile side outgrows broadcast — ~500 GB at sf10, the run
+    #     that killed this host's disk.
+    # Riding the arrays makes every shuffle corpus-linear: the prefix
+    # side costs prefix-entries × array width (id-keyed: 8 B/element
+    # instead of the shingle string), the emission stream is filtered
+    # and intersected MAP-SIDE inside the join's stage (JVM projection
+    # or pipelined mapInArrow — no exchange either way), and the only
+    # pair-level exchange is the final distinct over rows that already
+    # passed jaccard >= t — RESULT-sized (each true pair × its passing
+    # prefix shingles, all copies bit-identical since the row is a
+    # pure function of the pair). The ~k× redundant intersections for
+    # a pair sharing k prefix shingles are the documented price —
+    # row-local vectorized work that scales with cores, traded against
+    # the pair-stream shuffle that does not scale with disk; the r9 id
+    # substitution cut the per-candidate constant 220 → 48 µs·core and
+    # the r10 Arrow kernel attacks the rest (see
+    # _pfj_intersect_batches). collect_set is PER-DOC (bounded by
+    # document token count), never a bucket expansion.
+    #
+    # Length + positional filters (see docstring): both thresholds are
+    # relaxed by 0.5 — sizes/overlaps are integers, so half-unit slack
+    # can only ADMIT extra candidates (verified exactly in the same
+    # join), never drop a true pair to t·m landing on a float rounding
+    # boundary. They sit in the JOIN CONDITION, so rejected emissions
+    # never reach the verification projection.
+    overlap_frac = PF_JACCARD_T / (1.0 + PF_JACCARD_T)
+    pref_a = prefix.join(profiles, "doc_id").select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("i").alias("ia"),
+        F.col("m").alias("ma"),
+        "shid",
+        F.col("shs").alias("sa"),
+    )
+    pref_b = prefix.join(profiles, "doc_id").select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("i").alias("ib"),
+        F.col("m").alias("mb"),
+        F.col("shid").alias("shid_b"),
+        F.col("shs").alias("sb"),
+    )
+    cand = pref_a.join(
+        pref_b,
+        (F.col("shid") == F.col("shid_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (
+            F.least("ma", "mb")
+            >= PF_JACCARD_T * F.greatest("ma", "mb") - F.lit(0.5)
+        )
+        & (
+            1 + F.least(F.col("ma") - F.col("ia"), F.col("mb") - F.col("ib"))
+            >= overlap_frac * (F.col("ma") + F.col("mb")) - F.lit(0.5)
+        ),
+    )
+    if verify == "arrow":
+        counted = cand.select("doc_a", "doc_b", "sa", "sb").mapInArrow(
+            _pfj_intersect_batches,
+            "doc_a long, doc_b long, n_common long, ma long, mb long",
+        )
+    elif verify == "hof":
+        counted = cand.select(
+            "doc_a",
+            "doc_b",
+            F.size(
+                F.filter("sa", lambda x: F.array_contains("sb", x))
+            ).cast("long").alias("n_common"),
+            F.size("sa").cast("long").alias("ma"),
+            F.size("sb").cast("long").alias("mb"),
+        )
+    else:  # "jvm"
+        counted = cand.select(
+            "doc_a",
+            "doc_b",
+            # cast: size() is INT; the member's pinned schema (and the
+            # oracle's COUNT/SUM arithmetic) is BIGINT
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("n_common"),
+            F.size("sa").cast("long").alias("ma"),
+            F.size("sb").cast("long").alias("mb"),
+        )
+    emitted = counted.withColumn(
+        "n_union", F.col("ma") + F.col("mb") - F.col("n_common")
+    )
+    return (
+        emitted.filter(
+            F.col("n_common").cast("double") / F.col("n_union") >= PF_JACCARD_T
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common").cast("double") / F.col("n_union") * 1000000.0)
+            / 1000000.0,
+        )
+        .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
+        .distinct()
+    )
+
+
 @register(
     "dedup_prefix_filter_jaccard",
     oracle=f"""
@@ -1778,11 +2029,14 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted shingle-ID array (int64 ids from a frozen bijection — see
     _pfj_index; intersection sizes are bijection-invariant, so results
     are bit-identical to string-set semantics) and counts the exact
-    intersection row-
-    locally (size(array_intersect)) inside the pair-generating self-join
-    itself — see the plan note at the emitted frame for the two
-    rejected shapes and why every shuffle here is corpus-linear. Integer-over-integer division makes the
-    threshold decision engine-exact.
+    intersection row-locally INSIDE the pair-generating self-join's
+    stage — since r10 via the Arrow-batched vectorized sorted-merge
+    kernel (_pfj_intersect_batches, pipelined mapInArrow: no new
+    exchange, measured A/B in PFJ_AB_r10.json) rather than JVM
+    array_intersect's per-row hash set — see _pfj_plan for the two
+    rejected shapes, the three measured verification arms, and why
+    every shuffle here is corpus-linear. Integer-over-integer division
+    makes the threshold decision engine-exact.
 
     Honest quadratic contract: a cluster of k docs that genuinely ARE
     mutually near-identical (templated boilerplate differing by a
@@ -1814,124 +2068,4 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint keeps the window pipeline evaluated once despite the
     two join sides.
     """
-    docs = table(spark, sf_dir, "documents")
-    # vocab (frozen shingle ids + df counts) and the ride-along
-    # profile arrays come from the cached id-keyed index — see
-    # _pfj_index for why the id assignment must be frozen and shared
-    # atomically between the prefix stream and the arrays.
-    vocab, profiles = _pfj_index(spark, sf_dir)
-    toks = _shingles(docs)
-    w_doc = Window.partitionBy("doc_id").orderBy("dfc", "sh")
-    w_m = Window.partitionBy("doc_id")
-    ordered = (
-        # vocab is vocabulary-sized (grows with corpus tokens) — AQE
-        # picks the strategy; a forced broadcast dies past 8 GB. The
-        # df-order window stays keyed on the STRING (dfc, sh) — the
-        # positional semantics the mirror and oracle pin — while the
-        # id is what travels into the join and the arrays.
-        toks.join(vocab, "sh")
-        .withColumn("i", F.row_number().over(w_doc))
-        .withColumn("m", F.count(F.lit(1)).over(w_m))
-    )
-    # Candidates stream from a SELF-JOIN of the (lazily checkpointed)
-    # prefix frame — NOT a collect_list bucket expansion: prefix
-    # buckets have no width cap (capping would break the no-false-
-    # negatives guarantee; a cluster of k near-identical docs makes
-    # every prefix shingle df≈k), so an array-expansion bucket of k
-    # members would materialize k²/2 structs in one row and hit the
-    # JVM 2³¹-element limit at web-scale boilerplate. The checkpoint
-    # keeps the window pipeline evaluated once despite two join sides.
-    prefix = (
-        ordered.filter(
-            F.col("i") <= F.col("m") - F.ceil(F.lit(PF_JACCARD_T) * F.col("m")) + 1
-        )
-        .select("doc_id", "i", "m", "shid")
-        .localCheckpoint(eager=False)
-    )
-    # Each doc's SORTED SHINGLE-SET ARRAY rides the prefix entries INTO
-    # the pair-generating self-join — the _cell_pair_cosines lesson
-    # (payloads ride the join that creates pairs; the pair stream is
-    # never exchanged). Two rejected shapes, both measured:
-    # (a) token-level verification (cand ⋈ toks_a on doc_a ⋈ toks_b on
-    #     (doc_b, sh) + groupBy) shuffles Σ_cand |S_a| token rows —
-    #     370M intermediate rows at sf1, ~37e9 rows / ~1.8 TB at sf10;
-    # (b) pair-level array attach (distinct cand, then two profile
-    #     joins) halves that but must route the 700M-pair stream WITH
-    #     a ~1.3 KB array through the second attach's shuffle once the
-    #     profile side outgrows broadcast — ~500 GB at sf10, the run
-    #     that killed this host's disk.
-    # Riding the arrays makes every shuffle corpus-linear: the prefix
-    # side costs prefix-entries × array width (id-keyed: 8 B/element
-    # instead of the shingle string), the emission stream is filtered
-    # and intersected MAP-SIDE inside the join's condition/projection,
-    # and the only pair-level exchange is the final distinct over rows
-    # that already passed jaccard >= t — RESULT-sized (each true pair
-    # × its passing prefix shingles, all copies bit-identical since
-    # the row is a pure function of the pair). The ~k× redundant
-    # intersections for a pair sharing k prefix shingles are the
-    # documented price — row-local codegen'd array work that scales
-    # with cores, traded against the pair-stream shuffle that does not
-    # scale with disk; the id substitution attacks the measured
-    # ~220 µs·core per-intersection constant (PFJ_ENGINE_r09.json) by
-    # moving the hash-set build from ~175 string hashes to long
-    # hashes. collect_set is PER-DOC (bounded by document token
-    # count), never a bucket expansion.
-    #
-    # Length + positional filters (see docstring): both thresholds are
-    # relaxed by 0.5 — sizes/overlaps are integers, so half-unit slack
-    # can only ADMIT extra candidates (verified exactly in the same
-    # join), never drop a true pair to t·m landing on a float rounding
-    # boundary. They sit in the JOIN CONDITION, so rejected emissions
-    # never reach the intersection projection.
-    overlap_frac = PF_JACCARD_T / (1.0 + PF_JACCARD_T)
-    pref_a = prefix.join(profiles, "doc_id").select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("i").alias("ia"),
-        F.col("m").alias("ma"),
-        "shid",
-        F.col("shs").alias("sa"),
-    )
-    pref_b = prefix.join(profiles, "doc_id").select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("i").alias("ib"),
-        F.col("m").alias("mb"),
-        F.col("shid").alias("shid_b"),
-        F.col("shs").alias("sb"),
-    )
-    emitted = (
-        pref_a.join(
-            pref_b,
-            (F.col("shid") == F.col("shid_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (
-                F.least("ma", "mb")
-                >= PF_JACCARD_T * F.greatest("ma", "mb") - F.lit(0.5)
-            )
-            & (
-                1 + F.least(F.col("ma") - F.col("ia"), F.col("mb") - F.col("ib"))
-                >= overlap_frac * (F.col("ma") + F.col("mb")) - F.lit(0.5)
-            ),
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            # cast: size() is INT; the member's pinned schema (and the
-            # oracle's COUNT/SUM arithmetic) is BIGINT
-            F.size(F.array_intersect("sa", "sb")).cast("long").alias("n_common"),
-            F.size("sa").cast("long").alias("ma"),
-            F.size("sb").cast("long").alias("mb"),
-        )
-        .withColumn("n_union", F.col("ma") + F.col("mb") - F.col("n_common"))
-    )
-    return (
-        emitted.filter(
-            F.col("n_common").cast("double") / F.col("n_union") >= PF_JACCARD_T
-        )
-        .withColumn(
-            "jaccard",
-        F.round(F.col("n_common").cast("double") / F.col("n_union") * 1000000.0)
-        / 1000000.0
-        )
-        .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
-        .distinct()
-    )
+    return _pfj_plan(spark, sf_dir, verify="arrow")

@@ -244,6 +244,84 @@ WHERE CAST(c AS DOUBLE) / (sa.m + sb.m - c) >= {PF_JACCARD_T}
     assert got == {(a, b) for a, b in brute}
 
 
+def test_prefix_filter_verification_arms_are_bit_identical(spark, sf_dir):
+    """The three verification backends behind _pfj_plan — the Arrow
+    sorted-merge kernel (production), JVM array_intersect (the pre-r10
+    shape), and the HOF linear-scan arm — share one candidate join and
+    must emit row-for-row identical results: the kernel substitutes
+    only HOW |sa ∩ sb| is counted, never which pairs exist or what
+    their sizes are."""
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.dedup import (
+        _pfj_plan,
+    )
+
+    frames = {
+        arm: _pfj_plan(spark, sf_dir, verify=arm)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        for arm in ("arrow", "jvm", "hof")
+    }
+    assert len(frames["arrow"]) > 0, "fixture produced no near-dup pairs"
+    assert frames["arrow"].equals(frames["jvm"])
+    assert frames["arrow"].equals(frames["hof"])
+
+
+def test_pfj_intersect_kernel_packing_and_fallback_paths():
+    """_pfj_intersect_batches direct: both key-packing strategies must
+    count exactly. The packed path (row*span + value) engages for
+    normal mono_id ranges; ids spanning nearly the full int64 range
+    force the batch-local np.unique remap fallback — drive both with
+    the same logical rows and known intersections, plus the empty-array
+    and empty-batch edges."""
+    import pyarrow as pa
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.dedup import (
+        _pfj_intersect_batches,
+    )
+
+    def run(sa_rows, sb_rows):
+        batch = pa.record_batch(
+            {
+                "doc_a": pa.array(range(len(sa_rows)), type=pa.int64()),
+                "doc_b": pa.array(range(len(sa_rows)), type=pa.int64()),
+                "sa": pa.array(sa_rows, type=pa.list_(pa.int64())),
+                "sb": pa.array(sb_rows, type=pa.list_(pa.int64())),
+            }
+        )
+        out = list(_pfj_intersect_batches(iter([batch])))
+        assert len(out) == 1
+        return out[0].to_pydict()
+
+    # packed path: small ids
+    got = run(
+        [[1, 2, 3], [10, 20], [5], []],
+        [[2, 3, 9], [20, 30, 40], [6], [1, 2]],
+    )
+    assert got["n_common"] == [2, 1, 0, 0]
+    assert got["ma"] == [3, 2, 1, 0]
+    assert got["mb"] == [3, 3, 1, 2]
+    # fallback path: ids spanning ~the full int64 range make
+    # rows*span overflow the packing check
+    big = (1 << 62) + 5
+    got = run(
+        [[1, big], [2, 3]],
+        [[big], [3, big]],
+    )
+    assert got["n_common"] == [1, 1]
+    assert got["ma"] == [2, 2] and got["mb"] == [1, 2]
+    # empty batch: kernel yields nothing (mapInArrow allows it)
+    empty = pa.record_batch(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "sa": pa.array([], type=pa.list_(pa.int64())),
+            "sb": pa.array([], type=pa.list_(pa.int64())),
+        }
+    )
+    assert list(_pfj_intersect_batches(iter([empty]))) == []
+
+
 def test_index_caches_reuse_and_invalidate(spark, sf_dir, tmp_path):
     """The per-dataset index caches (_minhash_index, _ngram_index) must
     serve the SAME checkpointed frame for an unchanged corpus snapshot

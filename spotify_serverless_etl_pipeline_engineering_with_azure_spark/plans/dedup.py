@@ -1655,13 +1655,26 @@ PF_JACCARD_T = 0.6
 _PFJ_INDEX_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
-def _pfj_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _pfj_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build (or fetch) the prefix-filter join's id-keyed index:
-    (vocab, profiles), both eagerly checkpointed once per (dataset
-    identity, Spark application) — the `_minhash_index` shape.
+    (vocab, prefix, profiles), all eagerly checkpointed once per
+    (dataset identity, Spark application) — the `_minhash_index` shape.
 
     - ``vocab`` (sh, dfc, shid): per-shingle document frequency plus a
       frozen INJECTIVE int64 shingle id.
+    - ``prefix`` (doc_id, i, m, shid): each doc's (m − ⌈t·m⌉ + 1)
+      rarest shingles with their df-order position i and set size m —
+      the join's probe entries. In the index since r10: the window
+      pipeline behind it is per-corpus-snapshot stable, and as a LAZY
+      localCheckpoint in the query plan its two join-side consumers
+      raced to materialize it — the sf10 stage log showed the full
+      11M-row window pipeline executing TWICE (~100 s·wall of
+      duplicate work; lazy checkpoint blocks dedupe only after one
+      evaluation COMPLETES, and concurrent stages both start before
+      either finishes). Eager in the index, it is built exactly once
+      and both join sides read blocks.
     - ``profiles`` (doc_id, shs): each doc's SORTED ARRAY of shingle
       ids — the ride-along verification payload.
 
@@ -1693,7 +1706,7 @@ def _pfj_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     intersections. The tuple makes that impossible by construction.
     """
 
-    def build() -> tuple[DataFrame, DataFrame]:
+    def build() -> tuple[DataFrame, DataFrame, DataFrame]:
         toks = _shingles(table(spark, sf_dir, "documents")).localCheckpoint(
             eager=False
         )
@@ -1702,13 +1715,31 @@ def _pfj_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             dfreq.withColumn("shid", F.monotonically_increasing_id()),
             "pfj_vocab",
         )
+        # The df-order window stays keyed on the STRING (dfc, sh) —
+        # the positional semantics the mirror and oracle pin — while
+        # the id is what travels into the join and the arrays. vocab
+        # is vocabulary-sized (grows with corpus tokens) — AQE picks
+        # the join strategy; a forced broadcast dies past 8 GB.
+        w_doc = Window.partitionBy("doc_id").orderBy("dfc", "sh")
+        w_m = Window.partitionBy("doc_id")
+        prefix = checkpoint_frame(
+            toks.join(vocab, "sh")
+            .withColumn("i", F.row_number().over(w_doc))
+            .withColumn("m", F.count(F.lit(1)).over(w_m))
+            .filter(
+                F.col("i")
+                <= F.col("m") - F.ceil(F.lit(PF_JACCARD_T) * F.col("m")) + 1
+            )
+            .select("doc_id", "i", "m", "shid"),
+            "pfj_prefix",
+        )
         profiles = checkpoint_frame(
             toks.join(vocab.select("sh", "shid"), "sh")
             .groupBy("doc_id")
             .agg(F.sort_array(F.collect_set("shid")).alias("shs")),
             "pfj_profiles",
         )
-        return (vocab, profiles)
+        return (vocab, prefix, profiles)
 
     return dataset_cached(
         _PFJ_INDEX_CACHE,
@@ -1832,40 +1863,20 @@ def _pfj_plan(spark: SparkSession, sf_dir: str, verify: str = "arrow") -> DataFr
     All three arms share the identical candidate join (same shuffles,
     same exactness filters) and the identical SQL tail, so an A/B
     isolates pure verification cost."""
-    docs = table(spark, sf_dir, "documents")
-    # vocab (frozen shingle ids + df counts) and the ride-along
-    # profile arrays come from the cached id-keyed index — see
-    # _pfj_index for why the id assignment must be frozen and shared
-    # atomically between the prefix stream and the arrays.
-    vocab, profiles = _pfj_index(spark, sf_dir)
-    toks = _shingles(docs)
-    w_doc = Window.partitionBy("doc_id").orderBy("dfc", "sh")
-    w_m = Window.partitionBy("doc_id")
-    ordered = (
-        # vocab is vocabulary-sized (grows with corpus tokens) — AQE
-        # picks the strategy; a forced broadcast dies past 8 GB. The
-        # df-order window stays keyed on the STRING (dfc, sh) — the
-        # positional semantics the mirror and oracle pin — while the
-        # id is what travels into the join and the arrays.
-        toks.join(vocab, "sh")
-        .withColumn("i", F.row_number().over(w_doc))
-        .withColumn("m", F.count(F.lit(1)).over(w_m))
-    )
-    # Candidates stream from a SELF-JOIN of the (lazily checkpointed)
-    # prefix frame — NOT a collect_list bucket expansion: prefix
-    # buckets have no width cap (capping would break the no-false-
-    # negatives guarantee; a cluster of k near-identical docs makes
-    # every prefix shingle df≈k), so an array-expansion bucket of k
-    # members would materialize k²/2 structs in one row and hit the
-    # JVM 2³¹-element limit at web-scale boilerplate. The checkpoint
-    # keeps the window pipeline evaluated once despite two join sides.
-    prefix = (
-        ordered.filter(
-            F.col("i") <= F.col("m") - F.ceil(F.lit(PF_JACCARD_T) * F.col("m")) + 1
-        )
-        .select("doc_id", "i", "m", "shid")
-        .localCheckpoint(eager=False)
-    )
+    # vocab (frozen shingle ids + df counts), the prefix probe frame,
+    # and the ride-along profile arrays come from the cached id-keyed
+    # index — see _pfj_index for why the id assignment must be frozen
+    # and shared atomically between the prefix stream and the arrays,
+    # and why the prefix frame is eager there (its two join-side
+    # consumers raced a lazy checkpoint into double evaluation).
+    # Candidates stream from a SELF-JOIN of the prefix frame — NOT a
+    # collect_list bucket expansion: prefix buckets have no width cap
+    # (capping would break the no-false-negatives guarantee; a cluster
+    # of k near-identical docs makes every prefix shingle df≈k), so an
+    # array-expansion bucket of k members would materialize k²/2
+    # structs in one row and hit the JVM 2³¹-element limit at
+    # web-scale boilerplate.
+    _vocab, prefix, profiles = _pfj_index(spark, sf_dir)
     # Each doc's SORTED SHINGLE-SET ARRAY rides the prefix entries INTO
     # the pair-generating self-join — the _cell_pair_cosines lesson
     # (payloads ride the join that creates pairs; the pair stream is

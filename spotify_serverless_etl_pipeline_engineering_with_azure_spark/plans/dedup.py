@@ -2067,16 +2067,16 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids) and the per-doc sorted id-array profiles come from the
     cached, eagerly-checkpointed `_pfj_index` — built once per
     (dataset, application) exactly like the MinHash index, so the
-    shingle scatter+explode pipeline runs once for the index and once
-    for the prefix window instead of four times (Spark shares no
-    subplans). Candidates STREAM from a
-    self-join of the (lazily checkpointed) prefix frame — not from a
+    shingle scatter+explode pipeline runs once at build time instead
+    of four times in the query plan (Spark shares no subplans).
+    Candidates STREAM from a self-join of the index's EAGER prefix
+    frame (since r10 — as a lazy checkpoint in the query plan its two
+    join-side consumers raced into double evaluation; eager in the
+    index, both sides read checkpoint blocks) — not from a
     collect_list bucket expansion: prefix buckets have no width cap
     (capping would break the no-false-negatives guarantee), so an
     array-expansion bucket of k members would materialize k²/2 structs
     in one row and hit the JVM 2³¹-element limit on web-scale
-    boilerplate, while the join emits the same pairs as a stream; the
-    checkpoint keeps the window pipeline evaluated once despite the
-    two join sides.
+    boilerplate, while the join emits the same pairs as a stream.
     """
     return _pfj_plan(spark, sf_dir, verify="arrow")

@@ -78,6 +78,18 @@ def session_confs(
     init = e.get("SPARK_GRAFT_SHUFFLE_INITIAL")
     if init:
         confs["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = init
+    # Generic conf passthrough ("k=v;k2=v2"): lets a deployment (or a
+    # measured config A/B, guide §1) override/extend session confs
+    # without code edits. Applied LAST so explicit entries win over the
+    # local defaults above; the driver's bench stays comparable because
+    # the variable is unset there.
+    extra = e.get("SPARK_GRAFT_EXTRA_CONFS")
+    if extra:
+        for kv in extra.split(";"):
+            kv = kv.strip()
+            if kv:
+                k, _, v = kv.partition("=")
+                confs[k.strip()] = v.strip()
     return master, confs
 
 

@@ -113,6 +113,20 @@ def test_o3_session_config_from_env():
     assert master == "spark://host:7077"
     assert confs["spark.sql.shuffle.partitions"] == "256"
 
+    # SPARK_GRAFT_EXTRA_CONFS ("k=v;k2=v2") extends AND overrides the
+    # local defaults — the deployment/config-A/B passthrough. Applied
+    # last; whitespace and empty segments are tolerated.
+    master, confs = session_confs(
+        env={
+            "SPARK_GRAFT_EXTRA_CONFS": (
+                "spark.sql.join.preferSortMergeJoin=false; "
+                "spark.driver.memory=8g;"
+            )
+        }
+    )
+    assert confs["spark.sql.join.preferSortMergeJoin"] == "false"
+    assert confs["spark.driver.memory"] == "8g"
+
 
 def test_o4_checkpoint_kill_and_resume(spark, tmp_path):
     """O4 (error handling, spotifytransform.py:131-158 swallowed-error

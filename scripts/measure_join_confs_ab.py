@@ -8,7 +8,9 @@ SMJ->SHJ at runtime when every post-shuffle partition fits). Both confs
 are runtime-settable, so arms interleave inside ONE session and share
 every cache/codegen warm state — the same discipline as bench.py.
 
-Usage: python scripts/measure_join_confs_ab.py [reps] [sf_dir]
+Usage: python scripts/measure_join_confs_ab.py [reps] [sf_dir] [q1,q2,...]
+(optional third arg restricts the measured set — for targeting the
+SortMergeJoin-bearing queries at larger SFs; controls recommended).
 Prints per-arm per-query medians/mins and writes JSON to stdout tail.
 """
 
@@ -45,6 +47,7 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    queries = sys.argv[3].split(",") if len(sys.argv) > 3 else list(HEADLINE)
     spark = get_spark("sse_join_ab")
     qs = registry.queries()
 
@@ -54,11 +57,11 @@ def main() -> None:
 
     # Warm-up pass (default arm): codegen, parquet caches, index builds.
     set_arm("default")
-    for name in HEADLINE:
+    for name in queries:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     walls: dict[str, dict[str, list[float]]] = {
-        a: {n: [] for n in HEADLINE} for a in ARMS
+        a: {n: [] for n in queries} for a in ARMS
     }
     arm_names = list(ARMS)
     for rep in range(reps):
@@ -68,7 +71,7 @@ def main() -> None:
         # last. Rotation cancels the first-order drift in the median.
         for arm in arm_names[rep % len(arm_names):] + arm_names[: rep % len(arm_names)]:
             set_arm(arm)
-            for name in HEADLINE:
+            for name in queries:
                 spark.sparkContext.setJobDescription(f"{arm}/{name}/rep{rep}")
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -89,6 +92,9 @@ def main() -> None:
             "total_min": round(sum(mn.values()), 3),
             "median": med,
             "min": mn,
+            # Raw per-rep walls in execution order: bimodality and
+            # drift waves are invisible in median/min summaries.
+            "walls": {n: [round(x, 3) for x in v] for n, v in walls[arm].items()},
         }
     print(json.dumps(out))
     spark.stop()

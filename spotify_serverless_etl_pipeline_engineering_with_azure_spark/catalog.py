@@ -230,6 +230,12 @@ def release(*frames: DataFrame | None) -> None:
 
 _INDEX_SEQ = iter(range(1 << 62))
 
+# Rows per partition under which a cached-index frame's partitions are
+# task-overhead-bound rather than compute-bound in its search-side
+# consumers (measured at sf0.1/sf1 — see checkpoint_frame's floor
+# docstring and IVF_FLOOR_AB_r10.json).
+_FLOOR_ROWS_PER_PART = 2048
+
 
 def checkpoint_frame(df: DataFrame, tag: str = "frame") -> DataFrame:
     """Materialize a cached-index frame and truncate its lineage.
@@ -257,16 +263,67 @@ def checkpoint_frame(df: DataFrame, tag: str = "frame") -> DataFrame:
     bounded by build count (kilobytes-to-megabytes at test SF; an
     orchestrator owning a real shared store would instead key paths by
     corpus snapshot and run retention there).
+
+    SEARCH-PARALLELISM FLOOR (guide §2: partitioning must be
+    scale-adaptive — and that cuts both ways): the build plan's last
+    shuffle is AQE-coalesced by BYTES, so a small index table (the IVF
+    posting/probe maps, a modest vector store) collapses to ONE
+    partition — and search stages inherit that layout whenever the
+    planner pipelines on the index scan. Measured at sf1: AQE's
+    runtime SMJ→broadcast conversion races the probe-side exchange
+    materialization, so sim_ann_ivf nondeterministically flipped
+    between reading a 3-partition AQEShuffleRead (3.4 s) and
+    pipelining the whole candidate expansion + cosine fold into the
+    1-partition index scan (6.8 s, single task on a 32-core host) —
+    byte-based coalescing is blind to the ~60× compute fan-out per
+    index row downstream (IVF_FLOOR_AB_r10.json). Index tables are
+    written once and searched many times, so below-floor frames are
+    resharded at build time to
+
+        min(defaultParallelism, ceil(rows / _FLOOR_ROWS_PER_PART))
+
+    — ROW-AWARE, not a flat cores floor, because the first cut of
+    this change resharded every frame to core count and the sf0.1
+    bench paid for it: a 2,835-row pair table spread over 32
+    partitions turned a 0.14 s query into 0.35 s of task-scheduling
+    overhead (measured, same artifact) while gaining nothing. A
+    partition under ~2k rows is overhead-bound in the measured
+    consumers; compute-amplifying consumers still reach full machine
+    width once the frame carries ≳ 64k rows. The residual is stated
+    honestly: a rows-based floor cannot see PER-ROW compute, so an
+    extreme-fan-out operator over a small frame may still underuse
+    cores at small corpus sizes — inert at scale, where byte-sizing
+    dominates partition counts anyway. Mechanics: the localCheckpoint
+    branch pays one extra pass over an already-materialized SMALL
+    frame (a below-floor frame is small by construction); the durable
+    branch leaves a lazy round-robin repartition above the parquet
+    scan instead — the scan stays the durable recompute root (a
+    localCheckpoint on top would reintroduce exactly the
+    executor-loss poisoning this branch exists to avoid), and
+    consumers pay one small-table shuffle per query. Frames at or
+    above their target are returned untouched.
     """
+    import math
     import os
 
     root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
-    if not root:
-        return df.localCheckpoint(eager=True)
     spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+
+    def target_parts(frame: DataFrame) -> int:
+        return min(cores, max(1, math.ceil(frame.count() / _FLOOR_ROWS_PER_PART)))
+
+    if not root:
+        out = df.localCheckpoint(eager=True)
+        if out.rdd.getNumPartitions() < (t := target_parts(out)):
+            out = out.repartition(t).localCheckpoint(eager=True)
+        return out
     path = os.path.join(app_scoped_dir(root, spark), f"{tag}_{next(_INDEX_SEQ)}")
     df.write.mode("error").parquet(path)
-    return spark.read.parquet(path)
+    out = spark.read.parquet(path)
+    if out.rdd.getNumPartitions() < (t := target_parts(out)):
+        out = out.repartition(t)
+    return out
 
 
 def _host_hash() -> str:

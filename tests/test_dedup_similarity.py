@@ -785,6 +785,54 @@ def test_iterative_persist_lifecycles_are_exception_safe(spark, monkeypatch):
             )
 
 
+def test_checkpoint_frame_search_parallelism_floor(spark, tmp_path, monkeypatch):
+    """checkpoint_frame reshards a below-floor frame up to
+    min(defaultParallelism, ceil(rows / _FLOOR_ROWS_PER_PART)) — in
+    BOTH branches. The build plan's last shuffle is AQE-coalesced by
+    BYTES, so a small index table collapses to one partition and every
+    search stage that pipelines on its scan runs single-threaded
+    (measured: sim_ann_ivf at sf1 flipped 3.4 s ↔ 6.8 s on whether AQE
+    kept or elided the probe-side exchange over the 1-partition index
+    — IVF_FLOOR_AB_r10.json). The floor is ROW-AWARE: a micro frame
+    must stay compact (a 2,835-row table resharded to 32 partitions
+    measurably turned a 0.14 s consumer into 0.35 s of task overhead),
+    and frames already at/above their target must be returned
+    untouched — at corpus scale the byte-sized count dominates and a
+    forced repartition DOWN would be a regression."""
+    import math
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.catalog import (
+        _FLOOR_ROWS_PER_PART,
+        checkpoint_frame,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    n_big = 4 * _FLOOR_ROWS_PER_PART  # enough rows for >1 target part
+    big = spark.range(n_big).coalesce(1)
+
+    out = checkpoint_frame(big, "floor_test")
+    expect = min(cores, math.ceil(n_big / _FLOOR_ROWS_PER_PART))
+    assert out.rdd.getNumPartitions() == expect
+    assert sorted(r["id"] for r in out.collect()) == list(range(n_big))
+
+    # Micro frame: target is 1 — must NOT be spread across cores.
+    micro = checkpoint_frame(spark.range(100).coalesce(1), "floor_test_micro")
+    assert micro.rdd.getNumPartitions() == 1
+
+    # At/above the target: untouched (no reshard, count preserved).
+    wide = spark.range(n_big).repartition(cores + 3)
+    kept = checkpoint_frame(wide, "floor_test_wide")
+    assert kept.rdd.getNumPartitions() == cores + 3
+
+    # Durable branch: the parquet scan of a small index table packs to
+    # few splits; the returned frame must still carry the target (lazy
+    # repartition above the scan — the scan stays the durable root).
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    dur = checkpoint_frame(big, "floor_test_durable")
+    assert dur.rdd.getNumPartitions() == expect
+    assert sorted(r["id"] for r in dur.collect()) == list(range(n_big))
+
+
 def test_durable_index_store_roundtrip_and_sweep(spark, sf_dir, tmp_path, monkeypatch):
     """SPARK_GRAFT_INDEX_DIR flips index materialization from executor-
     local localCheckpoint blocks (unreplicated — lost with an executor)

@@ -6,7 +6,17 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes to completion through the noop sink (full plan
 runs, nothing ships to the driver — measuring the engine, not
-toPandas)."""
+toPandas).
+
+The JSON line carries ``cpus_effective`` (the session's
+sparkContext.defaultParallelism) and ``master`` so a reader can VERIFY
+the $SPARK_GRAFT_CPUS contract was honored instead of inferring it
+from wall-clock ratios. NOTE on those ratios: at sf0.1 every headline
+query is 0.1–1.2 s and dominated by fixed per-query cost (planning,
+AQE stage setup, Python round trips), so low-core vs high-core walls
+are near-identical BY NATURE at this scale — per-query core-scaling
+ratios are only meaningful at >= sf1 (see BENCH_SF1_C8_r11 /
+BENCH_SF1_C32_r11 for a measured pair)."""
 
 from __future__ import annotations
 
@@ -109,21 +119,35 @@ def main() -> None:
     mins = {name: round(min(v[:n_min]), 3) for name, v in passes.items()}
     total = round(sum(timings.values()), 3)
     stat = f"median_of_{n_passes}_interleaved_min_of_first_{n_min}"
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "queries_min": mins,
-                "value_min": round(sum(mins.values()), 3),
-                "stat": stat,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "spread": spread,
+            "queries_min": mins,
+            "value_min": round(sum(mins.values()), 3),
+            "stat": stat,
+            "sf": sf,
+            # Effective parallelism + master: lets the driver VERIFY
+            # the $SPARK_GRAFT_CPUS contract (r10 PERF heuristic
+            # false-positived "cpus ignored" because nothing in this
+            # line reported it).
+            "cpus_effective": spark.sparkContext.defaultParallelism,
+            "master": spark.sparkContext.master,
+        }
     )
+    # The line is ~4 KB and grows with query count; a log-capture that
+    # truncates its tail loses the whole record (r10's PERF comparison
+    # lost the round-over-round table exactly this way). Keep stdout as
+    # the contract, and ALSO write the line whole to
+    # $SPARK_GRAFT_BENCH_OUT when a harness sets it.
+    print(line)
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
     spark.stop()
 
 

@@ -73,7 +73,9 @@ def main() -> int:
     walls: dict[str, list[float]] = {a: [] for a in arms}
     rows: dict[str, int] = {}
     for rep in range(args.reps):
-        for arm in arms:
+        # Rotate arm order per rep (r10 join-conf A/B lesson: a fixed
+        # order flatters the last arm on a cooling host).
+        for arm in arms[rep % len(arms):] + arms[: rep % len(arms)]:
             t0 = time.time()
             n = _pfj_plan(spark, args.sf_dir, verify=arm).count()
             walls[arm].append(round(time.time() - t0, 2))

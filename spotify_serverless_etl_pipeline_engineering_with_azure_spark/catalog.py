@@ -308,20 +308,39 @@ def checkpoint_frame(df: DataFrame, tag: str = "frame") -> DataFrame:
 
     root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
     spark = df.sparkSession
+    # The cap is defaultParallelism SAMPLED AT BUILD TIME. Known
+    # limitation for cluster posture: under dynamic allocation an index
+    # built before executors scale up locks in a lower floor (the
+    # localCheckpoint branch freezes it physically); a deployment that
+    # cares should build indexes after warm-up or set
+    # SPARK_GRAFT_EXTRA_CONFS to pin a parallelism floor. Inert at
+    # corpus scale either way — byte-sizing dominates partition counts
+    # there (see floor rationale above).
     cores = spark.sparkContext.defaultParallelism
 
-    def target_parts(frame: DataFrame) -> int:
-        return min(cores, max(1, math.ceil(frame.count() / _FLOOR_ROWS_PER_PART)))
+    def reshard_target(frame: DataFrame) -> int | None:
+        """Floor target when the frame is under-partitioned, else None.
+        Checks partition count BEFORE counting rows: when the frame
+        already has >= cores partitions the outcome is predetermined
+        (the target is capped at cores), and in the durable branch the
+        count() would be an extra full parquet-scan job per index build
+        on corpus-sized tables (r10 ADVICE)."""
+        if frame.rdd.getNumPartitions() >= cores:
+            return None
+        t = min(
+            cores, max(1, math.ceil(frame.count() / _FLOOR_ROWS_PER_PART))
+        )
+        return t if frame.rdd.getNumPartitions() < t else None
 
     if not root:
         out = df.localCheckpoint(eager=True)
-        if out.rdd.getNumPartitions() < (t := target_parts(out)):
+        if (t := reshard_target(out)) is not None:
             out = out.repartition(t).localCheckpoint(eager=True)
         return out
     path = os.path.join(app_scoped_dir(root, spark), f"{tag}_{next(_INDEX_SEQ)}")
     df.write.mode("error").parquet(path)
     out = spark.read.parquet(path)
-    if out.rdd.getNumPartitions() < (t := target_parts(out)):
+    if (t := reshard_target(out)) is not None:
         out = out.repartition(t)
     return out
 
@@ -574,6 +593,35 @@ def scatter(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() >= parallelism:
         return df
     return df.repartition(parallelism)
+
+
+def scatter_by(df: DataFrame, *cols: str) -> DataFrame:
+    """``scatter`` keyed by ``cols``: the same small-input parallelism
+    repair, but HASH-partitioned so a downstream aggregation keyed on
+    (a superset of) ``cols`` can REUSE the partitioning instead of
+    paying its own exchange (guide §2.4 — two operations keyed the same
+    way share one shuffle; ClusteredDistribution is satisfied by any
+    hashpartitioning on the keys, whatever the partition count).
+    Measured on dedup_simhash (r11): the round-robin scatter left the
+    packed-popcount groupBy(doc_id) needing a second Exchange +
+    partial/final agg split; keying the scatter by doc_id folds the
+    aggregation into one Complete-mode pass — 2 Exchanges → 1.
+
+    Two costs the keyed variant AVOIDS vs round-robin: keyless
+    repartition(n) locally sorts its input so retried tasks reproduce
+    the same row assignment (spark.sql.execution.sortBeforeRepartition,
+    guide §2.5) — hash repartition needs no such sort; and the saved
+    downstream exchange. The cost it ADDS: hash balance now depends on
+    the key — use only keys that are unique-ish (doc_id) or provably
+    high-cardinality relative to the partition count, never a hot key.
+    Like ``scatter``, already-wide inputs pass through untouched (the
+    downstream agg then pays its own exchange as before — correct at
+    scale, where the scan provides width and a forced repartition
+    would be a gratuitous O(data) exchange)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism, *cols)
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

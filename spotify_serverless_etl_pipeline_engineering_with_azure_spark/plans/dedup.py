@@ -29,6 +29,7 @@ from ..catalog import (
     dataset_cached,
     release,
     scatter,
+    scatter_by,
     scratch_roots,
     table,
 )
@@ -440,12 +441,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Implementation: explode tokens → hash once per token → 12 packed
     SUM aggregates, each carrying four 16-bit per-bit popcounts in one
     long (bit 4k+i lives at field i·16 of packed sum k) → unpack and
-    reassemble bits row-locally after the shuffle. Versus the naive 48
-    SUM(±1) columns this quarters the per-row aggregate update work
-    (measured 0.87 s → 0.61 s at sf0.1); versus a nested
-    higher-order-function fold (shuffle-free but interpreted — HOF
-    lambdas skip whole-stage codegen) it measured ~5× faster. Only 13
-    partially-aggregated longs per doc cross the shuffle.
+    reassemble bits row-locally. Versus the naive 48 SUM(±1) columns
+    this quarters the per-row aggregate update work (measured
+    0.87 s → 0.61 s at sf0.1); versus a nested higher-order-function
+    fold (shuffle-free but interpreted — HOF lambdas skip whole-stage
+    codegen) it measured ~5× faster. Since r11 the plan carries ONE
+    exchange total: the small-input parallelism repair is
+    scatter_by(docs, "doc_id"), whose hashpartitioning the
+    groupBy(doc_id) reuses (guide §2.4), so the packed aggregation
+    runs as a single in-stage pass with no second shuffle — measured
+    0.88 → 0.46 s median at sf0.1 and 1.10 → 0.74 s at sf1, beyond
+    spread, results bit-identical (scripts/measure_simhash_ab.py).
 
     Capacity: each 16-bit field holds a popcount ≤ 65535 and the packed
     sum stays below 2^63 for ≤ 32767 tokens per document — far above
@@ -455,6 +461,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM(±1)); shiftright/`% 2` extraction is exact on the non-negative
     48-bit hash, matching the oracle's `(h // 2^j) % 2`.
     """
+    return _simhash_plan(spark, sf_dir)
+
+
+def _simhash_plan(
+    spark: SparkSession, sf_dir: str, keyed_scatter: bool = True
+) -> DataFrame:
+    """dedup_simhash's plan with the parallelism-repair shuffle's
+    keying exposed for measured A/Bs (``keyed_scatter=False`` is the
+    pre-r11 round-robin shape, kept as the comparator)."""
     docs = table(spark, sf_dir, "documents")
     # Cap the aggregation's input at MAX+1 tokens per doc BEFORE any
     # hashing: bounds the packed SUM away from int64 overflow regardless
@@ -464,8 +479,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second token array per doc (measured +20% on this, the slowest
     # headline query); the generator emits rows straight into a codegen'd
     # row filter and only surviving tokens reach md5.
+    # The parallelism-repair shuffle is KEYED by doc_id (r11): the
+    # packed-popcount groupBy(doc_id) below reuses its partitioning, so
+    # the plan drops from 2 Exchanges + partial/final agg to 1 Exchange
+    # + one Complete-mode agg (guide §2.4), and the keyed repartition
+    # skips round-robin's sortBeforeRepartition pass. doc_id is unique,
+    # so hash balance matches round-robin's.
+    src = scatter_by(docs, "doc_id") if keyed_scatter else scatter(docs)
     tok = (
-        scatter(docs)
+        src
         .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t"))
         .filter(F.col("pos") <= SIMHASH_MAX_TOKENS)
     )
@@ -1751,7 +1773,7 @@ def _pfj_index(
     )
 
 
-def _pfj_intersect_batches(batches):
+def _pfj_intersect_batches(batches, threshold: float | None = None):
     """Arrow-batched exact intersection counts for the prefix-filter
     join's verification: per input row (doc_a, doc_b, sa, sb) with sa
     and sb SORTED, UNIQUE int64 arrays (the _pfj_index contract —
@@ -1759,6 +1781,22 @@ def _pfj_intersect_batches(batches):
     mb) with n_common = |sa ∩ sb| counted by a fully-vectorized numpy
     binary-search merge instead of JVM array_intersect's per-row boxed
     hash set.
+
+    FUSED THRESHOLD (r11, guide §4.2 — shrink the boundary): with
+    ``threshold`` set, only rows whose jaccard passes it are emitted,
+    so failing candidates never cross the Arrow IPC boundary back to
+    the JVM. At sf10 the join stage shipped every candidate's
+    (doc_a, doc_b, n_common, ma, mb) back even though only the
+    result-rate fraction survives the downstream filter. The predicate
+    is computed EXACTLY as the SQL tail computes it —
+    ``float64(n_common) / float64(ma + mb − n_common) >= t`` — numpy
+    float64 division is the same IEEE-754 double division the JVM
+    performs on ``CAST(n_common AS DOUBLE) / n_union``, so fusing
+    moves the filter without moving any rounding boundary (the pinned
+    arm-equality test compares the fused arm row-for-row against the
+    JVM arm, which keeps the external filter). n_union >= 1 always:
+    inner joins over non-empty profile arrays give ma, mb >= 1 and
+    n_common <= min(ma, mb).
 
     WHY: PFJ_ENGINE_r09.json measured ~48 µs·core per candidate in
     size(array_intersect) on ~175-element long arrays (boxed
@@ -1833,10 +1871,20 @@ def _pfj_intersect_batches(batches):
             counts = np.bincount(ra[hit], minlength=n)
         else:
             counts = np.zeros(n, dtype=np.int64)
+        doc_a, doc_b = batch.column("doc_a"), batch.column("doc_b")
+        if threshold is not None:
+            keep = counts.astype(np.float64) / (la + lb - counts) >= threshold
+            if not keep.all():
+                if not keep.any():
+                    continue
+                keep_idx = np.flatnonzero(keep)
+                take = pa.array(keep_idx, type=pa.int64())
+                doc_a, doc_b = doc_a.take(take), doc_b.take(take)
+                counts, la, lb = counts[keep_idx], la[keep_idx], lb[keep_idx]
         yield pa.record_batch(
             [
-                batch.column("doc_a"),
-                batch.column("doc_b"),
+                doc_a,
+                doc_b,
                 pa.array(counts, type=pa.int64()),
                 pa.array(la, type=pa.int64()),
                 pa.array(lb, type=pa.int64()),
@@ -1845,13 +1893,28 @@ def _pfj_intersect_batches(batches):
         )
 
 
+def _pfj_intersect_passing(batches):
+    """mapInArrow entry point for the production arrow arm: the
+    intersection kernel with the member's jaccard threshold fused in
+    (importable module-level function, not a lambda/partial, so reused
+    Python workers can resolve it by reference)."""
+    return _pfj_intersect_batches(batches, threshold=PF_JACCARD_T)
+
+
 def _pfj_plan(spark: SparkSession, sf_dir: str, verify: str = "arrow") -> DataFrame:
     """The prefix-filter Jaccard plan behind dedup_prefix_filter_jaccard,
     with the verification backend exposed for measured A/Bs:
 
     - ``arrow`` (production): the join projects (doc_a, doc_b, sa, sb)
-      into ``_pfj_intersect_batches`` via mapInArrow — vectorized
-      sorted-merge counting, pipelined inside the join's stage.
+      into ``_pfj_intersect_passing`` via mapInArrow — vectorized
+      sorted-merge counting with the jaccard threshold FUSED into the
+      kernel (only passing rows cross the IPC boundary back; the
+      jvm/hof arms apply the identical predicate externally), pipelined
+      inside the join's stage.
+    - ``arrow_unfused``: the r10 production shape — same kernel but
+      every counted candidate returns across the IPC boundary and the
+      threshold runs as a Catalyst Filter. Kept live so the fusion's
+      cost delta stays reproducible within one session.
     - ``jvm``: size(array_intersect(sa, sb)) in the join's projection —
       the pre-r10 shape, kept as the A/B comparator and the
       arm-equality test's second opinion.
@@ -1861,8 +1924,9 @@ def _pfj_plan(spark: SparkSession, sf_dir: str, verify: str = "arrow") -> DataFr
       record.
 
     All three arms share the identical candidate join (same shuffles,
-    same exactness filters) and the identical SQL tail, so an A/B
-    isolates pure verification cost."""
+    same exactness filters) and the identical SQL tail modulo WHERE the
+    jaccard filter runs (inside the kernel for arrow, a Catalyst Filter
+    for jvm/hof), so an A/B isolates verification + boundary cost."""
     # vocab (frozen shingle ids + df counts), the prefix probe frame,
     # and the ride-along profile arrays come from the cached id-keyed
     # index — see _pfj_index for why the id assignment must be frozen
@@ -1941,6 +2005,16 @@ def _pfj_plan(spark: SparkSession, sf_dir: str, verify: str = "arrow") -> DataFr
         ),
     )
     if verify == "arrow":
+        # The jaccard threshold is FUSED into the kernel (r11): failing
+        # candidates are dropped batch-locally before the Arrow IPC
+        # return hop, so the boundary carries only result-rate rows.
+        # The kernel applies the bit-identical double-division predicate
+        # the other arms apply externally below.
+        counted = cand.select("doc_a", "doc_b", "sa", "sb").mapInArrow(
+            _pfj_intersect_passing,
+            "doc_a long, doc_b long, n_common long, ma long, mb long",
+        )
+    elif verify == "arrow_unfused":
         counted = cand.select("doc_a", "doc_b", "sa", "sb").mapInArrow(
             _pfj_intersect_batches,
             "doc_a long, doc_b long, n_common long, ma long, mb long",
@@ -1968,10 +2042,16 @@ def _pfj_plan(spark: SparkSession, sf_dir: str, verify: str = "arrow") -> DataFr
     emitted = counted.withColumn(
         "n_union", F.col("ma") + F.col("mb") - F.col("n_common")
     )
-    return (
-        emitted.filter(
+    if verify != "arrow":
+        # jvm/hof arms count every candidate, so they filter here; the
+        # arrow kernel already emitted only passing rows (same
+        # predicate, same float64 arithmetic — see
+        # _pfj_intersect_batches).
+        emitted = emitted.filter(
             F.col("n_common").cast("double") / F.col("n_union") >= PF_JACCARD_T
         )
+    return (
+        emitted
         .withColumn(
             "jaccard",
             F.round(F.col("n_common").cast("double") / F.col("n_union") * 1000000.0)

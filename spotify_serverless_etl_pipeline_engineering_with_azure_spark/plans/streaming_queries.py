@@ -2,6 +2,21 @@
 (availableNow over the bounded test tables → memory sink) and return
 the drained result. With a single micro-batch no rows are late, so the
 streaming results equal their batch shadows and stay oracle-checkable.
+
+PER-INVOCATION FIXED COST, measured so future rounds stop re-litigating
+it (r11, streaming_tumbling_window at sf0.1, warm session, 3 reps via
+StreamingQueryProgress.durationMs): of a ~1.2-1.5 s wall, the actual
+windowed aggregation (batch 0 addBatch) is ~0.4 s. The rest is
+micro-batch machinery that scales with TRIGGER COUNT, not data volume:
+~0.1 s plan build, ~0.1 s query start (temp checkpoint dir + WAL init +
+source listing), batch 0 overhead ~0.23 s (queryPlanning ~120 ms,
+walCommit ~35 ms, commitOffsets ~35 ms, latestOffset ~35 ms), a no-data
+FINALIZATION trigger ~0.3 s (update-mode watermark eviction re-plans
+and commits: addBatch ~200 ms + planning/WAL ~100 ms), and ~0.12 s
+memory-sink read-back. None of it is removable without not running a
+real streaming query (sink-gaming); on a 24/7 production stream these
+costs amortize to one trigger's overhead per interval, and the
+per-batch numbers above are the honest per-trigger floor.
 """
 
 from __future__ import annotations

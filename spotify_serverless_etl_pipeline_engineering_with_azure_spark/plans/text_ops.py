@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import persisted, scatter, table
+from ..catalog import persisted, scatter, scatter_by, table
 from ..functions.exact import dec, roundk, sql_roundk
 from ..functions.hashing import md5_int48, sql_md5_int48
 from ..registry import register
@@ -519,7 +519,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id so no global sort exists anywhere.
     """
     docs = table(spark, sf_dir, "documents")
-    tok = scatter(docs).select("doc_id", F.explode(_tokens()).alias("term"))
+    # Keyed parallelism repair (r11, guide §2.4): hashpartitioning
+    # (doc_id) satisfies the tf aggregation's ClusteredDistribution
+    # (doc_id, term) — subset rule — so the near-corpus-cardinality
+    # (doc_id, term) exchange disappears; and when the df join
+    # broadcasts, the persisted tf's partitioning survives to the
+    # per-doc top-k window, which then skips ITS exchange too
+    # (measured 5 → 3 Exchanges, see OPTIMIZATION_r11.md).
+    tok = scatter_by(docs, "doc_id").select(
+        "doc_id", F.explode(_tokens()).alias("term")
+    )
     # persisted(): tf — the heaviest aggregation here, near-corpus
     # cardinality — feeds BOTH the df derivation and the scoring join's
     # probe side; uncached it executes twice (no subplan sharing). The
@@ -594,7 +603,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines.
     """
     docs = table(spark, sf_dir, "documents")
-    toks = scatter(docs).select("doc_id", F.explode(_tokens()).alias("tok"))
+    # Keyed parallelism repair (r11, guide §2.4): when the vocab join
+    # broadcasts (vocabulary is Heaps-sublinear), the token stream
+    # keeps this hashpartitioning(doc_id) all the way to the final
+    # per-doc aggregation, which then reuses it instead of paying its
+    # own exchange; the vocab count still shuffles by tok either way.
+    toks = scatter_by(docs, "doc_id").select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    )
     # persisted(): the vocab aggregate feeds BOTH the grand total and
     # the scoring join — uncached, its corpus-wide shuffle executes
     # twice (dataset-freshness-keyed, see pmi_uni). The token STREAM

@@ -82,14 +82,23 @@ def session_confs(
     # measured config A/B, guide §1) override/extend session confs
     # without code edits. Applied LAST so explicit entries win over the
     # local defaults above; the driver's bench stays comparable because
-    # the variable is unset there.
+    # the variable is unset there. Format limitation: values containing
+    # ';' cannot be expressed (the split is unconditional). A segment
+    # WITHOUT '=' is a config error — silently setting that conf to ""
+    # would fail session boot with a confusing Spark error far from the
+    # cause (r10 ADVICE), so raise here with the offending segment.
     extra = e.get("SPARK_GRAFT_EXTRA_CONFS")
     if extra:
         for kv in extra.split(";"):
             kv = kv.strip()
-            if kv:
-                k, _, v = kv.partition("=")
-                confs[k.strip()] = v.strip()
+            if not kv:
+                continue
+            k, sep, v = kv.partition("=")
+            if not sep or not k.strip():
+                raise ValueError(
+                    f"SPARK_GRAFT_EXTRA_CONFS segment {kv!r} is not 'key=value'"
+                )
+            confs[k.strip()] = v.strip()
     return master, confs
 
 

@@ -245,12 +245,13 @@ WHERE CAST(c AS DOUBLE) / (sa.m + sb.m - c) >= {PF_JACCARD_T}
 
 
 def test_prefix_filter_verification_arms_are_bit_identical(spark, sf_dir):
-    """The three verification backends behind _pfj_plan — the Arrow
-    sorted-merge kernel (production), JVM array_intersect (the pre-r10
-    shape), and the HOF linear-scan arm — share one candidate join and
-    must emit row-for-row identical results: the kernel substitutes
-    only HOW |sa ∩ sb| is counted, never which pairs exist or what
-    their sizes are."""
+    """The verification backends behind _pfj_plan — the fused-threshold
+    Arrow kernel (production), the r10 unfused Arrow shape, JVM
+    array_intersect (the pre-r10 shape), and the HOF linear-scan arm —
+    share one candidate join and must emit row-for-row identical
+    results: the kernel substitutes only HOW |sa ∩ sb| is counted and
+    WHERE the threshold runs, never which pairs exist or what their
+    sizes are."""
     from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.dedup import (
         _pfj_plan,
     )
@@ -260,9 +261,10 @@ def test_prefix_filter_verification_arms_are_bit_identical(spark, sf_dir):
         .toPandas()
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
-        for arm in ("arrow", "jvm", "hof")
+        for arm in ("arrow", "arrow_unfused", "jvm", "hof")
     }
     assert len(frames["arrow"]) > 0, "fixture produced no near-dup pairs"
+    assert frames["arrow"].equals(frames["arrow_unfused"])
     assert frames["arrow"].equals(frames["jvm"])
     assert frames["arrow"].equals(frames["hof"])
 
@@ -320,6 +322,64 @@ def test_pfj_intersect_kernel_packing_and_fallback_paths():
         }
     )
     assert list(_pfj_intersect_batches(iter([empty]))) == []
+
+
+def test_pfj_kernel_fused_threshold_filters_before_ipc():
+    """The r11 fused jaccard threshold must drop failing candidates
+    INSIDE the kernel (so they never cross the Arrow boundary) using
+    the exact double-division predicate the jvm/hof arms apply
+    externally — including the boundary case where n_common/n_union
+    lands exactly on the threshold (>=, so it passes)."""
+    import pyarrow as pa
+
+    from spotify_serverless_etl_pipeline_engineering_with_azure_spark.plans.dedup import (
+        PF_JACCARD_T,
+        _pfj_intersect_batches,
+        _pfj_intersect_passing,
+    )
+
+    def batch(sa_rows, sb_rows):
+        return pa.record_batch(
+            {
+                "doc_a": pa.array(range(len(sa_rows)), type=pa.int64()),
+                "doc_b": pa.array(
+                    range(100, 100 + len(sa_rows)), type=pa.int64()
+                ),
+                "sa": pa.array(sa_rows, type=pa.list_(pa.int64())),
+                "sb": pa.array(sb_rows, type=pa.list_(pa.int64())),
+            }
+        )
+
+    # rows: jaccard = 3/3=1.0 (pass), 1/3≈0.33 (fail),
+    # 3/5=0.6 == PF_JACCARD_T exactly (boundary: >= keeps it),
+    # 0 common (fail)
+    b = batch(
+        [[1, 2, 3], [1, 2], [1, 2, 3, 4], [7]],
+        [[1, 2, 3], [2, 3], [1, 2, 3], [8]],
+    )
+    assert PF_JACCARD_T == 0.6, "boundary row below assumes t=0.6"
+    out = list(_pfj_intersect_batches(iter([b]), threshold=PF_JACCARD_T))
+    assert len(out) == 1
+    got = out[0].to_pydict()
+    assert got["doc_a"] == [0, 2]
+    assert got["doc_b"] == [100, 102]
+    assert got["n_common"] == [3, 3]
+    assert got["ma"] == [3, 4] and got["mb"] == [3, 3]
+
+    # production entry point behaves identically
+    got2 = list(_pfj_intersect_passing(iter([batch([[1, 2, 3]], [[1, 2, 3]])])))
+    assert got2[0].to_pydict()["n_common"] == [3]
+
+    # a batch where every row fails yields NOTHING (not an empty batch)
+    assert (
+        list(_pfj_intersect_batches(iter([batch([[1]], [[2]])]), threshold=0.5))
+        == []
+    )
+
+    # threshold=None keeps every row — the direct-count contract the
+    # packing/fallback test above relies on
+    all_rows = list(_pfj_intersect_batches(iter([b])))
+    assert all_rows[0].num_rows == 4
 
 
 def test_index_caches_reuse_and_invalidate(spark, sf_dir, tmp_path):
@@ -819,9 +879,20 @@ def test_checkpoint_frame_search_parallelism_floor(spark, tmp_path, monkeypatch)
     micro = checkpoint_frame(spark.range(100).coalesce(1), "floor_test_micro")
     assert micro.rdd.getNumPartitions() == 1
 
-    # At/above the target: untouched (no reshard, count preserved).
+    # At/above the target: untouched (no reshard, count preserved) —
+    # and the verdict must be reached WITHOUT running a count() job:
+    # with >= cores partitions the cap predetermines the outcome, and
+    # in the durable branch that count is a full parquet-scan job per
+    # index build on corpus-sized tables (r10 ADVICE).
+    from pyspark.sql import DataFrame as _DF
+
     wide = spark.range(n_big).repartition(cores + 3)
-    kept = checkpoint_frame(wide, "floor_test_wide")
+    with monkeypatch.context() as m:
+        def _boom(self):
+            raise AssertionError("count() ran for an already-wide frame")
+
+        m.setattr(_DF, "count", _boom)
+        kept = checkpoint_frame(wide, "floor_test_wide")
     assert kept.rdd.getNumPartitions() == cores + 3
 
     # Durable branch: the parquet scan of a small index table packs to

@@ -127,6 +127,52 @@ def test_o3_session_config_from_env():
     assert confs["spark.sql.join.preferSortMergeJoin"] == "false"
     assert confs["spark.driver.memory"] == "8g"
 
+    # A segment without '=' is a config error: silently setting the
+    # conf to "" would fail session boot with a confusing Spark error
+    # far from the cause (r10 ADVICE) — raise loud, name the segment.
+    import pytest
+
+    with pytest.raises(ValueError, match="spark.foo"):
+        session_confs(env={"SPARK_GRAFT_EXTRA_CONFS": "spark.foo"})
+    with pytest.raises(ValueError, match="not 'key=value'"):
+        session_confs(env={"SPARK_GRAFT_EXTRA_CONFS": "=v;a=b"})
+
+
+def test_bench_json_line_reports_effective_parallelism():
+    """bench.py's one-line JSON must carry cpus_effective (the
+    session's defaultParallelism) and the master string so the driver
+    can VERIFY the $SPARK_GRAFT_CPUS contract instead of inferring it
+    from wall-clock ratios (r10's PERF heuristic false-positived
+    "cpus ignored" because the line reported neither). Run the real
+    bench end-to-end at sf0.001 with one measured pass — the same
+    subprocess shape the driver uses."""
+    import json
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env={
+            **os.environ,
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+            "SPARK_GRAFT_CPUS": "8",
+            "SPARK_GRAFT_BENCH_PASSES": "1",
+            "PYTHONDONTWRITEBYTECODE": "1",
+        },
+    )
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-3000:]}"
+    lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')
+    ]
+    assert len(lines) == 1, f"expected one JSON line, got: {proc.stdout[-2000:]}"
+    rec = json.loads(lines[0])
+    assert rec["cpus_effective"] == 8
+    assert rec["master"] == "local[8]"
+    assert rec["sf"] == 0.001
+    assert set(rec["queries"]) >= {"q1_pricing_summary", "dedup_simhash"}
+
 
 def test_o4_checkpoint_kill_and_resume(spark, tmp_path):
     """O4 (error handling, spotifytransform.py:131-158 swallowed-error

@@ -372,12 +372,15 @@ HEADLINE_EXCHANGE_BUDGET = {
     # groupBy) live in _minhash_index / _ngram_index, not the
     # per-query search plan — same split as sim_ann_ivf below
     "dedup_minhash_lsh": (1, 0),
-    # 1 of the 2 is scatter()'s RoundRobin small-input repair — the pin
+    # The 1 is scatter_by(docs, "doc_id")'s small-input repair, whose
+    # hashpartitioning the packed-popcount groupBy(doc_id) REUSES (r11:
+    # round-robin scatter left a second agg exchange — 2 → 1, measured
+    # 1.9×/1.5× at sf0.1/sf1, scripts/measure_simhash_ab.py). The pin
     # assumes this suite's environment (local[32] + single-split
     # sf0.001 fixtures keep the scan below defaultParallelism, so the
     # conditional scatter fires); if the fixture layout ever widens,
-    # re-pin to (1, 0) rather than suppressing the conditional.
-    "dedup_simhash": (2, 0),
+    # the agg pays its own exchange again and the pin stays (1, 0).
+    "dedup_simhash": (1, 0),
     "dedup_ngram_jaccard": (1, 2),
     "text_fingerprint": (0, 0),
     "text_quality_score": (0, 0),

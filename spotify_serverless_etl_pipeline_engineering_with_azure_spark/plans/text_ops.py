@@ -63,8 +63,12 @@ FROM documents
     tags=("text",),
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting + char-count validation."""
-    docs = table(spark, sf_dir, "documents")
+    """Whitespace token counting + char-count validation.
+
+    scatter(): see text_fingerprint — the documents table is written as
+    ONE parquet row group at every test SF, so without the repair every
+    map-only doc operator runs as a single task regardless of cores."""
+    docs = scatter(table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.size(_tokens()).alias("n_tokens"),
@@ -95,9 +99,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: length / stopword-ratio features.
 
     The ratios divide exact integers, so the doubles are bit-identical
-    across engines — no rounding needed.
+    across engines — no rounding needed. scatter(): see
+    text_fingerprint (single-row-group input → single-task map without
+    the repair).
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = scatter(table(spark, sf_dir, "documents"))
     toks = _tokens()
     n_tokens = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -154,9 +160,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     A deterministic stopword-hit argmax. (The synthetic corpus shares
     one vocabulary across langs, so accuracy is data-limited; the
     operator contract — deterministic prediction per doc — is what the
-    oracle checks.)
+    oracle checks.) scatter(): see text_fingerprint — the marker-hit
+    map work feeds the tiny confusion agg, and the scan it runs in is
+    single-split at every test SF.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = scatter(table(spark, sf_dir, "documents"))
     toks = _tokens()
 
     def hits(markers: tuple[str, ...]) -> F.Column:
@@ -240,10 +248,24 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulator shape, is the cost — so the fold price is the price of
     the ~120-bit identity itself; the scalar form is kept for being
     the simplest. Every intermediate stays < 2⁴⁹ (acc·43 + 2⁴⁸) —
-    exact in int64 on both engines. Still map-side only: zero
-    shuffles.
+    exact in int64 on both engines.
+
+    scatter() (r11): the rounds-5/6 "the cost IS the identity"
+    adjudication was measuring SINGLE-CORE execution — the documents
+    table is ONE parquet row group at every test SF (sf10: 55 MB,
+    unsplittable below a row group no matter what maxPartitionBytes
+    or minPartitionNum say), so the zero-shuffle plan ran the whole
+    md5+fold pipeline as one task. One small-input repair shuffle of
+    the compact doc rows buys full machine width for the per-token
+    work: measured interleaved 0.51 → 0.33 s median at sf0.1,
+    2.51 → 0.50 s at sf1, 24.3 → 2.66 s at sf10 (9.1×) — identical
+    output (FP_SCATTER_AB_r11.json). At real corpus scale the scan
+    spans many files/row groups and scatter's width check passes the
+    frame through untouched, so the zero-shuffle property is preserved
+    exactly where it matters (§2: scale-adaptive partitioning cuts
+    both ways).
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = scatter(table(spark, sf_dir, "documents"))
     hv = F.transform(_tokens(), lambda t: md5_int48(t))
     bound = docs.select("doc_id", hv.alias("hv"))
 
@@ -283,8 +305,10 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting (space-prefixed letter/digit/punct
     runs — the GPT-2 pretokenizer shape) next to the whitespace count.
     Row-local regexp_extract_all, JVM-side; the pattern sticks to
-    constructs Java regex and RE2 treat identically."""
-    docs = table(spark, sf_dir, "documents")
+    constructs Java regex and RE2 treat identically. scatter(): see
+    text_fingerprint (single-row-group input; the triple regex pass is
+    the heaviest per-row map in the text family)."""
+    docs = scatter(table(spark, sf_dir, "documents"))
     toks = F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
     return docs.select(
         "doc_id",

@@ -309,11 +309,27 @@ def test_rank_limit_window_keeps_partial_group_limit(spark, name):
     df = registry.queries()[name](spark, SF_SMOKE)
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     plan = df._jdf.queryExecution().explainString(jmode)
-    assert re.search(r"WindowGroupLimit .*, Partial", plan), (
-        f"{name}: no map-side WindowGroupLimit(Partial) — the rank filter "
-        f"no longer bounds rows before the exchange:\n{plan}"
+    if re.search(r"WindowGroupLimit .*, Partial", plan):
+        assert re.search(r"WindowGroupLimit .*, Final", plan), plan
+        return
+    # No Partial group limit is ONLY safe when no exchange feeds the
+    # window at all — the window reuses an upstream partitioning, so
+    # the funnel the partial limit protects against does not exist
+    # (r11: text_tfidf_top_terms's top-k window reuses scatter_by's
+    # doc_id partitioning at test SFs; at scale the tf aggregate
+    # re-keys by (doc_id, term), the window pays its exchange, and
+    # Spark re-plans the Partial/Final split). The dangerous shape —
+    # a window-feeding ENSURE_REQUIREMENTS exchange WITHOUT the
+    # partial limit — still fails.
+    assert not re.search(
+        r"Exchange hashpartitioning\([^)]*\), ENSURE_REQUIREMENTS[^\n]*\n\s*\+- Window", plan
+    ) and not re.search(
+        r"Exchange hashpartitioning\([^)]*\), ENSURE_REQUIREMENTS[^\n]*\n\s*\+- \*\(\d+\) Sort", plan
+    ), (
+        f"{name}: no map-side WindowGroupLimit(Partial) AND the window "
+        f"still pays an exchange — the rank filter no longer bounds rows "
+        f"before the shuffle:\n{plan}"
     )
-    assert re.search(r"WindowGroupLimit .*, Final", plan), plan
 
 
 def test_scatter_passes_wide_frames_through(spark):
@@ -382,8 +398,13 @@ HEADLINE_EXCHANGE_BUDGET = {
     # the agg pays its own exchange again and the pin stays (1, 0).
     "dedup_simhash": (1, 0),
     "dedup_ngram_jaccard": (1, 2),
-    "text_fingerprint": (0, 0),
-    "text_quality_score": (0, 0),
+    # 1 = scatter()'s conditional small-input repair (r11): documents
+    # is ONE parquet row group at every test SF, so the md5/fold map
+    # work ran as a single task regardless of cores — measured 9.1× at
+    # sf10 from the repair (FP_SCATTER_AB_r11.json). At corpus scale
+    # the scan is already wide and scatter passes through: (0, 0) then.
+    "text_fingerprint": (1, 0),
+    "text_quality_score": (1, 0),
     "sim_cosine_topk_bruteforce": (1, 1),
     "sim_ann_lsh_bucketed": (2, 1),
     # index-build shuffles (assignment agg / probe window) live in
